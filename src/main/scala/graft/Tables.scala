@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md, FIXTURES.md).
+  *
+  * The reference (vbogretsov/deltasink, SURVEY.md §0) ships no data model
+  * beyond its one-line spec (README.md:2); the engine's table surface is the
+  * driver fixture set: TPC-H-ish star schema + events stream table + the
+  * LLM-pipeline tables (documents, embeddings).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4.x rejects
+      // outright (PARQUET_TYPE_ILLEGAL) unless read as a raw long. Read
+      // ns-as-long, then truncate to µs explicitly — same observable
+      // semantics DuckDB applies at µs granularity, and deterministic.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every fixture table as a temp view, for spark.sql-backed
+    * queries (GROUPING SETS and friends, SURVEY.md §3.3). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}
