@@ -24,7 +24,9 @@ object SparkEntry {
     RelationalCore.queries ++
       Aggregates.queries ++
       WindowOps.queries ++
-      SortSetOps.queries
+      SortSetOps.queries ++
+      ScalarFns.queries ++
+      EventsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -32,5 +34,7 @@ object SparkEntry {
     RelationalCore.oracles ++
       Aggregates.oracles ++
       WindowOps.oracles ++
-      SortSetOps.oracles
+      SortSetOps.oracles ++
+      ScalarFns.oracles ++
+      EventsOps.oracles
 }
