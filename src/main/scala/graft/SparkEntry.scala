@@ -26,7 +26,8 @@ object SparkEntry {
       WindowOps.queries ++
       SortSetOps.queries ++
       ScalarFns.queries ++
-      EventsOps.queries
+      EventsOps.queries ++
+      TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       WindowOps.oracles ++
       SortSetOps.oracles ++
       ScalarFns.oracles ++
-      EventsOps.oracles
+      EventsOps.oracles ++
+      TextOps.oracles
 }
