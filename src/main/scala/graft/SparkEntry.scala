@@ -27,7 +27,8 @@ object SparkEntry {
       SortSetOps.queries ++
       ScalarFns.queries ++
       EventsOps.queries ++
-      TextOps.queries
+      TextOps.queries ++
+      VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       SortSetOps.oracles ++
       ScalarFns.oracles ++
       EventsOps.oracles ++
-      TextOps.oracles
+      TextOps.oracles ++
+      VectorOps.oracles
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.CosineSimilarity
+
+/** SURVEY.md §2.9 vector surface + training-data-pipeline similarity ops:
+  * brute-force cosine top-k, cosine near-dup pairs, label-centroid
+  * distances, IVF-probed ANN, multimodal struct assembly, and the binary
+  * media decode plumbing.
+  *
+  * Reference implements none (SURVEY.md §0). Scale design:
+  * - the query side of top-k is bounded and broadcast: candidates never
+  *   shuffle, the scan stays embarrassingly parallel;
+  * - the all-pairs near-dup is the *baseline*; the IVF variant
+  *   (q_llm_ann_ivf) is the scale path — probe 2 of K buckets ⇒ ~K/2×
+  *   less work, same shape as a coarse-quantizer ANN index;
+  * - cosine is a native codegen'd Catalyst expression
+  *   (graft.functions.CosineSimilarity), not a UDF.
+  */
+object VectorOps {
+  import graft.QueryFn
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** (vec_id, label, v: array<double>) */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+
+  /** Elementwise label centroids, computed relationally (posexplode →
+    * avg per (label, pos)) so the same math is expressible in the DuckDB
+    * oracle. One shuffle on (label, pos). */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("c"))
+
+  val queries: Map[String, QueryFn] = Map(
+    // Brute-force cosine top-k: the correctness baseline for ANN. The
+    // (small) query set is broadcast against the full candidate scan.
+    "q_llm_cosine_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("nbr").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          CosineSimilarity.cosineSim(s, col("qv"), col("v")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nbr"),
+          Det.r(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
+
+    // Embedding-cosine near-duplicate pairs (all-pairs baseline; at
+    // 100 TB this runs behind LSH/IVF blocking, same predicate).
+    "q_llm_cosine_dup" -> ((s, d) => {
+      val a = emb(s, d).select(col("vec_id").as("v1"), col("v").as("va"))
+      val b = emb(s, d).select(col("vec_id").as("v2"), col("v").as("vb"))
+      a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          CosineSimilarity.cosineSim(s, col("va"), col("vb")).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .select(col("v1"), col("v2"), Det.r(col("sim"), 4).as("sim"))
+        .orderBy("v1", "v2")
+    }),
+
+    // Label centroids + mean cosine of members to their own centroid
+    // (cluster cohesion / label-propagation score).
+    "q_llm_knn_label" -> ((s, d) => {
+      val x = emb(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+      val cent = centroids(s, d)
+      val sims = x.join(cent, Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("c")).as("dot"),
+          sum(col("x") * col("x")).as("n1"),
+          sum(col("c") * col("c")).as("n2"))
+        .select(col("vec_id"), col("label"),
+          (col("dot") / (sqrt(col("n1")) * sqrt(col("n2")))).as("sim"))
+      sims.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), Det.r(avg(col("sim")), 4).as("avg_cos"))
+        .orderBy("label")
+    }),
+
+    // IVF-probed ANN: coarse quantizer = label centroids; each query
+    // probes its 2 nearest centroids and searches only those buckets.
+    // The 100 TB shape: candidate scan shrinks ~K/nprobe ×, bucket
+    // assignment is an equality join. no-oracle (recall vs exact top-k
+    // asserted in VectorOpsSpec).
+    "q_llm_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      // centroid vectors reassembled to arrays (sorted by position)
+      val centArr = centroids(s, d)
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("qid")
+        .orderBy(col("csim").desc, col("label").asc)
+      val probes = q.crossJoin(broadcast(centArr))
+        .select(col("qid"), col("qv"), col("label"),
+          CosineSimilarity.cosineSim(s, col("qv"), col("cv")).as("csim"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("label"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("nbr").asc)
+      e.join(broadcast(probes),
+          e("label") === probes("label") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          CosineSimilarity.cosineSim(s, col("qv"), col("v")).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nbr"), Det.r(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
+
+    // Multimodal record assembly: text ⋈ embedding → nested struct
+    // (the typed "sample" record of a training pipeline), then flattened
+    // scalar probes for the oracle.
+    "q_llm_multimodal" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      docs.join(e, docs("doc_id") === e("vec_id"))
+        .select(col("doc_id"),
+          struct(col("text").as("text"), col("lang").as("lang"),
+            col("embedding").as("embedding"), col("label").as("label"))
+            .as("sample"))
+        .select(col("doc_id"),
+          col("sample.lang").as("lang"),
+          length(col("sample.text")).as("text_len"),
+          size(col("sample.embedding")).as("dim"),
+          col("sample.label").as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // Binary media-column plumbing: opaque bytes + typed metadata, with a
+    // deterministic stub decode (real codecs aren't in-container; the
+    // mapPartitions decode pipeline lives in graft.multimodal and is
+    // exercised by MultimodalSpec). Schema/partitioning/batch shape real.
+    "q_mm_decode_stub" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"),
+          col("n_chars"))
+        .select(col("doc_id"),
+          octet_length(col("media")).as("n_bytes"),
+          (octet_length(col("media")) % 640).as("width"),
+          ((col("n_chars") * 7) % 480).as("height"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+            s AS (SELECT q.qid, e.vec_id AS nbr,
+                         list_cosine_similarity(q.qv, e.v) AS sim
+                  FROM q JOIN e ON e.vec_id <> q.qid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                               ORDER BY sim DESC, nbr) AS rk
+                  FROM s)
+         SELECT qid, rk, nbr, floor(sim * 10000 + 0.5) / 10000 AS sim
+         FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+    "q_llm_cosine_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+                floor(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ORDER BY v1, v2""",
+    "q_llm_knn_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            x AS (SELECT vec_id, label, i, v[i] AS val
+                  FROM e, range(1, 65) t(i)),
+            cent AS (SELECT label, i, avg(val) AS c FROM x GROUP BY 1, 2),
+            sims AS (SELECT x.vec_id, x.label,
+                            sum(x.val * cent.c) AS dot,
+                            sum(x.val * x.val) AS n1,
+                            sum(cent.c * cent.c) AS n2
+                     FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+                     GROUP BY 1, 2)
+         SELECT label, count(*) AS n_vecs,
+                floor(avg(dot / (sqrt(n1) * sqrt(n2))) * 10000 + 0.5) / 10000 AS avg_cos
+         FROM sims GROUP BY label ORDER BY label""",
+    "q_llm_multimodal" ->
+      """SELECT doc_id, lang, length(text) AS text_len,
+                CAST(len(embedding) AS INT) AS dim, label
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id""",
+    "q_mm_decode_stub" ->
+      """SELECT doc_id, length(text) AS n_bytes,
+                length(text) % 640 AS width,
+                (n_chars * 7) % 480 AS height
+         FROM documents ORDER BY doc_id"""
+  )
+}
