@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once, Delta-protocol-style table sink (SURVEY.md §7.3).
+  *
+  * The delta-spark jar is absent offline, so the Delta commit protocol's
+  * essential guarantee — data files and the consumer's progress cursor
+  * commit in ONE atomic action (Delta's `add` + `txn{appId, version}`
+  * log entry) — is reproduced on public APIs:
+  *
+  *   table/
+  *     data/batch=<id>/part-*.parquet   (written to a staging dir first)
+  *     _graft_log/<%020d batchId>.json  (atomic rename = the commit point)
+  *
+  * A batch is visible iff its log entry exists. `process` is idempotent
+  * on batchId — a replayed micro-batch (crash between write and commit,
+  * Spark retries from the checkpoint WAL) sees the committed version and
+  * no-ops, which is exactly-once delivery end-to-end. Readers list the
+  * log, not the data dir, so half-written staging data is never visible.
+  *
+  * Single-writer (the deltasink scenario: one ingestion daemon per
+  * table); the atomic-rename commit generalizes to Delta's
+  * optimistic-concurrency loop if multiple writers are ever needed.
+  */
+class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
+  private val logDir = Paths.get(tableDir, "_graft_log")
+  private val dataDir = Paths.get(tableDir, "data")
+
+  private def logFile(batchId: Long): Path =
+    logDir.resolve(f"$batchId%020d.json")
+
+  def committedVersions(): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) return Seq.empty
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  def isCommitted(batchId: Long): Boolean = Files.exists(logFile(batchId))
+
+  /** foreachBatch body: write-then-commit, idempotent on batchId. */
+  def process(df: DataFrame, batchId: Long): Unit = {
+    if (isCommitted(batchId)) return // replay after crash → no-op
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+
+    // 1. stage data files (invisible to readers — they go through the log)
+    val staging = Paths.get(tableDir, s".staging-$batchId")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val adds = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+
+    // 2. move into place under the batch's own directory
+    val target = dataDir.resolve(s"batch=$batchId")
+    if (Files.exists(target)) { // leftover from a crashed attempt
+      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(target)
+    val moved = adds.map { p =>
+      val dst = target.resolve(p.getFileName)
+      Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst
+    }
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+    // 3. THE commit: one atomic rename publishing add-actions + txn cursor
+    val entry =
+      s"""{"txn":{"appId":"$appId","version":$batchId},""" +
+        s""""add":[${moved.map(p => "\"" + p.getFileName + "\"").mkString(",")}],""" +
+        s""""commitInfo":{"operation":"STREAMING UPDATE","batchId":$batchId}}"""
+    val tmp = logDir.resolve(s".${batchId}.json.tmp")
+    Files.writeString(tmp, entry)
+    Files.move(tmp, logFile(batchId), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the committed table state (only data referenced by the log). */
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val versions = committedVersions()
+    val dirs = versions.map(v => dataDir.resolve(s"batch=$v").toString)
+    if (dirs.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(dirs: _*)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Emulated Kafka source (SURVEY.md §7.3).
+  *
+  * The reference's category is a Kafka→Delta ingestion daemon
+  * (reference README.md:2 "Stream DeltaLake tables from Kafka"); the
+  * spark-sql-kafka connector jar is absent from the offline image, so the
+  * *semantics* a Kafka source provides — an ordered, partitioned,
+  * replayable log with (topic, partition, offset, timestamp, key, value)
+  * records — are reproduced on the public file-stream source: JSON-lines
+  * files carrying the Kafka envelope, consumed with maxFilesPerTrigger
+  * for ordered incremental delivery. Offsets are per-partition positions,
+  * exactly as a broker would hand out.
+  *
+  * At scale this maps 1:1 onto the real connector: swap
+  * `readStream.schema(envelope).json(dir)` for
+  * `readStream.format("kafka")` and the downstream plan is unchanged.
+  */
+object KafkaEnvelope {
+
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** Payload schema carried in `value` (JSON) — the events record. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType), // event time, µs since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Produce envelope JSON-lines files from the events fixture: the
+    * "topic". Partition = user_id % nPartitions, offset = position within
+    * partition in event-time order — a faithful per-partition-ordered log. */
+  def writeTopic(spark: SparkSession, sfDir: String, outDir: String,
+      nPartitions: Int = 4): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables(spark, sfDir, "events")
+    val w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    ev.withColumn("partition", (col("user_id") % nPartitions).cast("int"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .select(
+        lit("events").as("topic"),
+        col("partition"), col("offset"),
+        col("ts").as("timestamp"),
+        col("user_id").cast("string").as("key"),
+        to_json(struct(
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))).as("value"))
+      .repartition(col("partition"))
+      .sortWithinPartitions("partition", "offset")
+      .write.mode("overwrite").json(outDir)
+  }
+
+  /** Incremental, replayable read of the emulated topic. */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(envelopeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Deserialize stage (SURVEY §3.1 step 2): bytes→typed rows against the
+    * declared payload schema; malformed values null out and are split to
+    * a dead-letter branch by the caller via `isnull(payload)`. */
+  def decode(envelope: DataFrame): DataFrame =
+    envelope
+      .withColumn("payload", from_json(col("value"), payloadSchema))
+      .select(col("topic"), col("partition"), col("offset"),
+        col("key"), col("value"),
+        col("payload.event_id").as("event_id"),
+        timestamp_micros(col("payload.ts_us")).as("ts"),
+        col("payload.user_id").as("user_id"),
+        col("payload.event_type").as("event_type"),
+        col("payload.value").as("event_value"))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.MediaPipeline
+
+/** Cross-operator invariants + approximate-op tolerance + multimodal
+  * plumbing (SURVEY.md §5.2/§5.5). Exact values are the oracle's job
+  * (Verify + DuckDB); these assert semantic properties. */
+class OperatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("approx_count_distinct within 10% of exact per event_type") {
+    val approx = q("q_agg_approx_hll")
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.10, s"$k: approx $a exact $e")
+    }
+  }
+
+  test("as-of join: every matched purchase precedes its click") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val asof = q("q_join_asof").filter(col("purchase_id") =!= -1L)
+    val withTs = asof
+      .join(ev.select(col("event_id").as("click_id"), col("ts").as("cts")), "click_id")
+      .join(ev.select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("event_type").as("ptype")), "purchase_id")
+    assert(withTs.filter(col("pts") > col("cts")).count() == 0)
+    assert(withTs.filter(col("ptype") =!= "purchase").count() == 0)
+  }
+
+  test("stream dedup output is idempotent (dedup of dedup = dedup)") {
+    val once = q("q_stream_dedup")
+    assert(once.count() ==
+      once.dropDuplicates("user_id", "event_type").count())
+  }
+
+  test("set algebra: union counts = sum, intersect ⊆ both, except ∩ right = ∅") {
+    val c = Tables(spark, sf, "customer").select(col("c_nationkey").as("nk"))
+    val s2 = Tables(spark, sf, "supplier").select(col("s_nationkey").as("nk"))
+    val unionN = q("q_set_union").agg(sum(col("n"))).as[Long].head()
+    assert(unionN == c.count() + s2.count())
+    val inter = q("q_set_intersect").as[Int].collect().toSet
+    val cSet = c.distinct().as[Int].collect().toSet
+    val sSet = s2.distinct().as[Int].collect().toSet
+    assert(inter.subsetOf(cSet) && inter.subsetOf(sSet))
+    val except = q("q_set_except").as[Int].collect().toSet
+    assert(except.intersect(sSet).isEmpty)
+  }
+
+  test("window top-k rows are a subset of their group with correct rank") {
+    val topk = q("q_win_topk_group")
+    assert(topk.filter(col("rn") > 3).count() == 0)
+    // rank 1 is the group max
+    val r1 = topk.filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice").as("p1"))
+    val mx = Tables(spark, sf, "orders").groupBy("o_custkey")
+      .agg(max(col("o_totalprice")).as("pm"))
+    assert(r1.join(mx, "o_custkey").filter(col("p1") =!= col("pm")).count() == 0)
+  }
+
+  test("multimodal pipeline: deterministic, complete, no driver collect") {
+    val f1 = MediaPipeline.pipeline(spark, sf).collect()
+    val f2 = MediaPipeline.pipeline(spark, sf).collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length == Tables(spark, sf, "documents").count())
+    // stub decode honored the mime split
+    val frames = f1.map(r => (r.getAs[String]("mime"), r.getAs[Int]("n_frames")))
+    assert(frames.filter(_._1 == "video/mp4").forall(_._2 >= 1))
+    assert(frames.filter(_._1 != "video/mp4").forall(_._2 == 1))
+  }
+
+  test("rollup subtotals are consistent with detail rows") {
+    val r = q("q_agg_rollup")
+    val grand = r.filter(col("nation") === "ALL" && col("segment") === "ALL")
+      .select("n_cust").as[Long].head()
+    val detail = r.filter(col("nation") =!= "ALL" && col("segment") =!= "ALL")
+      .agg(sum(col("n_cust"))).as[Long].head()
+    assert(grand == detail)
+    assert(grand == Tables(spark, sf, "customer").count())
+  }
+}

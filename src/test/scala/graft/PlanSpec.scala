@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-property assertions (SURVEY.md §5.2): pushdown, pruning,
+  * broadcast choice, top-k physical operator, codegen of the custom
+  * expression — the features whose *plan shape* is the contract for
+  * 100 TB behavior. */
+class PlanSpec extends SparkSpecBase {
+
+  private def physical(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  /** Plan string after AQE finalizes (codegen/reused stages only appear in
+    * the final plan), untruncated. */
+  private def finalPhysical(name: String): String = {
+    val df = q(name)
+    df.collect() // drive this queryExecution's AQE to isFinalPlan=true
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Formatted explain — prints scan details (PushedFilters, ReadSchema)
+    * untruncated, unlike plan toString. */
+  private def formatted(name: String): String =
+    q(name).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_scan_pushdown pushes both predicates to the parquet reader") {
+    val p = formatted("q_scan_pushdown")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+  }
+
+  test("q_scan_project prunes the read schema to selected+sort columns") {
+    val p = physical("q_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "pruned column still read:\n" + p.take(2000))
+    assert(!p.contains("l_discount"), "pruned column still read:\n" + p.take(2000))
+  }
+
+  test("q_join_multiway broadcasts the dimension tables") {
+    val p = physical("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_topk_limit plans TakeOrderedAndProject (no global sort)") {
+    val p = physical("q_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("cosine expression runs inside whole-stage codegen") {
+    val p = finalPhysical("q_llm_cosine_topk")
+    // codegen spans print as "*(n) Op"; the Project computing cosine_sim
+    // must carry the marker (i.e. the expression participates in codegen)
+    val line = p.linesIterator.find(_.contains("cosine_sim(")).getOrElse("")
+    assert(line.contains("*("), "cosine_sim not in a codegen span:\n" + line + "\n" + p.take(3000))
+    // the query side is broadcast: candidates never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("q_join_range keeps the equi-key (no cartesian product)") {
+    val p = physical("q_join_range")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+}

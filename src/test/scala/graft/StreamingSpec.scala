@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{ExactlyOnceSink, KafkaEnvelope, StatefulOps}
+
+/** SURVEY.md §2.8/§5.4: the incremental forms — emulated Kafka envelope
+  * source, watermarks + late data, streaming dedup, custom state, and the
+  * exactly-once commit protocol incl. crash/replay idempotence. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("envelope topic -> readStream -> decode -> exactly-once sink == batch events") {
+    val topicDir = tmp("graft-topic")
+    val tableDir = tmp("graft-table")
+    val ckpt = tmp("graft-ckpt")
+    KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 4)
+
+    val sink = new ExactlyOnceSink(tableDir)
+    val stream = KafkaEnvelope.decode(KafkaEnvelope.readStream(spark, topicDir, 2))
+      .select("event_id", "ts", "user_id", "event_type", "event_value")
+    val qy = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.process(df, id))
+      .start()
+    qy.awaitTermination(120000)
+
+    val committed = sink.read(spark)
+    val expected = Tables(spark, sf, "events").count()
+    assert(committed.count() == expected,
+      s"sink rows ${committed.count()} != events $expected")
+    assert(committed.select("event_id").distinct().count() == expected)
+    assert(sink.committedVersions().nonEmpty)
+  }
+
+  test("sink replay of an already-committed batch is a no-op (exactly-once)") {
+    val tableDir = tmp("graft-replay")
+    val sink = new ExactlyOnceSink(tableDir)
+    val df = Tables(spark, sf, "events").limit(100)
+    sink.process(df, 0L)
+    val n1 = sink.read(spark).count()
+    sink.process(df, 0L) // crash-recovery replay of the same micro-batch
+    val n2 = sink.read(spark).count()
+    assert(n1 == 100 && n2 == 100, s"replay duplicated rows: $n1 -> $n2")
+  }
+
+  test("crashed attempt (staged data, no commit) is invisible, then repaired") {
+    val tableDir = tmp("graft-crash")
+    val sink = new ExactlyOnceSink(tableDir)
+    val df = Tables(spark, sf, "events").limit(50)
+    // simulate crash AFTER data move, BEFORE commit: data dir exists,
+    // log entry does not
+    val target = Paths.get(tableDir, "data", "batch=7")
+    Files.createDirectories(target)
+    Files.writeString(target.resolve("garbage.parquet"), "not parquet")
+    assert(sink.read(spark).count() == 0, "uncommitted data visible to readers")
+    // retry of batch 7 must clean the leftovers and commit atomically
+    sink.process(df, 7L)
+    assert(sink.read(spark).count() == 50)
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    val input = MemoryStream[(Timestamp, Long)](1, spark, None)
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val qy = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .option("checkpointLocation", tmp("graft-wm"))
+      .start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(0), 1L), (t(5), 2L))
+    qy.processAllAvailable()
+    input.addData((t(40), 3L)) // advances watermark to 10:30
+    qy.processAllAvailable()
+    input.addData((t(1), 99L)) // 39 min late > 10 min bound -> dropped
+    qy.processAllAvailable()
+    input.addData((t(55), 4L)) // closes the 10:40 window too
+    qy.processAllAvailable()
+    qy.stop()
+    val rows = spark.table("wm_out")
+      .select(col("window.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 10:00:00") == 2,
+      s"late row was not dropped: $rows")
+  }
+
+  test("streaming dedup within watermark removes redelivered events") {
+    val input = MemoryStream[(Timestamp, Long)](2, spark, None)
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val qy = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out")
+      .option("checkpointLocation", tmp("graft-dd"))
+      .start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(0), 1L), (t(1), 2L), (t(1), 2L)) // dup in-batch
+    qy.processAllAvailable()
+    input.addData((t(2), 2L), (t(3), 3L)) // redelivery across batches
+    qy.processAllAvailable()
+    qy.stop()
+    val ids = spark.table("dd_out").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), ids.mkString(","))
+  }
+
+  test("flatMapGroupsWithState sessionization matches gap semantics") {
+    val input = MemoryStream[StatefulOps.Ev](3, spark, None)
+    val sessions = StatefulOps.sessionize(
+      input.toDS().withWatermark("ts", "1 minute").as[StatefulOps.Ev])
+    val qy = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", tmp("graft-sess"))
+      .start()
+    def ev(min: Int, v: Double) =
+      StatefulOps.Ev(1L, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), v)
+    input.addData(ev(0, 1.0), ev(5, 2.0)) // one session
+    qy.processAllAvailable()
+    input.addData(ev(40, 3.0)) // gap 35 min >= 30 -> closes first session
+    qy.processAllAvailable()
+    qy.stop()
+    val out = spark.table("sess_out").as[StatefulOps.SessionOut].collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.n_events == 2 && out.head.value_sum == 3.0)
+  }
+
+  test("batch and streaming tumbling aggregation agree (AvailableNow over topic)") {
+    val topicDir = tmp("graft-topic2")
+    KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 2)
+    val ckpt = tmp("graft-ckpt2")
+    val streamAgg = KafkaEnvelope.decode(KafkaEnvelope.readStream(spark, topicDir, 8))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val qy = streamAgg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qy.awaitTermination(120000)
+    val streamed = spark.table("tumble_out")
+      .select(unix_timestamp(col("window.start")).as("b"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = q("q_stream_tumbling")
+      .select(col("bucket_s"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-batch divergence: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden/property tests for the no-oracle text ops (SURVEY.md §5.3/§5.5)
+  * and algebraic invariants for the oracle-backed ones. */
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("minhash-LSH finds every strong near-dup pair (shingle Jaccard >= 0.9)") {
+    // exact 3-shingle Jaccard, brute force over all pairs (sf0.001 only)
+    val toks = split(col("text"), " ")
+    val shingles = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array(col("text")))
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), shingles.as("sh"))
+    val a = d.alias("a"); val b = d.alias("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val strong = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", inter.cast("double")
+        / (size(col("a.sh")) + size(col("b.sh")) - inter))
+      .filter(col("jac") >= 0.9)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .as[(Long, Long)].collect().toSet
+
+    val found = q("q_llm_minhash_lsh")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+
+    val missed = strong -- found
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size} of ${strong.size} strong pairs: " +
+        missed.take(5).mkString(", "))
+    info(s"strong pairs: ${strong.size}, LSH candidates surviving verify: ${found.size}")
+    // and every reported pair genuinely passes the 0.5 threshold
+    assert(q("q_llm_minhash_lsh").filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("minhash-LSH output is stable across runs (seeded hashing)") {
+    val r1 = q("q_llm_minhash_lsh").collect().map(_.toString).sorted
+    val r2 = q("q_llm_minhash_lsh").collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
+  }
+
+  test("simhash: identical texts get identical signatures; hamming sane") {
+    val sig = q("q_llm_simhash").as[(Long, Long)].collect().toMap
+    // group docs by exact text; same text must imply same simhash
+    val byText = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+    byText.foreach { g =>
+      val sigs = g.map(r => sig(r._1)).distinct
+      assert(sigs.length == 1, s"same text, different simhash: $g")
+    }
+    // signatures fit in 32 bits
+    assert(sig.values.forall(s => s >= 0 && s <= 0xFFFFFFFFL))
+  }
+
+  test("exact dedup is idempotent and covers all docs") {
+    val d = q("q_llm_exact_dedup")
+    val total = d.agg(sum(col("n_dups"))).as[Long].head()
+    assert(total == Tables(spark, sf, "documents").count())
+    // keepers are distinct docs
+    assert(d.select("keeper").distinct().count() == d.count())
+  }
+
+  test("jaccard pairs are symmetric-free (d1<d2) and within [0.5, 1]") {
+    val p = q("q_llm_jaccard_pairs")
+    assert(p.filter(col("d1") >= col("d2")).count() == 0)
+    assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("tfidf top term appears in its document") {
+    val top = q("q_llm_tfidf").select("doc_id", "term").as[(Long, String)]
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    top.collect().foreach { case (id, term) =>
+      assert(docs(id).split(" ").contains(term), s"doc $id top term $term absent")
+    }
+  }
+
+  test("fingerprint is deterministic and collides only on equal token streams") {
+    val fp1 = q("q_llm_fingerprint").as[(Long, Long)].collect().toMap
+    val fp2 = q("q_llm_fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp1 == fp2)
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    fp1.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+      val distinctTexts = g.keys.map(texts).toSet
+      assert(distinctTexts.size == 1,
+        s"hash collision across different texts: ${g.keys}")
+    }
+  }
+}

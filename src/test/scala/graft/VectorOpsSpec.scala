@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSimilarity, VectorAvg}
+
+class VectorOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def embDbl = Tables(spark, sf, "embeddings")
+    .select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+
+  test("custom cosine expression == higher-order-function formulation") {
+    val e = embDbl.limit(50).select(col("vec_id"), col("v"))
+    val a = e.alias("a"); val b = e.alias("b")
+    val pairs = a.join(b, col("a.vec_id") < col("b.vec_id"))
+    val hof = {
+      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val n1 = aggregate(transform(col("a.v"), x => x * x), lit(0.0), (acc, x) => acc + x)
+      val n2 = aggregate(transform(col("b.v"), x => x * x), lit(0.0), (acc, x) => acc + x)
+      dot / (sqrt(n1) * sqrt(n2))
+    }
+    val diff = pairs
+      .select(abs(CosineSimilarity.cosineSim(spark, col("a.v"), col("b.v")) - hof).as("d"))
+      .agg(max(col("d"))).as[Double].head()
+    assert(diff < 1e-12, s"max |expr - hof| = $diff")
+  }
+
+  test("cosine is symmetric and bounded") {
+    val e = embDbl.limit(30).select(col("vec_id"), col("v"))
+    val a = e.alias("a"); val b = e.alias("b")
+    val sims = a.join(b, col("a.vec_id") =!= col("b.vec_id"))
+      .select(CosineSimilarity.cosineSim(spark, col("a.v"), col("b.v")).as("s"),
+        CosineSimilarity.cosineSim(spark, col("b.v"), col("a.v")).as("t"))
+    val bad = sims.filter(abs(col("s") - col("t")) > 1e-15
+      || col("s") > 1.0000001 || col("s") < -1.0000001).count()
+    assert(bad == 0)
+    // self-similarity = 1
+    val self = e.select(CosineSimilarity.cosineSim(spark, col("v"), col("v")).as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-12).count()
+    assert(self == 0)
+  }
+
+  test("VectorAvg aggregator == relational posexplode centroid") {
+    val typed = embDbl.select(col("label"), col("v"))
+      .as[(Int, Array[Double])]
+    val byAgg = typed.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorAvg.agg.toColumn.name("centroid"))
+      .collect().toMap
+    val relational = embDbl
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .as[(Int, Array[Double])].collect().toMap
+    assert(byAgg.keySet == relational.keySet)
+    byAgg.foreach { case (k, v) =>
+      val r = relational(k)
+      assert(v.length == r.length)
+      v.indices.foreach(i => assert(math.abs(v(i) - r(i)) < 1e-9,
+        s"label $k pos $i: ${v(i)} vs ${r(i)}"))
+    }
+  }
+
+  test("IVF ANN returns 5 neighbors per query with decent recall vs exact") {
+    val exact = q("q_llm_cosine_topk").select("qid", "nbr")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ivf = q("q_llm_ann_ivf").select("qid", "nbr")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(ivf.keys.toSet == exact.keys.toSet)
+    ivf.foreach { case (_, ns) => assert(ns.size == 5) }
+    val recall = exact.map { case (k, ex) =>
+      ivf(k).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    // label buckets are a coarse quantizer, not tuned clusters — expect
+    // partial but non-trivial recall
+    assert(recall >= 0.2, s"mean recall $recall")
+    info(f"IVF mean recall vs exact top-5: $recall%.2f")
+  }
+
+  test("multimodal struct assembly aligns doc and embedding 1:1") {
+    val n = q("q_llm_multimodal").count()
+    val docs = Tables(spark, sf, "documents").count()
+    assert(n == docs)
+  }
+}
