@@ -205,17 +205,17 @@ object RelationalCore {
     // the scalable pattern for 100 TB event streams (SURVEY §2.3
     // q_join_asof).
     "q_join_asof" -> ((s, d) => {
+      // single scan of events (the union-of-two-filters shape reads the
+      // 100 TB fact twice); kind is derived, tagging both stream roles
       val ev = t(s, d, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(0).as("kind"),
-          col("event_id"), col("value"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
           col("event_id"), col("value"))
       val w = Window.partitionBy("user_id")
         .orderBy("ts", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      p.unionByName(c)
+      ev
         .withColumn("purchase_id",
           last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
             .over(w))

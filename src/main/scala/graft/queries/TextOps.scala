@@ -146,63 +146,86 @@ object TextOps {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
       val a = docs.alias("a")
       val b = docs.alias("b")
-      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-      val uni = size(col("a.toks")) + size(col("b.toks")) - inter
+      // |∩| via the codegen'd sorted-merge intersect over once-per-doc
+      // xxhash64'd+sorted token arrays: primitive long compares, no
+      // per-pair hash-set build or string hashing. Token-set sizes are
+      // preserved by the hash (distinct strings → distinct longs; a
+      // collision within one block pair is ~|a|·|b|/2^64 ≈ 1e-16), so
+      // hashed-Jaccard ≡ string-Jaccard.
+      val hinter = graft.functions.SortedIntersectSize
+        .sortedIntersectSize(s, col("a.hs"), col("b.hs"))
+      val sa = size(col("a.toks")); val sb = size(col("b.toks"))
+      val jac = hinter.cast("double") / (sa + sb - hinter)
+      // Conjunct order is load-bearing: join-condition codegen keeps the
+      // written order (a post-join .filter would be pushed in FIRST by
+      // Catalyst): the O(1) size band — jac >= 0.5 implies |a|/|b| ∈
+      // [1/2, 2] — runs before the O(|a|+|b|) merge-intersect threshold
+      // (jac >= 0.5 ⟺ 3·|∩| >= |a|+|b|).
       a.join(b, col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jac", inter.cast("double") / uni)
-        .filter(col("jac") >= 0.5)
+          && col("a.doc_id") < col("b.doc_id")
+          && sa <= sb * 2 && sb <= sa * 2
+          && hinter * 3 >= sa + sb)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          Det.r(col("jac"), 4).as("jaccard"))
+          Det.r(jac, 4).as("jaccard"))
         .orderBy("d1", "d2")
     }),
 
-    // MinHash + LSH near-dup detection: 3-shingles → 32 seeded minhashes
-    // → 8 bands × 4 rows → equality self-join on band keys → exact
-    // shingle-Jaccard verification of candidates. All shuffles are
-    // equality joins; candidate count ≪ all-pairs. xxhash64 is not
-    // reproducible in DuckDB → no-oracle; property-tested in TextOpsSpec.
+    // MinHash + LSH near-dup detection: 3-shingles → 32-wide MinHash
+    // signature → 8 bands × 4 rows → equality self-join on band keys →
+    // shingle-Jaccard verification of candidates. Seeded hash family is
+    // not reproducible in DuckDB → no-oracle; property-tested in
+    // TextOpsSpec (recall of all Jaccard>=0.9 pairs; run-to-run
+    // stability).
+    //
+    // Scale shape: the whole signature is computed by the codegen'd
+    // MinHashSig kernel in one per-row pass — a pure map, NO shuffle of
+    // an exploded (shingle × seed) relation. Only (doc, band-key) rows
+    // (8 per doc) and the LSH-bounded candidate pairs ever shuffle.
+    // `toks` is materialized in its own projection so split() is
+    // evaluated once per row, not once per lambda reference.
     "q_llm_minhash_lsh" -> ((s, d) => {
-      import s.implicits._
-      val docs = t(s, d, "documents")
-      val toks = split(col("text"), " ")
-      val shingles = when(size(toks) >= 3,
-        array_distinct(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3)))))
-        .otherwise(array(col("text")))
-      val docSh = docs.select(col("doc_id"), explode(shingles).as("sh"))
-      val seeds = s.range(32).select(col("id").cast("int").as("seed"))
-      // minhash_i(doc) = min over shingles of xxhash64(shingle, seed_i)
-      val minh = docSh.crossJoin(broadcast(seeds))
-        .select(col("doc_id"), col("seed"),
-          xxhash64(concat(col("sh"), lit("#"), col("seed"))).as("h"))
-        .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
-      val bandKeys = minh
-        .withColumn("band", (col("seed") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(xxhash64(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-            x => x.getField("mh")))).as("bkey"))
+      val tks = col("toks")
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), when(size(tks) >= 3,
+            array_distinct(transform(sequence(lit(0), size(tks) - 3),
+              i => concat_ws(" ", element_at(tks, i + 1),
+                element_at(tks, i + 2), element_at(tks, i + 3)))))
+          .otherwise(array(col("text"))).as("shs"))
+      val sig = base.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(s, col("shs"), 32).as("sig"))
+      // 8 bands × 4 rows: band key = xxhash64 over the 4 member slots
+      // (native long hashing, no string casts)
+      val bands = array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until 4).map(r =>
+            element_at(col("sig"), b * 4 + r + 1)): _*).as("bkey"))
+      }: _*)
+      val bandKeys = sig
+        .select(col("doc_id"), explode(bands).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       val cand = bandKeys.alias("x")
         .join(bandKeys.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      // exact shingle-Jaccard verification of the candidate pairs
-      val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(docSh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-        .join(docSh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-        .withColumn("jac",
-          col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      // shingle-Jaccard verification against per-doc hashed+sorted
+      // shingle arrays (codegen'd merge-intersect — see q_llm_jaccard_pairs)
+      val docArr = base.select(col("doc_id"),
+        size(col("shs")).as("sz"),
+        array_sort(transform(col("shs"), sh => xxhash64(sh))).as("hss"))
+      val m = graft.functions.SortedIntersectSize
+        .sortedIntersectSize(s, col("hss1"), col("hss2"))
+      cand
+        .join(docArr.select(col("doc_id").as("d1"), col("hss").as("hss1"),
+          col("sz").as("sz1")), Seq("d1"))
+        .join(docArr.select(col("doc_id").as("d2"), col("hss").as("hss2"),
+          col("sz").as("sz2")), Seq("d2"))
+        .withColumn("jac", m.cast("double") / (col("sz1") + col("sz2") - m))
         .filter(col("jac") >= 0.5)
         .select(col("d1"), col("d2"), Det.r(col("jac"), 4).as("jaccard"))
         .orderBy("d1", "d2")
