@@ -28,7 +28,8 @@ object SparkEntry {
       ScalarFns.queries ++
       EventsOps.queries ++
       TextOps.queries ++
-      VectorOps.queries
+      VectorOps.queries ++
+      ExtendedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       ScalarFns.oracles ++
       EventsOps.oracles ++
       TextOps.oracles ++
-      VectorOps.oracles
+      VectorOps.oracles ++
+      ExtendedOps.oracles
 }

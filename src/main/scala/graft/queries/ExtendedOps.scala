@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Extended relational surface beyond SURVEY.md §2's core rows: pivot /
+  * unpivot reshaping, statistical aggregates, exact percentiles,
+  * distribution window functions, correlated subqueries (EXISTS +
+  * scalar), ordered string aggregation, and deterministic hash
+  * sampling. All oracle-backed.
+  *
+  * Reference implements none of these (SURVEY.md §0 — empty repo); rows
+  * derive from the driver north star ("complete query surface") and
+  * standard warehouse practice.
+  *
+  * Scale notes: pivot compiles to a single hash aggregate over
+  * conditional expressions (no extra shuffle vs. plain groupBy);
+  * unpivot/stack is a per-row generator (map-only); percentile is a
+  * sort-based TypedImperativeAggregate — at 100 TB prefer
+  * approx_percentile (q_agg_approx_hll pattern) unless exactness is
+  * contractual; hash sampling pushes a deterministic predicate to the
+  * scan, unlike TABLESAMPLE whose seeds don't reproduce across engines.
+  */
+object ExtendedOps {
+  import graft.QueryFn
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val SEGMENTS =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val queries: Map[String, QueryFn] = Map(
+    // Pivot: nation × market-segment customer counts, one hash agg.
+    "q_agg_pivot" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val piv = c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(count(lit(1)))
+      piv.select(col("c_nationkey") +:
+        SEGMENTS.map(g => coalesce(col(g), lit(0L)).as(g)): _*)
+        .orderBy("c_nationkey")
+    }),
+
+    // Unpivot (melt): wide part metrics → long (metric, value) rows.
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'retailprice', p_retailprice, 'size', cast(p_size as double)) as (metric, value)")
+        .orderBy("p_partkey", "metric")),
+
+    // Statistical aggregate family (one pass, partial+final merge).
+    "q_agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Det.r(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          Det.r(var_samp(col("l_quantity")), 4).as("var_qty"),
+          Det.r(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          Det.r(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    // Exact interpolated percentiles (sort-based agg; approx_percentile
+    // is the 100 TB path — declared in q_agg_approx_hll's family).
+    "q_agg_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          Det.r(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          Det.r(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          Det.r(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25_price"))
+        .orderBy("l_returnflag")),
+
+    // Distribution window family: percent_rank / cume_dist / nth_value.
+    "q_win_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          Det.r(percent_rank().over(w), 6).as("pr"),
+          Det.r(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("c_custkey"), 3).over(wFull).as("third_key"))
+        .orderBy("c_custkey")
+    }),
+
+    // Correlated EXISTS subquery (Catalyst decorrelates to a semi-join).
+    "q_join_exists_subq" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+        ORDER BY c_custkey""")
+    }),
+
+    // Correlated scalar subquery (decorrelated to an aggregate + join).
+    "q_scalar_subq" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT n_name,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        FROM nation n
+        ORDER BY n_name""")
+    }),
+
+    // Ordered string aggregation per group (listagg/string_agg shape).
+    "q_string_agg" -> ((s, d) =>
+      t(s, d, "supplier")
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("names"))
+        .orderBy("s_nationkey")),
+
+    // Deterministic hash sampling: portable md5 predicate at the scan —
+    // reproducible across engines/cluster sizes, unlike seeded
+    // TABLESAMPLE. ~1/16 of orders.
+    "q_sample_hash" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Det.r2(col("o_totalprice")).as("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // Conditional scalar family: coalesce / nullif / least / greatest.
+    "q_fn_cond" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+            .as("rf_or_none"),
+          Det.r2(least(col("l_quantity"), col("l_discount") * 100))
+            .as("least_v"),
+          Det.r2(greatest(col("l_quantity"), col("l_discount") * 100))
+            .as("greatest_v"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pivot" ->
+      """SELECT c_nationkey,
+                count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+                count(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS "BUILDING",
+                count(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS "FURNITURE",
+                count(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS "HOUSEHOLD",
+                count(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS "MACHINERY"
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         ORDER BY p_partkey, metric""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+                floor(var_samp(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
+                floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qp,
+                floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000 AS cov_qd
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+                floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS p50_qty,
+                floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) / 10000 AS p90_qty,
+                floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS p25_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_win_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+                floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+                floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+                nth_value(c_custkey, 3) OVER
+                  (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS third_key
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_exists_subq" ->
+      """SELECT c_custkey, c_name
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 200000)
+         ORDER BY c_custkey""",
+    "q_scalar_subq" ->
+      """SELECT n_name,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+         FROM nation n
+         ORDER BY n_name""",
+    "q_string_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey,
+                floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+         FROM orders
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+         ORDER BY o_orderkey""",
+    "q_fn_cond" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_or_none,
+                floor(least(l_quantity, l_discount * 100) * 100 + 0.5) / 100 AS least_v,
+                floor(greatest(l_quantity, l_discount * 100) * 100 + 0.5) / 100 AS greatest_v
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{MinHashKernel, SortedIntersectSize}
+
+/** ScalaCheck laws for the custom evaluation kernels (SURVEY.md §5.3).
+  * Pure JVM — no SparkSession — so these run fast and shrink well. */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val token: Gen[String] = Gen.alphaNumStr.suchThat(_.nonEmpty)
+  private val tokenSet: Gen[List[String]] =
+    Gen.nonEmptyListOf(token).map(_.distinct)
+
+  private def utf8Array(xs: Seq[String]) =
+    new GenericArrayData(xs.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  private def sig(xs: Seq[String], n: Int = 32): Seq[Long] =
+    MinHashKernel.compute(utf8Array(xs), n).toLongArray().toSeq
+
+  property("minhash: permutation-invariant (set semantics)") =
+    forAll(tokenSet) { xs =>
+      val shuffled = scala.util.Random.shuffle(xs)
+      sig(xs) == sig(shuffled)
+    }
+
+  property("minhash: equal sets => equal signatures; deterministic") =
+    forAll(tokenSet) { xs => sig(xs) == sig(xs) }
+
+  property("minhash: signature slot is min over singleton signatures") =
+    forAll(tokenSet) { xs =>
+      // minhash of a union = elementwise min of member minhashes
+      val whole = sig(xs)
+      val members = xs.map(x => sig(Seq(x)))
+      val folded = members.transpose.map(_.min)
+      whole == folded
+    }
+
+  property("minhash: superset signature slots never exceed subset's") =
+    forAll(tokenSet, tokenSet) { (xs, ys) =>
+      val s = sig((xs ++ ys).distinct)
+      // adding elements can only lower (or keep) each min slot
+      sig(xs).zip(s).forall { case (sub, sup) => sup <= sub }
+    }
+
+  private val sortedLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      .map(_.distinct.sorted.toArray)
+
+  private def interSize(a: Array[Long], b: Array[Long]): Int = {
+    val expr = SortedIntersectSize(null, null)
+    expr.nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+      .asInstanceOf[Int]
+  }
+
+  property("sorted-intersect: equals set-intersection cardinality") =
+    forAll(sortedLongs, sortedLongs) { (a, b) =>
+      interSize(a, b) == a.toSet.intersect(b.toSet).size
+    }
+
+  property("sorted-intersect: commutative") =
+    forAll(sortedLongs, sortedLongs) { (a, b) =>
+      interSize(a, b) == interSize(b, a)
+    }
+
+  property("sorted-intersect: self-intersection is cardinality") =
+    forAll(sortedLongs) { a => interSize(a, a) == a.length }
+
+  property("sorted-intersect: bounded by the smaller side") =
+    forAll(sortedLongs, sortedLongs) { (a, b) =>
+      interSize(a, b) <= math.min(a.length, b.length)
+    }
+
+  property("minhash estimates Jaccard: identical sets agree on all slots") =
+    forAll(tokenSet) { xs =>
+      val a = sig(xs); val b = sig(scala.util.Random.shuffle(xs))
+      a.zip(b).count { case (x, y) => x == y } == a.length
+    }
+
+  property("disjoint suffixed sets rarely collide on a slot") =
+    Prop.forAllNoShrink(Gen.listOfN(40, token).map(_.distinct)) { xs =>
+      // suffixing makes the sets disjoint; expected slot-agreement = J = 0,
+      // so 32 slots should (almost) never all match
+      xs.size < 2 || sig(xs.map(_ + "#L")) != sig(xs.map(_ + "#R"))
+    }
+}
