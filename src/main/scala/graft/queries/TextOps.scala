@@ -231,6 +231,33 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // Text normalization (the canonical pre-dedup cleaning stage):
+    // lowercase → strip non-alphanumerics → collapse whitespace → trim.
+    // Map-only; at 100 TB this is a pure scan-side projection.
+    "q_llm_normalize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+        .withColumn("n_norm_chars", length(col("norm")))
+        .orderBy("doc_id")),
+
+    // Corpus-level n-gram counts: top-20 bigrams with a total tie-break
+    // order. Bigrams generated per row (map-only), one shuffle on the
+    // bigram key, TakeOrdered for the top-k — no global sort.
+    "q_llm_ngrams" -> ((s, d) => {
+      val bigrams = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      t(s, d, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(bigrams).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc)
+        .limit(20)
+    }),
+
     // SimHash document signatures (32-bit): per-term xxhash64, weighted
     // bit-vote per position, sign → bit. Pure relational: explode → tf →
     // 32 conditional sums — one shuffle on doc_id. no-oracle (xxhash64).
@@ -329,6 +356,21 @@ object TextOps {
                   FROM scored)
          SELECT doc_id, term, floor(tfidf * 1000000 + 0.5) / 1000000 AS tfidf
          FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_llm_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+                length(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm_chars
+         FROM documents ORDER BY doc_id""",
+    "q_llm_ngrams" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+            bg AS (SELECT unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1])
+                     ELSE []::VARCHAR[] END) AS bg FROM tok)
+         SELECT bg, count(*) AS n FROM bg
+         GROUP BY 1 ORDER BY n DESC, bg LIMIT 20""",
     "q_llm_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, source,
                            list_distinct(string_split(text, ' ')) AS toks

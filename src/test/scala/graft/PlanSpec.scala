@@ -61,4 +61,15 @@ class PlanSpec extends SparkSpecBase {
     val p = physical("q_join_range")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("no declared query plans a CartesianProduct (global audit)") {
+    // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
+    // broadcast side), never a shuffled CartesianProduct — the plan that
+    // does not survive a 100 TB fact table.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = q(name).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
 }
