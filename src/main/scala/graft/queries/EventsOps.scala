@@ -37,9 +37,9 @@ object EventsOps {
           col("event_type"), col("n"), col("val_sum"))
         .orderBy("bucket_s", "event_type")),
 
-    // Sliding 1h/15m window: each event lands in 4 overlapping windows.
-    // No oracle (bucket-explosion SQL is fragile, SURVEY §2.8) — driver
-    // records rows>0; exact content asserted in StreamingSpec.
+    // Sliding 1h/15m window: each event lands in exactly 4 overlapping
+    // epoch-aligned windows; the oracle reproduces the bucket explosion
+    // with integer epoch arithmetic (floor-to-slide minus k·slide).
     "q_stream_sliding" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -81,6 +81,14 @@ object EventsOps {
                 event_type, count(*) AS n,
                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_sliding" ->
+      """WITH x AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                    - 900 * unnest([0, 1, 2, 3]) AS bucket_s
+           FROM events)
+         SELECT bucket_s, event_type, count(*) AS n
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_stream_session" ->
       """WITH e AS (
            SELECT user_id, ts, value, event_id,

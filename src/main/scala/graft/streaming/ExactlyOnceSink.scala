@@ -43,17 +43,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
 
   def isCommitted(batchId: Long): Boolean = Files.exists(logFile(batchId))
 
-  /** foreachBatch body: write-then-commit, idempotent on batchId. */
-  def process(df: DataFrame, batchId: Long): Unit = {
+  /** foreachBatch body: write-then-commit, idempotent on batchId.
+    * `partitionBy` columns produce hive-style subdirectories inside the
+    * batch dir (the Delta partitioned-table layout); the commit entry
+    * records them in the `metaData` action alongside the schema. */
+  def process(df: DataFrame, batchId: Long, partitionBy: Seq[String] = Nil): Unit = {
     if (isCommitted(batchId)) return // replay after crash → no-op
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
 
     // 1. stage data files (invisible to readers — they go through the log)
     val staging = Paths.get(tableDir, s".staging-$batchId")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val adds = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+    val adds = Files.walk(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .map(p => staging.relativize(p)).sortBy(_.toString)
 
     // 2. move into place under the batch's own directory
     val target = dataDir.resolve(s"batch=$batchId")
@@ -61,30 +67,52 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
     Files.createDirectories(target)
-    val moved = adds.map { p =>
-      val dst = target.resolve(p.getFileName)
-      Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
-      dst
+    val moved = adds.map { rel =>
+      val dst = target.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(staging.resolve(rel), dst, StandardCopyOption.ATOMIC_MOVE)
+      rel
     }
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
 
-    // 3. THE commit: one atomic rename publishing add-actions + txn cursor
+    // 3. THE commit: one atomic rename publishing add-actions + txn
+    //    cursor + table metadata (schema JSON is itself JSON — inlined)
+    val parts = partitionBy.map("\"" + _ + "\"").mkString(",")
     val entry =
       s"""{"txn":{"appId":"$appId","version":$batchId},""" +
-        s""""add":[${moved.map(p => "\"" + p.getFileName + "\"").mkString(",")}],""" +
+        s""""metaData":{"schemaString":${df.schema.json},""" +
+        s""""partitionColumns":[$parts]},""" +
+        s""""add":[${moved.map(p => "\"" + p.toString.replace("\\", "/") + "\"").mkString(",")}],""" +
         s""""commitInfo":{"operation":"STREAMING UPDATE","batchId":$batchId}}"""
     val tmp = logDir.resolve(s".${batchId}.json.tmp")
     Files.writeString(tmp, entry)
     Files.move(tmp, logFile(batchId), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Read the committed table state (only data referenced by the log). */
-  def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  /** Read the committed table state (only data referenced by the log);
+    * `versionAsOf` time-travels to the state after that batch committed.
+    * `batch` surfaces as a partition column (basePath discovery) — the
+    * version cursor is queryable like any Delta partition. */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      versionAsOf: Option[Long] = None): DataFrame = {
     val versions = committedVersions()
+      .filter(v => versionAsOf.forall(v <= _))
     val dirs = versions.map(v => dataDir.resolve(s"batch=$v").toString)
     if (dirs.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(dirs: _*)
+      spark.read.option("basePath", dataDir.toString).parquet(dirs: _*)
   }
+
+  /** Table schema as recorded by the latest commit's metaData action. */
+  def latestSchema(): Option[org.apache.spark.sql.types.StructType] =
+    committedVersions().lastOption.map { v =>
+      val raw = Files.readString(logFile(v))
+      val marker = "\"schemaString\":"
+      val from = raw.indexOf(marker) + marker.length
+      // schemaString is a nested JSON object ending before ,"partitionColumns"
+      val to = raw.indexOf(",\"partitionColumns\"", from)
+      org.apache.spark.sql.types.DataType.fromJson(raw.substring(from, to))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
 }
