@@ -23,10 +23,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Values rounded to ms so the single JSON line stays well under the
+    // driver's finite output-tail capture window (full double precision
+    // over ~70 queries overflowed it and the line failed to parse).
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emitted twice: if the tail window truncates the first copy
+    // mid-line, the second complete copy still parses.
+    println(line)
+    println(line)
     spark.stop()
   }
 }

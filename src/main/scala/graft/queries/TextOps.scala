@@ -174,29 +174,36 @@ object TextOps {
     }),
 
     // MinHash + LSH near-dup detection: 3-shingles → 32-wide MinHash
-    // signature → 8 bands × 4 rows → equality self-join on band keys →
-    // shingle-Jaccard verification of candidates. Seeded hash family is
-    // not reproducible in DuckDB → no-oracle; property-tested in
-    // TextOpsSpec (recall of all Jaccard>=0.9 pairs; run-to-run
-    // stability).
+    // signature → 8 bands × 4 rows → band-bucket grouping → candidate
+    // pairs → shingle-Jaccard verification. Seeded hash family is not
+    // reproducible in DuckDB → no-oracle; property-tested in TextOpsSpec
+    // (recall of all Jaccard>=0.9 pairs; run-to-run stability).
     //
-    // Scale shape: the whole signature is computed by the codegen'd
-    // MinHashSig kernel in one per-row pass — a pure map, NO shuffle of
-    // an exploded (shingle × seed) relation. Only (doc, band-key) rows
-    // (8 per doc) and the LSH-bounded candidate pairs ever shuffle.
+    // Scale shape: ONE pass computes shingles → signature → hashed+sorted
+    // shingle array per doc (codegen'd MinHashSig kernel — no shuffle of
+    // an exploded shingle×seed relation), persisted so the band explode
+    // and both verification probes read the same materialization instead
+    // of re-shingling the corpus 4× (the staging idiom a production LSH
+    // pipeline uses: signature table computed once, then reused).
+    // Candidates come from ONE shuffle of (band,bkey,doc_id) rows via
+    // groupBy-bucket + in-bucket pair expansion — half the shuffle volume
+    // of a band-key self-join and no join at all.
     // `toks` is materialized in its own projection so split() is
     // evaluated once per row, not once per lambda reference.
     "q_llm_minhash_lsh" -> ((s, d) => {
       val tks = col("toks")
-      val base = t(s, d, "documents")
+      val docSig = t(s, d, "documents")
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), when(size(tks) >= 3,
             array_distinct(transform(sequence(lit(0), size(tks) - 3),
               i => concat_ws(" ", element_at(tks, i + 1),
                 element_at(tks, i + 2), element_at(tks, i + 3)))))
           .otherwise(array(col("text"))).as("shs"))
-      val sig = base.select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(s, col("shs"), 32).as("sig"))
+        .select(col("doc_id"),
+          graft.functions.MinHashSig.minhashSig(s, col("shs"), 32).as("sig"),
+          size(col("shs")).as("sz"),
+          array_sort(transform(col("shs"), sh => xxhash64(sh))).as("hss"))
+        .persist()
       // 8 bands × 4 rows: band key = xxhash64 over the 4 member slots
       // (native long hashing, no string casts)
       val bands = array((0 until 8).map { b =>
@@ -204,26 +211,30 @@ object TextOps {
           xxhash64((0 until 4).map(r =>
             element_at(col("sig"), b * 4 + r + 1)): _*).as("bkey"))
       }: _*)
-      val bandKeys = sig
+      // Bucket members collected per (band,bkey); in-bucket i<j pair
+      // expansion via indexed transforms. Bucket sizes are bounded by the
+      // band width in practice; a 100 TB deployment would additionally
+      // drop degenerate mega-buckets (stop-shingle equivalent).
+      val ids = array_sort(col("ids"))
+      val pairs = transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("d1"), y.as("d2"))))
+      val cand = docSig
         .select(col("doc_id"), explode(bands).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bandKeys.alias("x")
-        .join(bandKeys.alias("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .groupBy(col("bk.band"), col("bk.bkey"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(pairs)).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .distinct()
-      // shingle-Jaccard verification against per-doc hashed+sorted
+      // shingle-Jaccard verification against the persisted hashed+sorted
       // shingle arrays (codegen'd merge-intersect — see q_llm_jaccard_pairs)
-      val docArr = base.select(col("doc_id"),
-        size(col("shs")).as("sz"),
-        array_sort(transform(col("shs"), sh => xxhash64(sh))).as("hss"))
       val m = graft.functions.SortedIntersectSize
         .sortedIntersectSize(s, col("hss1"), col("hss2"))
       cand
-        .join(docArr.select(col("doc_id").as("d1"), col("hss").as("hss1"),
+        .join(docSig.select(col("doc_id").as("d1"), col("hss").as("hss1"),
           col("sz").as("sz1")), Seq("d1"))
-        .join(docArr.select(col("doc_id").as("d2"), col("hss").as("hss2"),
+        .join(docSig.select(col("doc_id").as("d2"), col("hss").as("hss2"),
           col("sz").as("sz2")), Seq("d2"))
         .withColumn("jac", m.cast("double") / (col("sz1") + col("sz2") - m))
         .filter(col("jac") >= 0.5)

@@ -128,9 +128,10 @@ object WindowOps {
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_win_frame_range" ->
       """SELECT o_custkey, o_orderkey,
-                sum(CAST(floor(o_totalprice) AS BIGINT)) OVER
+                CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER
                   (PARTITION BY o_custkey ORDER BY o_orderkey
-                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS frame_sum
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS frame_sum
          FROM orders ORDER BY o_custkey, o_orderkey"""
   )
 }
