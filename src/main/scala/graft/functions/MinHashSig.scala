@@ -5,51 +5,44 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** The hashing kernel for [[MinHashSig]]: one pass over a document's
-  * shingle array producing all `n` MinHash signature slots.
+  * pre-hashed shingle array producing all `n` MinHash signature slots.
   *
-  * Per shingle: a 64-bit FNV-1a base hash of the UTF-8 bytes, then the
-  * i-th hash function is splitmix64(base + i·GOLDEN) — the standard
-  * "one strong base hash + cheap independent mixes" MinHash family
-  * (Broder '97 resemblance sketches). All integer math wraps in Java,
-  * so this sidesteps ANSI-mode overflow checking that Column-level long
-  * arithmetic would hit, and costs n·O(1) per shingle instead of n
-  * string-concat+hash evaluations.
+  * The hash family is the classic affine family over the Mersenne prime
+  * p = 2^31 - 1 (Broder '97 resemblance sketches; Carter–Wegman
+  * universal hashing): h_i(x) = (A(i)·x + B(i)) mod p, with fixed
+  * seeded coefficients. Inputs are 32-bit base hashes already reduced
+  * mod p, so every product stays < 2^62 — NO wrapping arithmetic.
+  * That makes the identical computation expressible in ANSI SQL
+  * (DuckDB included), which is what lets the full MinHash-LSH query be
+  * hash-checked against an independent oracle instead of being a
+  * seeded-hash black box.
   */
 object MinHashKernel {
-  final val GOLDEN = 0x9E3779B97F4A7C15L
+  final val P = 2147483647L // 2^31 - 1
 
-  private def fnv1a(bytes: Array[Byte]): Long = {
-    var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001B3L
-      i += 1
-    }
-    h
+  /** Fixed affine coefficients, deterministic across runs/JVMs. The
+    * DuckDB oracle SQL is generated from these same arrays
+    * (single source of truth — graft.queries.TextOps). */
+  val (coefA: Array[Long], coefB: Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(32)(1L + rnd.nextInt((P - 1).toInt))
+    val b = Array.fill(32)(rnd.nextInt(P.toInt).toLong)
+    (a, b)
   }
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0
-    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  /** shingles: array<string> (non-null elements) → array<long> of n mins. */
-  def compute(shingles: ArrayData, n: Int): ArrayData = {
+  /** hashes: array<long>, each in [0, P) → array<long> of n mins. */
+  def compute(hashes: ArrayData, n: Int): ArrayData = {
     val mins = Array.fill(n)(Long.MaxValue)
-    val m = shingles.numElements()
+    val m = hashes.numElements()
     var s = 0
     while (s < m) {
-      val base = fnv1a(shingles.getUTF8String(s).getBytes)
+      val x = hashes.getLong(s)
       var i = 0
       while (i < n) {
-        val h = splitmix64(base + i * GOLDEN)
+        val h = (coefA(i) * x + coefB(i)) % P
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -60,7 +53,7 @@ object MinHashKernel {
 }
 
 /** Native Catalyst expression: full n-wide MinHash signature of a
-  * shingle array in a single per-row pass — replaces the
+  * pre-hashed shingle array in a single per-row pass — replaces the
   * explode(shingles) × seeds → groupBy(min) formulation, which costs a
   * full shuffle of the exploded shingle relation. This is a pure map:
   * signatures never shuffle; only the (doc, band-key) relation does.
@@ -71,11 +64,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_sig expects array<string>, got ${t.simpleString}")
+          s"minhash_sig expects array<bigint>, got ${t.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -104,8 +97,8 @@ object MinHashSig {
         MinHashSig(exprs.head, n)
       }, "built-in")
 
-  def minhashSig(spark: SparkSession, shingles: Column, numHashes: Int): Column = {
+  def minhashSig(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
     register(spark)
-    call_function(FN, shingles, org.apache.spark.sql.functions.lit(numHashes))
+    call_function(FN, hashes, org.apache.spark.sql.functions.lit(numHashes))
   }
 }

@@ -28,6 +28,16 @@ object TextOps {
 
   private val STOP = Seq("the", "a", "of", "to", "is")
 
+  /** Portable 32-bit string hash, identical in Spark and DuckDB:
+    * first 8 hex chars of md5 parsed as an integer. Spark:
+    * conv(substring(md5(x),1,8),16,10); DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT.
+    * This is what makes the hash-bearing ops (MinHash-LSH, SimHash)
+    * oracle-checkable instead of seeded black boxes. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def h32Sql(x: String): String =
+    s"(('0x'||substr(md5($x),1,8))::BIGINT)"
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words: _*)))
 
@@ -123,7 +133,9 @@ object TextOps {
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // doc length derived from tf (sum of per-term counts): shuffles the
+      // per-doc DISTINCT-term relation, not the full token stream again.
+      val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
@@ -173,17 +185,20 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
-    // MinHash + LSH near-dup detection: 3-shingles → 32-wide MinHash
-    // signature → 8 bands × 4 rows → band-bucket grouping → candidate
-    // pairs → shingle-Jaccard verification. Seeded hash family is not
-    // reproducible in DuckDB → no-oracle; property-tested in TextOpsSpec
-    // (recall of all Jaccard>=0.9 pairs; run-to-run stability).
+    // MinHash + LSH near-dup detection: 3-shingles → portable md5-based
+    // 32-bit shingle hashes → 32-wide MinHash signature (affine family
+    // mod the Mersenne prime 2^31-1, fixed seeds) → 8 bands × 4 rows →
+    // band-bucket grouping → candidate pairs → hashed-shingle Jaccard
+    // verification. Every stage is plain integer/md5 arithmetic, so the
+    // ENTIRE pipeline has a DuckDB oracle (generated below from the same
+    // seed arrays the Spark kernel uses) — plus the recall/stability
+    // property tests in TextOpsSpec.
     //
-    // Scale shape: ONE pass computes shingles → signature → hashed+sorted
-    // shingle array per doc (codegen'd MinHashSig kernel — no shuffle of
-    // an exploded shingle×seed relation), persisted so the band explode
-    // and both verification probes read the same materialization instead
-    // of re-shingling the corpus 4× (the staging idiom a production LSH
+    // Scale shape: ONE pass computes shingles → hashes → signature per
+    // doc (codegen'd MinHashSig kernel — no shuffle of an exploded
+    // shingle×seed relation), persisted so the band explode and both
+    // verification probes read the same materialization instead of
+    // re-shingling the corpus 4× (the staging idiom a production LSH
     // pipeline uses: signature table computed once, then reused).
     // Candidates come from ONE shuffle of (band,bkey,doc_id) rows via
     // groupBy-bucket + in-bucket pair expansion — half the shuffle volume
@@ -191,6 +206,7 @@ object TextOps {
     // `toks` is materialized in its own projection so split() is
     // evaluated once per row, not once per lambda reference.
     "q_llm_minhash_lsh" -> ((s, d) => {
+      val P = graft.functions.MinHashKernel.P
       val tks = col("toks")
       val docSig = t(s, d, "documents")
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
@@ -200,16 +216,19 @@ object TextOps {
                 element_at(tks, i + 2), element_at(tks, i + 3)))))
           .otherwise(array(col("text"))).as("shs"))
         .select(col("doc_id"),
-          graft.functions.MinHashSig.minhashSig(s, col("shs"), 32).as("sig"),
-          size(col("shs")).as("sz"),
-          array_sort(transform(col("shs"), sh => xxhash64(sh))).as("hss"))
+          array_sort(array_distinct(transform(col("shs"), sh => h32(sh) % P)))
+            .as("hs"))
+        .select(col("doc_id"), col("hs"),
+          graft.functions.MinHashSig.minhashSig(s, col("hs"), 32).as("sig"),
+          size(col("hs")).as("sz"))
         .persist()
-      // 8 bands × 4 rows: band key = xxhash64 over the 4 member slots
-      // (native long hashing, no string casts)
+      // 8 bands × 4 rows: band key = base-31 polynomial combine of the 4
+      // member slots — pure integer math (< P·31³ ≈ 2^46), portable.
+      def slot(i: Int) = element_at(col("sig"), i + 1)
       val bands = array((0 until 8).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((0 until 4).map(r =>
-            element_at(col("sig"), b * 4 + r + 1)): _*).as("bkey"))
+          (0 until 4).map(r => slot(b * 4 + r))
+            .reduce((acc, x) => acc * 31 + x).as("bkey"))
       }: _*)
       // Bucket members collected per (band,bkey); in-bucket i<j pair
       // expansion via indexed transforms. Bucket sizes are bounded by the
@@ -227,14 +246,14 @@ object TextOps {
         .select(explode(flatten(pairs)).as("p"))
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .distinct()
-      // shingle-Jaccard verification against the persisted hashed+sorted
-      // shingle arrays (codegen'd merge-intersect — see q_llm_jaccard_pairs)
+      // hashed-shingle Jaccard verification against the persisted sorted
+      // hash arrays (codegen'd merge-intersect — see q_llm_jaccard_pairs)
       val m = graft.functions.SortedIntersectSize
-        .sortedIntersectSize(s, col("hss1"), col("hss2"))
+        .sortedIntersectSize(s, col("hs1"), col("hs2"))
       cand
-        .join(docSig.select(col("doc_id").as("d1"), col("hss").as("hss1"),
+        .join(docSig.select(col("doc_id").as("d1"), col("hs").as("hs1"),
           col("sz").as("sz1")), Seq("d1"))
-        .join(docSig.select(col("doc_id").as("d2"), col("hss").as("hss2"),
+        .join(docSig.select(col("doc_id").as("d2"), col("hs").as("hs2"),
           col("sz").as("sz2")), Seq("d2"))
         .withColumn("jac", m.cast("double") / (col("sz1") + col("sz2") - m))
         .filter(col("jac") >= 0.5)
@@ -269,15 +288,16 @@ object TextOps {
         .limit(20)
     }),
 
-    // SimHash document signatures (32-bit): per-term xxhash64, weighted
-    // bit-vote per position, sign → bit. Pure relational: explode → tf →
-    // 32 conditional sums — one shuffle on doc_id. no-oracle (xxhash64).
+    // SimHash document signatures (32-bit): per-term portable md5-based
+    // hash, weighted bit-vote per position, sign → bit. Pure relational:
+    // explode → tf → 32 conditional sums — one shuffle on doc_id.
+    // Oracle-backed: the identical bit arithmetic runs in DuckDB.
     "q_llm_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", xxhash64(col("term")))
+        .withColumn("h", h32(col("term")))
       val bitVotes = (0 until 32).map { b =>
         sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(lit(1L))
           * lit(2L) - lit(1L))).as(s"s$b")
@@ -290,7 +310,63 @@ object TextOps {
     })
   )
 
+  /** DuckDB twin of the full MinHash-LSH pipeline, generated from the
+    * SAME seed arrays the Spark kernel uses (MinHashKernel.coefA/B) —
+    * one source of truth for the hash family on both sides. */
+  private def minhashLshOracle: String = {
+    val P = graft.functions.MinHashKernel.P
+    val A = graft.functions.MinHashKernel.coefA
+    val B = graft.functions.MinHashKernel.coefB
+    val sigCols = (0 until 32).map(i =>
+      s"list_min(list_transform(hs, x -> (${A(i)}*x + ${B(i)}) % $P)) AS s$i")
+      .mkString(", ")
+    val bandCase = (0 until 8).map { b =>
+      val expr = (0 until 4).map(r => s"s${b * 4 + r}")
+        .reduce((acc, x) => s"($acc*31+$x)")
+      s"WHEN $b THEN $expr"
+    }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+          base AS (SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       ELSE [text] END AS shs
+                   FROM tok),
+          hashed AS (SELECT doc_id,
+                       list_distinct(list_transform(shs, s -> ${h32Sql("s")} % $P)) AS hs
+                     FROM base),
+          sig AS (SELECT doc_id, hs, $sigCols FROM hashed),
+          bands AS (SELECT doc_id, b.band, CASE b.band $bandCase END AS bkey
+                    FROM sig CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band)),
+          cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          j AS (SELECT d1, d2,
+                  CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
+                    / (len(hx.hs) + len(hy.hs) - len(list_intersect(hx.hs, hy.hs))) AS jac
+                FROM cand
+                JOIN hashed hx ON hx.doc_id = cand.d1
+                JOIN hashed hy ON hy.doc_id = cand.d2)
+       SELECT d1, d2, floor(jac * 10000 + 0.5) / 10000 AS jaccard
+       FROM j WHERE jac >= 0.5 ORDER BY d1, d2"""
+  }
+
+  /** DuckDB twin of the SimHash bit-vote computation. */
+  private def simhashOracle: String = {
+    val sums = (0 until 32).map(b =>
+      s"sum(cnt * (((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(", ")
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+          h AS (SELECT doc_id, cnt, ${h32Sql("term")} AS h FROM tf),
+          v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_llm_minhash_lsh" -> minhashLshOracle,
+    "q_llm_simhash" -> simhashOracle,
     "q_llm_exact_dedup" ->
       """SELECT md5(trim(lower(text))) AS h, min(doc_id) AS keeper,
                 count(*) AS n_dups

@@ -3,7 +3,6 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{MinHashKernel, SortedIntersectSize}
 
 /** ScalaCheck laws for the custom evaluation kernels (SURVEY.md §5.3).
@@ -14,11 +13,21 @@ object KernelProps extends Properties("graft.kernels") {
   private val tokenSet: Gen[List[String]] =
     Gen.nonEmptyListOf(token).map(_.distinct)
 
-  private def utf8Array(xs: Seq[String]) =
-    new GenericArrayData(xs.map(s => UTF8String.fromString(s)).toArray[Any])
+  /** JVM mirror of the portable 32-bit md5 hash the queries feed the
+    * kernel (TextOps.h32 % P): first 4 md5 bytes as unsigned, mod P. */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val x = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    x % MinHashKernel.P
+  }
+
+  private def longArray(xs: Seq[String]) =
+    new GenericArrayData(xs.map(s => java.lang.Long.valueOf(h32(s))).toArray[Any])
 
   private def sig(xs: Seq[String], n: Int = 32): Seq[Long] =
-    MinHashKernel.compute(utf8Array(xs), n).toLongArray().toSeq
+    MinHashKernel.compute(longArray(xs), n).toLongArray().toSeq
 
   property("minhash: permutation-invariant (set semantics)") =
     forAll(tokenSet) { xs =>
