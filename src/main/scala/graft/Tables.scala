@@ -14,7 +14,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // spark.read.parquet runs a footer/schema-inference job each call; the
+  // harness mains issue O(queries × tables) loads of the same files, so
+  // memoize per (session, sfDir, table). DataFrames are immutable plan
+  // handles — reuse is free and keeps bench times measuring the query,
+  // not repeated file listing.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val viewsFor =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    dfCache.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, name), _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4.x rejects
       // outright (PARQUET_TYPE_ILLEGAL) unless read as a raw long. Read
@@ -28,7 +42,10 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every fixture table as a temp view, for spark.sql-backed
-    * queries (GROUPING SETS and friends, SURVEY.md §3.3). */
+    * queries (GROUPING SETS and friends, SURVEY.md §3.3). Re-registers
+    * only when the session's current sfDir changes (last-wins), so
+    * repeat calls at one scale factor are no-ops. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    if (viewsFor.put(System.identityHashCode(spark), sfDir) != sfDir)
+      all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 }
