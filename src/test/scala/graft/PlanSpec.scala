@@ -62,6 +62,57 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("bucketed tables join with zero shuffle (co-located sort-merge)") {
+    // The 100 TB co-location story: both sides written bucketBy+sortBy the
+    // join key -> SMJ reads buckets directly, no Exchange and no Sort.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    try {
+      Tables(spark, sf, "orders")
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/orders_b").mode("overwrite")
+        .saveAsTable("orders_b")
+      Tables(spark, sf, "customer")
+        .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/customer_b").mode("overwrite")
+        .saveAsTable("customer_b")
+      val j = spark.table("orders_b").hint("merge")
+        .join(spark.table("customer_b").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"), "bucketed SMJ still shuffles:\n" + p.take(3000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    // Partition-column predicates must become PartitionFilters (directory
+    // pruning), not data filters — the difference between scanning one
+    // partition and scanning 100 TB.
+    import org.apache.spark.sql.functions.{col, year}
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+    try {
+      Tables(spark, sf, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(s"$dir/orders_p")
+      val r = spark.read.parquet(s"$dir/orders_p").filter(col("o_year") === 1995)
+      val p = r.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters"), p.take(3000))
+      assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+        "o_year predicate not applied as a partition filter:\n" + p.take(3000))
+      // and the partition predicate must NOT survive as a post-scan Filter
+      assert(!p.matches("(?s).*Filter \\[codegen[^\\n]*o_year.*"), p.take(3000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that
