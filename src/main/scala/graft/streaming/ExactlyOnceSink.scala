@@ -92,16 +92,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   /** Read the committed table state (only data referenced by the log);
     * `versionAsOf` time-travels to the state after that batch committed.
     * `batch` surfaces as a partition column (basePath discovery) — the
-    * version cursor is queryable like any Delta partition. */
+    * version cursor is queryable like any Delta partition.
+    * `mergeSchema` = Delta-style schema evolution on read: batches
+    * written with widened schemas union into one (missing columns null),
+    * per the schemaString each commit's metaData action records. */
   def read(spark: org.apache.spark.sql.SparkSession,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val versions = committedVersions()
       .filter(v => versionAsOf.forall(v <= _))
     val dirs = versions.map(v => dataDir.resolve(s"batch=$v").toString)
     if (dirs.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.option("basePath", dataDir.toString).parquet(dirs: _*)
+      spark.read
+        .option("basePath", dataDir.toString)
+        .option("mergeSchema", mergeSchema.toString)
+        .parquet(dirs: _*)
   }
 
   /** Table schema as recorded by the latest commit's metaData action. */

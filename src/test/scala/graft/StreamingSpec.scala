@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.read(spark).count() == 50)
   }
 
+  test("sink time travel and schema evolution across commits") {
+    val tableDir = tmp("graft-evolve")
+    val sink = new ExactlyOnceSink(tableDir)
+    val v0 = Tables(spark, sf, "events")
+      .select("event_id", "user_id").limit(10)
+    val v1 = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .limit(5)
+    sink.process(v0, 0L)
+    sink.process(v1, 1L) // widened schema: + event_type
+    // time travel: state as of version 0 has the original schema/rows
+    val asOf0 = sink.read(spark, versionAsOf = Some(0L))
+    assert(asOf0.count() == 10)
+    assert(!asOf0.columns.contains("event_type"))
+    // evolved read: union schema, old rows null-padded
+    val cur = sink.read(spark, mergeSchema = true)
+    assert(cur.count() == 15)
+    assert(cur.columns.contains("event_type"))
+    assert(cur.filter(col("event_type").isNull).count() == 10)
+    // the log's metaData action records the evolved schema
+    assert(sink.latestSchema().exists(_.fieldNames.contains("event_type")))
+  }
+
   test("watermark drops events later than the lateness bound") {
     val input = MemoryStream[(Timestamp, Long)](1, spark, None)
     val agg = input.toDF().toDF("ts", "v")
