@@ -108,6 +108,20 @@ object ExtendedOps {
         ORDER BY n_name""")
     }),
 
+    // Correlated LATERAL join (per-row subquery relation) — Catalyst
+    // decorrelates to an aggregate + left outer join, so it scales like
+    // any grouped join rather than per-row re-execution.
+    "q_join_lateral" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c.c_custkey, t.n_orders,
+               floor(t.max_price * 100 + 0.5) / 100 AS max_price
+        FROM customer c,
+        LATERAL (SELECT count(*) AS n_orders, max(o.o_totalprice) AS max_price
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        ORDER BY c_custkey""")
+    }),
+
     // Ordered string aggregation per group (listagg/string_agg shape).
     "q_string_agg" -> ((s, d) =>
       t(s, d, "supplier")
@@ -191,6 +205,13 @@ object ExtendedOps {
                 WHERE c.c_nationkey = n.n_nationkey) AS n_cust
          FROM nation n
          ORDER BY n_name""",
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, t.n_orders,
+                floor(t.max_price * 100 + 0.5) / 100 AS max_price
+         FROM customer c,
+         LATERAL (SELECT count(*) AS n_orders, max(o.o_totalprice) AS max_price
+                  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+         ORDER BY c_custkey""",
     "q_string_agg" ->
       """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",

@@ -97,7 +97,21 @@ object ScalarFns {
           array_join(map_keys(col("m")), ",").as("key_list"),
           element_at(col("m"), "k").as("k_map"),
           col("k_json"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Bitwise family: and/or/xor, shifts, popcount — pure integer math,
+    // codegen'd, map-only (the hash/partitioning primitives a sharded
+    // pipeline builds on).
+    "q_fn_bitwise" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("andv"),
+          col("o_orderkey").bitwiseOR(lit(16L)).as("orv"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xorv"),
+          shiftleft(col("o_orderkey"), 2).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"),
+          bit_count(col("o_orderkey")).cast("int").as("bits"))
+        .orderBy("o_orderkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +168,15 @@ object ScalarFns {
                 array_to_string(json_keys(props), ',') AS key_list,
                 CAST(props->>'k' AS INT) AS k_map,
                 CAST(props->>'k' AS INT) AS k_json
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS andv,
+                o_orderkey | 16 AS orv,
+                xor(o_orderkey, o_custkey) AS xorv,
+                o_orderkey << 2 AS shl,
+                o_orderkey >> 2 AS shr,
+                CAST(bit_count(o_orderkey) AS INT) AS bits
+         FROM orders ORDER BY o_orderkey"""
   )
 }
