@@ -44,8 +44,12 @@ object Tables {
   /** Register every fixture table as a temp view, for spark.sql-backed
     * queries (GROUPING SETS and friends, SURVEY.md §3.3). Re-registers
     * only when the session's current sfDir changes (last-wins), so
-    * repeat calls at one scale factor are no-ops. */
+    * repeat calls at one scale factor are no-ops. Synchronized so a
+    * concurrent caller can't observe a half-registered view set (the
+    * bench runs queries through a small thread pool). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    if (viewsFor.put(System.identityHashCode(spark), sfDir) != sfDir)
-      all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    synchronized {
+      if (viewsFor.put(System.identityHashCode(spark), sfDir) != sfDir)
+        all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    }
 }
