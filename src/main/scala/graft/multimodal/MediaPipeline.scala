@@ -64,4 +64,42 @@ object MediaPipeline {
   /** End-to-end: table → features frame (used by MultimodalSpec). */
   def pipeline(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir)).toDF().orderBy("doc_id")
+
+  case class ResizedMedia(doc_id: Long, mime: String,
+      width: Int, height: Int, media: Array[Byte])
+
+  /** Resize stage (stub): rescale decoded dimensions to fit maxDim,
+    * preserving aspect ratio; bytes pass through (a real build re-encodes
+    * here). Same mapPartitions batch shape as extractFeatures — no
+    * shuffle, no driver collect. */
+  def resize(rows: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, _) = decodeStub(r.mime, r.media)
+        val longest = math.max(math.max(w, h), 1)
+        val scale = if (longest <= maxDim) 1.0 else maxDim.toDouble / longest
+        ResizedMedia(r.doc_id, r.mime,
+          math.max(1, math.floor(w * scale).toInt),
+          math.max(1, math.floor(h * scale).toInt), r.media)
+      }
+    }
+  }
+
+  case class SampledFrame(doc_id: Long, frame_idx: Int)
+
+  /** Frame-sampling stage (stub decode): one output row per sampled
+    * frame index (every `stride`-th frame of each video). This is the
+    * fan-out shape of a real frame-extraction pipeline — a generator on
+    * the decode result, exploding inside the partition so frames of one
+    * video never cross executors. */
+  def sampleFrames(rows: Dataset[MediaRow], stride: Int): Dataset[SampledFrame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.filter(_.mime.startsWith("video")).flatMap { r =>
+        val (_, _, frames) = decodeStub(r.mime, r.media)
+        (0 until frames by stride).iterator.map(SampledFrame(r.doc_id, _))
+      }
+    }
+  }
 }

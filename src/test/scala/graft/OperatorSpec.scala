@@ -75,6 +75,44 @@ class OperatorSpec extends SparkSpecBase {
     assert(frames.filter(_._1 != "video/mp4").forall(_._2 == 1))
   }
 
+  test("multimodal resize fits maxDim preserving aspect; frame sampling strides") {
+    val media = MediaPipeline.mediaTable(spark, sf)
+    val resized = MediaPipeline.resize(media, 128).collect()
+    assert(resized.length == media.count())
+    assert(resized.forall(r => r.width <= 128 && r.height <= 128
+      && r.width >= 1 && r.height >= 1))
+    val frames = MediaPipeline.sampleFrames(media, 5).collect()
+    val videos = media.filter(_.mime.startsWith("video")).collect()
+    assert(frames.map(_.doc_id).toSet == videos.map(_.doc_id).toSet)
+    // every sampled index is a stride multiple within the decoded range
+    val byDoc = frames.groupBy(_.doc_id)
+    videos.foreach { v =>
+      val (_, _, n) = MediaPipeline.decodeStub(v.mime, v.media)
+      val got = byDoc(v.doc_id).map(_.frame_idx).sorted.toSeq
+      assert(got == (0 until n by 5).toSeq, s"doc ${v.doc_id}")
+    }
+  }
+
+  test("salted skew join equals the plain join, inner and left-outer") {
+    import graft.operators.SkewJoin
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val pt = Tables(spark, sf, "part").select("p_partkey", "p_name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("p_name")).collect().map(_.toString).sorted.toSeq
+    val plainInner = canon(li.join(pt, li("l_partkey") === pt("p_partkey")))
+    val saltedInner = canon(SkewJoin.salted(li, pt, "l_partkey", "p_partkey", 8))
+    assert(saltedInner == plainInner)
+    val plainLeft = canon(li.join(pt, li("l_partkey") === pt("p_partkey"), "left"))
+    val saltedLeft = canon(SkewJoin.salted(li, pt, "l_partkey", "p_partkey", 8, "left"))
+    assert(saltedLeft == plainLeft)
+    // the whole point: the shuffle key now includes the salt
+    val p = SkewJoin.salted(li, pt, "l_partkey", "p_partkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), p.take(2000))
+  }
+
   test("rollup subtotals are consistent with detail rows") {
     val r = q("q_agg_rollup")
     val grand = r.filter(col("nation") === "ALL" && col("segment") === "ALL")
