@@ -110,7 +110,23 @@ object Aggregates {
         .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
             .as("segments"),
           count(lit(1)).as("n"))
-        .orderBy("c_nationkey"))
+        .orderBy("c_nationkey")),
+
+    // Filtered aggregates (FILTER clause): per-group conditional counts
+    // and sums in one pass — no self-joins, no CASE pyramids in user
+    // code, still a single HashAggregate.
+    "q_agg_filtered" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          sum(when(col("o_orderstatus") === "F",
+            Det.cents(col("o_totalprice"), 2)).otherwise(lit(0L)))
+            .as("f_cents"),
+          max(when(col("o_orderstatus") === "O", col("o_orderkey")))
+            .as("max_open_key"))
+        .orderBy("o_orderpriority"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +178,15 @@ object Aggregates {
       """SELECT c_nationkey,
                 string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
                 count(*) AS n
-         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_agg_filtered" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_all,
+                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                CAST(sum(CASE WHEN o_orderstatus = 'F'
+                              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS f_cents,
+                max(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS max_open_key
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -132,7 +132,13 @@ object TextOps {
       val docs = t(s, d, "documents")
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
+      // The term-frequency table feeds three consumers (doc length, doc
+      // frequency, the scored join); materialize it once — per-branch
+      // column pruning otherwise defeats exchange reuse and the corpus
+      // gets tokenized 3x. This is the standard staged-TF materialization
+      // of a production TF-IDF pipeline.
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        .persist()
       // doc length derived from tf (sum of per-term counts): shuffles the
       // per-doc DISTINCT-term relation, not the full token stream again.
       val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
@@ -155,10 +161,14 @@ object TextOps {
     // `source` — the blocking key bounds the quadratic term; at 100 TB
     // the block is a shard/bucket key, never the full corpus.
     "q_llm_jaccard_pairs" -> ((s, d) => {
+      // Tokenized+hashed once, persisted: both sides of the blocked
+      // self-join read the same materialization instead of re-splitting
+      // and re-sorting the corpus twice.
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
+        .persist()
       val a = docs.alias("a")
       val b = docs.alias("b")
       // |∩| via the codegen'd sorted-merge intersect over once-per-doc

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth (SURVEY.md §2.1): the engine reads and
+  * writes every columnar/row format the offline Spark build ships —
+  * parquet, ORC, JSON-lines, CSV, text — with schema fidelity asserted
+  * by roundtrip. (Avro needs an external connector jar, absent from the
+  * image, and is intentionally out of scope.) */
+class FormatsSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate")
+
+  test("parquet / orc / json / csv roundtrip preserves rows and values") {
+    val src = Tables(spark, sf, "orders")
+      .select(cols.map(col): _*).orderBy("o_orderkey")
+    val expected = src.collect().map(_.toString).toSeq
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      val dir = s"${tmp(s"graft-$fmt")}/t"
+      src.write.format(fmt).option("header", "true").save(dir)
+      val back = spark.read.format(fmt)
+        .option("header", "true")
+        // json/csv are schemaless on disk; read against the declared
+        // schema (the engine never runtime-infers schemas, SURVEY §1.2)
+        .schema(src.schema)
+        .load(dir)
+        .orderBy("o_orderkey")
+      assert(back.schema == src.schema, s"$fmt schema drift")
+      assert(back.collect().map(_.toString).toSeq == expected, s"$fmt rows differ")
+    }
+  }
+
+  test("text format roundtrips raw lines") {
+    val dir = s"${tmp("graft-text")}/t"
+    val src = Tables(spark, sf, "documents")
+      .select(col("text")).orderBy("text")
+    src.write.text(dir)
+    val back = spark.read.text(dir).orderBy("value")
+    assert(back.count() == src.count())
+    assert(back.agg(sum(length(col("value")))).head().getLong(0) ==
+      src.agg(sum(length(col("text")))).head().getLong(0))
+  }
+}
