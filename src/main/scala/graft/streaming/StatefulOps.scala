@@ -1,8 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful streaming (SURVEY.md §2.8 stateful_custom):
   * per-user sessionization with explicit state + event-time timeout via
@@ -18,6 +19,40 @@ object StatefulOps {
       n_events: Long, value_sum: Double)
 
   val GapMs: Long = 30L * 60 * 1000 // 30 min
+
+  case class UserAgg(n: Long, sum: Double)
+  case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** transformWithState (Spark 4 arbitrary-state v2) processor: running
+    * per-user event count + value sum held in a typed ValueState. The
+    * v2 API adds composable typed state (value/list/map), TTL, and
+    * timers over the RocksDB store — this is the upgrade path from
+    * flatMapGroupsWithState for long-lived keyed state at scale. */
+  class RunningUserAgg extends StatefulProcessor[Long, Ev, UserTotal] {
+    @transient private var totals: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserAgg](
+        "totals", Encoders.product[UserAgg], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserTotal] = {
+      var agg = if (totals.exists()) totals.get() else UserAgg(0L, 0.0)
+      rows.foreach(e => agg = UserAgg(agg.n + 1, agg.sum + e.value))
+      totals.update(agg)
+      Iterator.single(UserTotal(user, agg.n, agg.sum))
+    }
+  }
+
+  /** Running totals per user via transformWithState; requires the
+    * RocksDB state-store provider (set in the writeStream conf). */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserAgg,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Emits a session when the per-user gap reaches GapMs (and the
     * still-open session on event-time timeout once the watermark passes

@@ -156,6 +156,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.head.n_events == 2 && out.head.value_sum == 3.0)
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StatefulOps.Ev](4, spark, None)
+      val totals = StatefulOps.runningTotals(input.toDS())
+      val qy = totals.writeStream.outputMode("update")
+        .format("memory").queryName("tws_out")
+        .option("checkpointLocation", tmp("graft-tws"))
+        .start()
+      def ev(u: Long, min: Int, v: Double) =
+        StatefulOps.Ev(u, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), v)
+      input.addData(ev(1, 0, 1.0), ev(1, 1, 2.0), ev(2, 0, 5.0))
+      qy.processAllAvailable()
+      input.addData(ev(1, 2, 4.0)) // state must survive the batch boundary
+      qy.processAllAvailable()
+      qy.stop()
+      // last update per user carries the running total
+      val last = spark.table("tws_out").as[StatefulOps.UserTotal].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      assert(last(1L).n_events == 3 && last(1L).value_sum == 7.0, last.toString)
+      assert(last(2L).n_events == 1 && last(2L).value_sum == 5.0, last.toString)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch and streaming tumbling aggregation agree (AvailableNow over topic)") {
     val topicDir = tmp("graft-topic2")
     KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 2)
