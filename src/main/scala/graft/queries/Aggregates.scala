@@ -58,13 +58,27 @@ object Aggregates {
     // ambiguous-self-join detector on post-agg grouping-column refs, and
     // the SQL text stays trivially diffable against its oracle twin.
     // The physical plan (Expand + two-phase HashAggregate) is identical.
+    // ROLLUP/CUBE/GROUPING SETS all pre-aggregate to the finest grouping
+    // first: Expand multiplies its INPUT by the number of grouping sets,
+    // and Catalyst expands the raw join output — at 100 TB that is 3-4x
+    // the fact table pushed through the expand. Aggregating to the
+    // (dim1, dim2) grain first (tiny) and re-aggregating the partials
+    // under the grouping sets is algebraically identical (counts sum,
+    // integer cents sum) and shrinks the expanded relation from |fact|xN
+    // to |distinct groups|xN.
     "q_agg_rollup" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(
-        """SELECT COALESCE(n_name, 'ALL') AS nation,
+        """WITH pre AS (
+             SELECT n_name, c_mktsegment, count(*) AS n,
+                    SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS cents
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name, c_mktsegment)
+           SELECT COALESCE(n_name, 'ALL') AS nation,
                   COALESCE(c_mktsegment, 'ALL') AS segment,
-                  count(*) AS n_cust, CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS acctbal
-           FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  sum(n) AS n_cust,
+                  CAST(SUM(cents) AS DOUBLE) / 100 AS acctbal
+           FROM pre
            GROUP BY ROLLUP (n_name, c_mktsegment)
            ORDER BY nation, segment""")
     }),
@@ -72,10 +86,16 @@ object Aggregates {
     "q_agg_cube" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(
-        """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        """WITH pre AS (
+             SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+                    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment, o_orderpriority)
+           SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
                   COALESCE(o_orderpriority, 'ALL') AS priority,
-                  count(*) AS n_orders, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total
-           FROM orders JOIN customer ON o_custkey = c_custkey
+                  sum(n) AS n_orders,
+                  CAST(SUM(cents) AS DOUBLE) / 100 AS total
+           FROM pre
            GROUP BY CUBE (c_mktsegment, o_orderpriority)
            ORDER BY segment, priority""")
     }),
@@ -84,10 +104,16 @@ object Aggregates {
     "q_agg_grouping_sets" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(
-        """SELECT COALESCE(n_name, 'ALL') AS nation,
+        """WITH pre AS (
+             SELECT n_name, c_mktsegment, count(*) AS n,
+                    SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS cents
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name, c_mktsegment)
+           SELECT COALESCE(n_name, 'ALL') AS nation,
                   COALESCE(c_mktsegment, 'ALL') AS segment,
-                  count(*) AS n, CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS acctbal
-           FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  sum(n) AS n,
+                  CAST(SUM(cents) AS DOUBLE) / 100 AS acctbal
+           FROM pre
            GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
            ORDER BY nation, segment""")
     }),
