@@ -183,6 +183,59 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-stream interval join matches within the time bound") {
+    // Two watermarked streams joined on key with an event-time interval
+    // condition — the streaming enrichment shape (click joined to the
+    // impression at most 10 minutes before it). State for both sides is
+    // bounded by the watermark + interval.
+    val imps = MemoryStream[(Timestamp, Long)](5, spark, None)
+    val clicks = MemoryStream[(Timestamp, Long)](6, spark, None)
+    val impDf = imps.toDF().toDF("imp_ts", "ad_id")
+      .withWatermark("imp_ts", "20 minutes")
+    val clickDf = clicks.toDF().toDF("click_ts", "c_ad_id")
+      .withWatermark("click_ts", "20 minutes")
+    val joined = impDf.join(clickDf,
+      col("ad_id") === col("c_ad_id")
+        && col("click_ts") >= col("imp_ts")
+        && col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+    val qy = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", tmp("graft-ssj"))
+      .start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    imps.addData((t(0), 1L), (t(0), 2L))
+    clicks.addData((t(5), 1L))   // within 10 min of imp 1 -> joins
+    clicks.addData((t(15), 2L))  // 15 min after imp 2 -> outside bound
+    qy.processAllAvailable()
+    qy.stop()
+    val rows = spark.table("ssj_out").select("ad_id").as[Long].collect().toSeq
+    assert(rows == Seq(1L), s"interval join rows: $rows")
+  }
+
+  test("streaming session_window aggregation closes sessions at the gap") {
+    val input = MemoryStream[(Timestamp, Long)](7, spark, None)
+    val sess = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val qy = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out")
+      .option("checkpointLocation", tmp("graft-sw"))
+      .start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(0), 1L), (t(5), 1L)) // one session, 2 events
+    qy.processAllAvailable()
+    input.addData((t(50), 1L)) // 45-min gap: closes the first session
+    qy.processAllAvailable()
+    input.addData((t(59), 1L)) // extends the second session (not emitted yet)
+    qy.processAllAvailable()
+    qy.stop()
+    val out = spark.table("sw_out")
+      .select(col("session_window.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("2024-01-01 10:00:00" -> 2L), out.toString)
+  }
+
   test("batch and streaming tumbling aggregation agree (AvailableNow over topic)") {
     val topicDir = tmp("graft-topic2")
     KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 2)
