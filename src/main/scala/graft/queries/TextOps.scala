@@ -38,6 +38,40 @@ object TextOps {
   private def h32Sql(x: String): String =
     s"(('0x'||substr(md5($x),1,8))::BIGINT)"
 
+  /** Blocked token-set Jaccard near-dup pairs (d1 < d2, jac >= 0.5) —
+    * shared by q_llm_jaccard_pairs and the q_llm_dup_groups clustering.
+    *
+    * Tokenized+hashed once, persisted: both sides of the blocked
+    * self-join read the same materialization. |∩| via the codegen'd
+    * sorted-merge intersect over once-per-doc xxhash64'd+sorted token
+    * arrays: primitive long compares, no per-pair hash-set build or
+    * string hashing (distinct strings → distinct longs; a collision
+    * within one block pair is ~|a|·|b|/2^64 ≈ 1e-16, so hashed-Jaccard
+    * ≡ string-Jaccard). Conjunct order is load-bearing: join-condition
+    * codegen keeps the written order (a post-join .filter would be
+    * pushed in FIRST by Catalyst): the O(1) size band — jac >= 0.5
+    * implies |a|/|b| ∈ [1/2, 2] — runs before the O(|a|+|b|)
+    * merge-intersect threshold (jac >= 0.5 ⟺ 3·|∩| >= |a|+|b|). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
+      .persist()
+    val a = docs.alias("a")
+    val b = docs.alias("b")
+    val hinter = graft.functions.SortedIntersectSize
+      .sortedIntersectSize(s, col("a.hs"), col("b.hs"))
+    val sa = size(col("a.toks")); val sb = size(col("b.toks"))
+    val jac = hinter.cast("double") / (sa + sb - hinter)
+    a.join(b, col("a.source") === col("b.source")
+        && col("a.doc_id") < col("b.doc_id")
+        && sa <= sb * 2 && sb <= sa * 2
+        && hinter * 3 >= sa + sb)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        Det.r(jac, 4).as("jaccard"))
+  }
+
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words: _*)))
 
@@ -160,39 +194,51 @@ object TextOps {
     // Exact n-gram (token-set) Jaccard near-dup pairs, blocked by
     // `source` — the blocking key bounds the quadratic term; at 100 TB
     // the block is a shard/bucket key, never the full corpus.
-    "q_llm_jaccard_pairs" -> ((s, d) => {
-      // Tokenized+hashed once, persisted: both sides of the blocked
-      // self-join read the same materialization instead of re-splitting
-      // and re-sorting the corpus twice.
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
+    "q_llm_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy("d1", "d2")),
+
+    // Duplicate-cluster resolution: connected components over the
+    // near-dup pair graph → one canonical doc per component (the actual
+    // "dedup" output a training pipeline keeps). Hash-min label
+    // propagation — each round every doc takes the min label among
+    // itself and its neighbors; fixpoint = component minimum. This is
+    // the standard O(graph diameter)-round distributed CC (one shuffle
+    // per round, no driver-side graph), and near-dup components are
+    // shallow (pairs/templated groups), so it converges in a few rounds.
+    // Oracle: DuckDB recursive-CTE transitive closure over the same
+    // pair graph.
+    "q_llm_dup_groups" -> ((s, d) => {
+      val edges = jaccardPairs(s, d)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val both = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
-      val a = docs.alias("a")
-      val b = docs.alias("b")
-      // |∩| via the codegen'd sorted-merge intersect over once-per-doc
-      // xxhash64'd+sorted token arrays: primitive long compares, no
-      // per-pair hash-set build or string hashing. Token-set sizes are
-      // preserved by the hash (distinct strings → distinct longs; a
-      // collision within one block pair is ~|a|·|b|/2^64 ≈ 1e-16), so
-      // hashed-Jaccard ≡ string-Jaccard.
-      val hinter = graft.functions.SortedIntersectSize
-        .sortedIntersectSize(s, col("a.hs"), col("b.hs"))
-      val sa = size(col("a.toks")); val sb = size(col("b.toks"))
-      val jac = hinter.cast("double") / (sa + sb - hinter)
-      // Conjunct order is load-bearing: join-condition codegen keeps the
-      // written order (a post-join .filter would be pushed in FIRST by
-      // Catalyst): the O(1) size band — jac >= 0.5 implies |a|/|b| ∈
-      // [1/2, 2] — runs before the O(|a|+|b|) merge-intersect threshold
-      // (jac >= 0.5 ⟺ 3·|∩| >= |a|+|b|).
-      a.join(b, col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id")
-          && sa <= sb * 2 && sb <= sa * 2
-          && hinter * 3 >= sa + sb)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          Det.r(jac, 4).as("jaccard"))
-        .orderBy("d1", "d2")
+      var labels = t(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("label")).persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val nbrMin = both
+          .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        val next = labels
+          .join(nbrMin.select(col("src").as("doc_id"), col("nmin")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"))
+          .persist()
+        changed = next
+          .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("doc_id"), col("label").as("canonical"))
+        .withColumn("is_canonical",
+          when(col("doc_id") === col("canonical"), 1).otherwise(0))
+        .orderBy("doc_id")
     }),
 
     // MinHash + LSH near-dup detection: 3-shingles → portable md5-based
@@ -377,6 +423,30 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_llm_minhash_lsh" -> minhashLshOracle,
     "q_llm_simhash" -> simhashOracle,
+    // Transitive closure over the same near-dup pair graph; component
+    // minimum = the canonical label the hash-min propagation converges to.
+    "q_llm_dup_groups" ->
+      """WITH RECURSIVE
+            d AS (SELECT doc_id, source,
+                         list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                      WHERE e.b <> r.a)
+         SELECT dd.doc_id,
+                LEAST(dd.doc_id, COALESCE(min(r.b), dd.doc_id)) AS canonical,
+                CASE WHEN LEAST(dd.doc_id, COALESCE(min(r.b), dd.doc_id)) = dd.doc_id
+                     THEN 1 ELSE 0 END AS is_canonical
+         FROM documents dd LEFT JOIN reach r ON r.a = dd.doc_id
+         GROUP BY dd.doc_id ORDER BY dd.doc_id""",
     "q_llm_exact_dedup" ->
       """SELECT md5(trim(lower(text))) AS h, min(doc_id) AS keeper,
                 count(*) AS n_dups

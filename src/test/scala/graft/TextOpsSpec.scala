@@ -58,6 +58,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sig.values.forall(s => s >= 0 && s <= 0xFFFFFFFFL))
   }
 
+  test("dup groups: every near-dup pair shares a canonical; canonicals are minima") {
+    val canon = q("q_llm_dup_groups")
+      .select("doc_id", "canonical").as[(Long, Long)].collect().toMap
+    // every doc labeled, label <= id (hash-min invariant)
+    assert(canon.size == Tables(spark, sf, "documents").count())
+    assert(canon.forall { case (id, c) => c <= id })
+    // connectivity: both endpoints of every near-dup pair agree
+    q("q_llm_jaccard_pairs").select("d1", "d2").as[(Long, Long)]
+      .collect().foreach { case (a, b) =>
+        assert(canon(a) == canon(b), s"pair ($a,$b) split across components")
+      }
+    // canonicals are their own canonical
+    canon.values.toSet.foreach((c: Long) => assert(canon(c) == c))
+  }
+
   test("exact dedup is idempotent and covers all docs") {
     val d = q("q_llm_exact_dedup")
     val total = d.agg(sum(col("n_dups"))).as[Long].head()
