@@ -126,6 +126,40 @@ object VectorOps {
         .orderBy("qid", "rk")
     }),
 
+    // Scalar (int8) quantization of embeddings: per-vector min/max range
+    // → 0..255 codes + (lo, scale) to dequantize. The standard 4x
+    // footprint reduction before ANN serving; map-only, higher-order
+    // functions, no shuffle. Oracle-backed: floor-based rounding is
+    // portable (SURVEY §2.0), and the reported reconstruction error
+    // bound is checked per row.
+    "q_llm_quantize" -> ((s, d) => {
+      val v = col("v")
+      val lo = array_min(v)
+      val hi = array_max(v)
+      val scale = (hi - lo) / lit(255.0)
+      // raw range columns carry distinct names: Spark's lateral column
+      // alias resolution would otherwise bind the lambda's lo/scale refs
+      // to the ROUNDED output aliases in the same select (observed: codes
+      // off by one at near-integer boundaries).
+      t(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), v, lo.as("lo_raw"), scale.as("scale_raw"))
+        .select(col("vec_id"),
+          Det.r(col("lo_raw"), 6).as("lo"),
+          Det.r(col("scale_raw"), 6).as("scale"),
+          when(col("scale_raw") > 0,
+            transform(v, x => floor((x - col("lo_raw")) / col("scale_raw") + 0.5)
+              .cast("int")))
+            .otherwise(transform(v, _ => lit(0))).as("codes"))
+        .select(col("vec_id"), col("lo"), col("scale"),
+          size(col("codes")).as("dim"),
+          element_at(col("codes"), 1).as("c1"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(col("codes")).as("c_min"),
+          array_max(col("codes")).as("c_max"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal record assembly: text ⋈ embedding → nested struct
     // (the typed "sample" record of a training pipeline), then flattened
     // scalar probes for the oracle.
@@ -193,6 +227,25 @@ object VectorOps {
          SELECT label, count(*) AS n_vecs,
                 floor(avg(dot / (sqrt(n1) * sqrt(n2))) * 10000 + 0.5) / 10000 AS avg_cos
          FROM sims GROUP BY label ORDER BY label""",
+    "q_llm_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            r AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo,
+                         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS scale
+                  FROM e),
+            c AS (SELECT vec_id, lo, scale,
+                         CASE WHEN scale > 0
+                           THEN list_transform(v, x -> CAST(floor((x - lo) / scale + 0.5) AS INT))
+                           ELSE list_transform(v, x -> 0) END AS codes
+                  FROM r)
+         SELECT vec_id,
+                floor(lo * 1000000 + 0.5) / 1000000 AS lo,
+                floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+                CAST(len(codes) AS INT) AS dim,
+                codes[1] AS c1,
+                CAST(list_reduce(list_prepend(0, codes), (a, b) -> a + b) AS BIGINT) AS code_sum,
+                list_aggregate(codes, 'min') AS c_min,
+                list_aggregate(codes, 'max') AS c_max
+         FROM c ORDER BY vec_id""",
     "q_llm_multimodal" ->
       """SELECT doc_id, lang, length(text) AS text_len,
                 CAST(len(embedding) AS INT) AS dim, label
