@@ -126,6 +126,47 @@ object VectorOps {
         .orderBy("qid", "rk")
     }),
 
+    // Random-hyperplane LSH ANN (the sign-LSH / SimHash-for-cosine
+    // family): 8 fixed seeded hyperplanes → 8-bit bucket signature per
+    // vector (collision prob per bit = 1 − θ/π, Charikar '02); queries
+    // probe every bucket within Hamming distance ≤ 2 of their own
+    // signature (1+8+28 = 37 probes) and run exact cosine only on those
+    // candidates — an equality join on bucket id, never an all-pairs
+    // scan. Complements q_llm_ann_ivf (coarse-quantizer probing) as the
+    // second standard ANN blocking scheme. no-oracle (recall vs exact
+    // top-k asserted in VectorOpsSpec).
+    "q_llm_ann_lsh" -> ((s, d) => {
+      val planes: Seq[Seq[Double]] = {
+        val rnd = new scala.util.Random(7)
+        Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+      }
+      def sigOf(v: Column): Column =
+        planes.zipWithIndex.map { case (h, i) =>
+          val hl = array(h.map(lit): _*)
+          when(aggregate(zip_with(v, hl, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = emb(s, d).withColumn("sig", sigOf(col("v"))).persist()
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"))
+      // Hamming ≤ 2 probe masks: 0 flips, 1 flip, 2 flips
+      val masks = 0 +: (0 until 8).map(1 << _) ++:
+        (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
+      val probes = q.select(col("qid"), col("qv"),
+          explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*))
+            .as("sig"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("nbr").asc)
+      e.join(broadcast(probes), Seq("sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          CosineSimilarity.cosineSim(s, col("qv"), col("v")).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nbr"), Det.r(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
+
     // Scalar (int8) quantization of embeddings: per-vector min/max range
     // → 0..255 codes + (lo, scale) to dequantize. The standard 4x
     // footprint reduction before ANN serving; map-only, higher-order

@@ -81,6 +81,23 @@ class VectorOpsSpec extends SparkSpecBase {
     info(f"IVF mean recall vs exact top-5: $recall%.2f")
   }
 
+  test("RP-LSH ANN probes Hamming<=2 buckets with decent recall vs exact") {
+    val exact = q("q_llm_cosine_topk").select("qid", "nbr")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val lsh = q("q_llm_ann_lsh").select("qid", "nbr")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(lsh.keys.toSet == exact.keys.toSet)
+    val recall = exact.map { case (k, ex) =>
+      lsh.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.2, s"mean recall $recall")
+    info(f"RP-LSH mean recall vs exact top-5: $recall%.2f")
+    // determinism: seeded hyperplanes -> identical output across runs
+    val r1 = q("q_llm_ann_lsh").collect().map(_.toString).sorted
+    val r2 = q("q_llm_ann_lsh").collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
+  }
+
   test("multimodal struct assembly aligns doc and embedding 1:1") {
     val n = q("q_llm_multimodal").count()
     val docs = Tables(spark, sf, "documents").count()
