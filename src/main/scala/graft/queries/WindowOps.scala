@@ -76,6 +76,24 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Time-interval RANGE frame: trailing 1-hour sum per user. Only the
+    // SQL surface accepts interval frame bounds. ts is truncated to
+    // seconds on BOTH sides first (SURVEY §2.0: events.ts is ns parquet;
+    // truncation is monotone so µs- and ns-sourced floors agree), and
+    // the summed doubles go through exact integer cents.
+    "q_win_frame_interval" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT user_id, event_id,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY date_trunc('second', ts)
+                    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+                  ) AS DOUBLE) / 100 AS hour_sum
+           FROM events
+           ORDER BY user_id, event_id""")
+    }),
+
     // Sliding RANGE frame on a numeric sort key; exact BIGINT sum inside
     // the frame (floor first: DuckDB CAST rounds, Spark truncates).
     "q_win_frame_range" -> ((s, d) => {
@@ -126,6 +144,15 @@ object WindowOps {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
                   AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_win_frame_interval" ->
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                  PARTITION BY user_id
+                  ORDER BY date_trunc('second', ts)
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) / 100 AS hour_sum
+         FROM events
+         ORDER BY user_id, event_id""",
     "q_win_frame_range" ->
       """SELECT o_custkey, o_orderkey,
                 CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER
