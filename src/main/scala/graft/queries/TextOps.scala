@@ -17,9 +17,11 @@ import graft.Tables
   * shuffles on (doc_id | term | band-bucket) and scales horizontally.
   * Near-dup discovery never goes all-pairs at scale: Jaccard pairs are
   * blocked by `source`; MinHash-LSH reduces candidate generation to
-  * equality joins on band keys (the 100 TB path). Hash functions are
-  * Spark's xxhash64 (seed-stable) — hash-bearing outputs that can't be
-  * reproduced in DuckDB are declared no-oracle and golden-tested instead.
+  * equality joins on band keys (the 100 TB path). Hash-bearing outputs
+  * (MinHash-LSH, SimHash) use a portable md5-derived hash family so the
+  * SAME computation runs as a DuckDB oracle; xxhash64 appears only
+  * engine-internally (Jaccard intersect arrays) where the hash never
+  * reaches the output.
   */
 object TextOps {
   import graft.QueryFn

@@ -98,6 +98,26 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(r1.sameElements(r2))
   }
 
+  test("int8 quantization reconstructs within half a step") {
+    // dequant(code) = lo + code*scale must be within scale/2 of the
+    // original value — the defining error bound of round-to-nearest
+    // scalar quantization.
+    val v = col("v")
+    val lo = array_min(v)
+    val scale = (array_max(v) - lo) / lit(255.0)
+    val err = embDbl
+      .select(col("vec_id"), v, lo.as("lo_raw"), scale.as("scale_raw"))
+      .filter(col("scale_raw") > 0)
+      .select(aggregate(
+        zip_with(v,
+          transform(v, x => col("lo_raw")
+            + floor((x - col("lo_raw")) / col("scale_raw") + 0.5) * col("scale_raw")),
+          (orig, deq) => abs(orig - deq) / col("scale_raw")),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("max_rel_err"))
+      .agg(max(col("max_rel_err"))).as[Double].head()
+    assert(err <= 0.5 + 1e-9, s"max |x - dequant| = $err steps")
+  }
+
   test("multimodal struct assembly aligns doc and embedding 1:1") {
     val n = q("q_llm_multimodal").count()
     val docs = Tables(spark, sf, "documents").count()
