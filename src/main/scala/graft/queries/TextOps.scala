@@ -31,12 +31,13 @@ object TextOps {
   private val STOP = Seq("the", "a", "of", "to", "is")
 
   /** Portable 32-bit string hash, identical in Spark and DuckDB:
-    * first 8 hex chars of md5 parsed as an integer. Spark:
-    * conv(substring(md5(x),1,8),16,10); DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT.
+    * first 8 hex chars of md5 parsed as an integer. Spark: the native
+    * codegen'd PortableHash32 expression (≡ conv(substring(md5(x),1,8),16,10));
+    * DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT.
     * This is what makes the hash-bearing ops (MinHash-LSH, SimHash)
     * oracle-checkable instead of seeded black boxes. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private def h32(s: SparkSession, c: Column): Column =
+    graft.functions.PortableHash32.portableHash32(s, c)
   private def h32Sql(x: String): String =
     s"(('0x'||substr(md5($x),1,8))::BIGINT)"
 
@@ -302,7 +303,7 @@ object TextOps {
                 element_at(tks, i + 2), element_at(tks, i + 3)))))
           .otherwise(array(col("text"))).as("shs"))
         .select(col("doc_id"),
-          array_sort(array_distinct(transform(col("shs"), sh => h32(sh) % P)))
+          array_sort(array_distinct(transform(col("shs"), sh => h32(s, sh) % P)))
             .as("hs"))
         .select(col("doc_id"), col("hs"),
           graft.functions.MinHashSig.minhashSig(s, col("hs"), 32).as("sig"),
@@ -383,7 +384,7 @@ object TextOps {
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", h32(col("term")))
+        .withColumn("h", h32(s, col("term")))
       val bitVotes = (0 until 32).map { b =>
         sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(lit(1L))
           * lit(2L) - lit(1L))).as(s"s$b")

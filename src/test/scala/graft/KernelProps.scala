@@ -64,6 +64,16 @@ object KernelProps extends Properties("graft.kernels") {
       .asInstanceOf[Int]
   }
 
+  property("portable-hash32: native kernel == md5-hex reference") =
+    forAll(token) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      graft.functions.PortableHash32Kernel.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(hex, 16)
+    }
+
   property("sorted-intersect: equals set-intersection cardinality") =
     forAll(sortedLongs, sortedLongs) { (a, b) =>
       interSize(a, b) == a.toSet.intersect(b.toSet).size
