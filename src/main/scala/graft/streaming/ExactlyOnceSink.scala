@@ -47,7 +47,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * `partitionBy` columns produce hive-style subdirectories inside the
     * batch dir (the Delta partitioned-table layout); the commit entry
     * records them in the `metaData` action alongside the schema. */
-  def process(df: DataFrame, batchId: Long, partitionBy: Seq[String] = Nil): Unit = {
+  def process(df: DataFrame, batchId: Long, partitionBy: Seq[String] = Nil): Unit =
+    process(df, batchId, partitionBy, snapshot = false)
+
+  private def process(df: DataFrame, batchId: Long, partitionBy: Seq[String],
+      snapshot: Boolean): Unit = {
     if (isCommitted(batchId)) return // replay after crash → no-op
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
@@ -78,12 +82,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     // 3. THE commit: one atomic rename publishing add-actions + txn
     //    cursor + table metadata (schema JSON is itself JSON — inlined)
     val parts = partitionBy.map("\"" + _ + "\"").mkString(",")
+    val op = if (snapshot) "SNAPSHOT" else "STREAMING UPDATE"
     val entry =
       s"""{"txn":{"appId":"$appId","version":$batchId},""" +
+        s""""snapshot":$snapshot,""" +
         s""""metaData":{"schemaString":${df.schema.json},""" +
         s""""partitionColumns":[$parts]},""" +
         s""""add":[${moved.map(p => "\"" + p.toString.replace("\\", "/") + "\"").mkString(",")}],""" +
-        s""""commitInfo":{"operation":"STREAMING UPDATE","batchId":$batchId}}"""
+        s""""commitInfo":{"operation":"$op","batchId":$batchId}}"""
     val tmp = logDir.resolve(s".${batchId}.json.tmp")
     Files.writeString(tmp, entry)
     Files.move(tmp, logFile(batchId), StandardCopyOption.ATOMIC_MOVE)
@@ -99,9 +105,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   def read(spark: org.apache.spark.sql.SparkSession,
       versionAsOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val versions = committedVersions()
+    val all = committedVersions()
       .filter(v => versionAsOf.forall(v <= _))
-    val dirs = versions.map(v => dataDir.resolve(s"batch=$v").toString)
+    // A snapshot commit REPLACES everything before it (Delta's
+    // copy-on-write rewrite, narrowed to a full-table snapshot): the
+    // live state is the last snapshot plus appends after it.
+    val fromSnapshot = all.filter(isSnapshot).lastOption
+      .map(sv => all.filter(_ >= sv)).getOrElse(all)
+    val dirs = fromSnapshot.map(v => dataDir.resolve(s"batch=$v").toString)
     if (dirs.isEmpty)
       spark.emptyDataFrame
     else
@@ -109,6 +120,52 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
         .option("basePath", dataDir.toString)
         .option("mergeSchema", mergeSchema.toString)
         .parquet(dirs: _*)
+  }
+
+  private def isSnapshot(v: Long): Boolean =
+    Files.readString(logFile(v)).contains("\"snapshot\":true")
+
+  private def nextVersion(): Long =
+    committedVersions().lastOption.map(_ + 1).getOrElse(0L)
+
+  /** Live state without the `batch` version-cursor partition column
+    * (which read() surfaces via basePath discovery). */
+  private def liveData(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    read(spark).drop("batch")
+
+  /** MERGE (upsert): rows of `updates` replace committed rows sharing
+    * the same key; non-matching update rows insert. Implemented as a
+    * full-state rewrite committed as one snapshot version — Delta's
+    * copy-on-write merge narrowed to the single-writer/full-rewrite
+    * case. Time travel still sees every prior version. */
+  def merge(spark: org.apache.spark.sql.SparkSession,
+      updates: DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val current = liveData(spark)
+    val merged =
+      if (current.isEmpty) updates
+      else current.join(updates.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(updates)
+    val v = nextVersion()
+    process(merged, v, Nil, snapshot = true)
+    v
+  }
+
+  /** DELETE rows matching the predicate; snapshot-commit the remainder. */
+  def delete(spark: org.apache.spark.sql.SparkSession,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val remaining = liveData(spark).filter(!predicate)
+    val v = nextVersion()
+    process(remaining, v, Nil, snapshot = true)
+    v
+  }
+
+  /** Compact the live state (many small append batches → one snapshot);
+    * semantically a no-op, physically the Delta OPTIMIZE analog. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Long = {
+    val v = nextVersion()
+    process(liveData(spark), v, Nil, snapshot = true)
+    v
   }
 
   /** Table schema as recorded by the latest commit's metaData action. */

@@ -90,6 +90,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.latestSchema().exists(_.fieldNames.contains("event_type")))
   }
 
+  test("sink MERGE upserts, DELETE removes, compaction preserves state; history intact") {
+    val tableDir = tmp("graft-merge")
+    val sink = new ExactlyOnceSink(tableDir)
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    sink.process(base, 0L)
+    // upsert: id 2 updated, id 4 inserted
+    val mv = sink.merge(spark,
+      Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(sink.read(spark).count() == 4)
+    val m = sink.read(spark).select("id", "name").as[(Long, String)].collect().toMap
+    assert(m(2L) == "B" && m(4L) == "d" && m(1L) == "a")
+    // delete id 1
+    sink.delete(spark, col("id") === 1L)
+    assert(sink.read(spark).select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // compaction: state unchanged (modulo the batch version cursor)
+    val before = sink.read(spark).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    sink.compact(spark)
+    val after = sink.read(spark).drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    assert(before == after)
+    // time travel: pre-merge state still readable at version 0
+    val v0 = sink.read(spark, versionAsOf = Some(0L))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(v0 == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // and as-of the merge version: updated but not yet deleted
+    val v1 = sink.read(spark, versionAsOf = Some(mv))
+      .select("id").as[Long].collect().toSet
+    assert(v1 == Set(1L, 2L, 3L, 4L))
+  }
+
   test("watermark drops events later than the lateness bound") {
     val input = MemoryStream[(Timestamp, Long)](1, spark, None)
     val agg = input.toDF().toDF("ts", "v")
