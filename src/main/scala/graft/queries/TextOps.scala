@@ -200,6 +200,69 @@ object TextOps {
     "q_llm_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy("d1", "d2")),
 
+    // GLOBAL exact Jaccard join (t = 0.9) via PPJoin-style prefix
+    // filtering (Chaudhuri/Xiao et al.; the distributed
+    // set-similarity-join literature builds on this): under a global
+    // token order (ascending document frequency — rarest first — then
+    // token), two sets with Jaccard >= t MUST share a token within each
+    // one's first |s| − ceil(t·|s|) + 1 tokens. Candidate generation is
+    // therefore an EQUALITY join on prefix tokens — no blocking key
+    // needed and no all-pairs scan — followed by the exact
+    // merge-intersect verify. The unblocked 100 TB path: candidates
+    // scale with prefix-token collisions (rare tokens ⇒ small groups),
+    // not corpus². All threshold math is integer (19·|∩| >= 9·(|a|+|b|)
+    // and ceil via (9·sz+9) div 10) — FP boundary drift would turn the
+    // exact filter into a lossy one.
+    "q_llm_jaccard_global" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"),
+          array_sort(transform(col("toks"), tk => xxhash64(tk))).as("hs"))
+        .persist()
+      val tok = docs.select(col("doc_id"), col("sz"),
+        explode(col("toks")).as("token"))
+      val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+      // prefix length for t = 0.9: |s| - ceil(9|s|/10) + 1, integer form
+      val prefix = tok.join(dfreq, Seq("token"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <=
+          col("sz") - floor((col("sz") * 9 + 9) / 10) + 1)
+        .select(col("token"), col("doc_id"), col("sz"), col("rk"))
+      // PPJoin companions to the prefix filter, applied inside the join
+      // condition so pruned candidates never reach the distinct:
+      //  - length filter: jac >= 0.9 bounds |a|/|b| within 10/9;
+      //  - positional filter: tokens are ordered identically in both
+      //    prefixes, so the overlap reachable from shared position
+      //    (i, j) is at most min(sa-i, sb-j)+1, which must still meet
+      //    19·|∩| >= 9·(sa+sb).
+      val cand = prefix.alias("x")
+        .join(prefix.alias("y"),
+          col("x.token") === col("y.token")
+            && col("x.doc_id") < col("y.doc_id")
+            && col("x.sz") * 9 <= col("y.sz") * 10
+            && col("y.sz") * 9 <= col("x.sz") * 10
+            && (least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))
+              + 1) * 19 >= (col("x.sz") + col("y.sz")) * 9)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val m = graft.functions.SortedIntersectSize
+        .sortedIntersectSize(s, col("hs1"), col("hs2"))
+      // the doc-array side is a broadcastable dimension at this scale
+      // (5k docs x ~2.5KB); broadcasting spares the multi-million-row
+      // candidate relation two shuffles. At 100 TB the same join runs
+      // as a shuffle join on doc_id — only the hint changes.
+      cand
+        .join(broadcast(docs.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+          col("sz").as("sz1"))), Seq("d1"))
+        .join(broadcast(docs.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+          col("sz").as("sz2"))), Seq("d2"))
+        .filter(m * 19 >= (col("sz1") + col("sz2")) * 9)
+        .withColumn("jac", m.cast("double") / (col("sz1") + col("sz2") - m))
+        .select(col("d1"), col("d2"), Det.r(col("jac"), 4).as("jaccard"))
+        .orderBy("d1", "d2")
+    }),
+
     // Duplicate-cluster resolution: connected components over the
     // near-dup pair graph → one canonical doc per component (the actual
     // "dedup" output a training pipeline keeps). Hash-min label
@@ -454,6 +517,20 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_llm_minhash_lsh" -> minhashLshOracle,
     "q_llm_simhash" -> simhashOracle,
+    // Oracle = brute-force all-pairs at sf0.01 (the prefix filter is
+    // exact, so the filtered join must reproduce it bit-for-bit); the
+    // integer 3·|∩| >= |a|+|b| threshold avoids double boundaries.
+    "q_llm_jaccard_global" ->
+      """WITH d AS (SELECT doc_id,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                      * 10000 + 0.5) / 10000 AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE 19 * len(list_intersect(a.toks, b.toks)) >= 9 * (len(a.toks) + len(b.toks))
+         ORDER BY d1, d2""",
     // Transitive closure over the same near-dup pair graph; component
     // minimum = the canonical label the hash-min propagation converges to.
     "q_llm_dup_groups" ->
