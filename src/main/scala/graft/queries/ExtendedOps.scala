@@ -72,6 +72,21 @@ object ExtendedOps {
           Det.r(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25_price"))
         .orderBy("l_returnflag")),
 
+    // Approximate percentiles (KLL/GK-sketch based): the 100 TB path the
+    // exact sort-based q_agg_percentile row points at — mergeable
+    // sketches, one pass, bounded memory. no-oracle (approximate);
+    // OperatorSpec asserts each estimate within the accuracy bound of
+    // the exact percentile.
+    "q_agg_approx_pct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("p90_qty"),
+          approx_percentile(col("l_extendedprice"), lit(0.25), lit(1000))
+            .as("p25_price"))
+        .orderBy("l_returnflag")),
+
     // Distribution window family: percent_rank / cume_dist / nth_value.
     "q_win_dist" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment")

@@ -113,6 +113,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(p.contains("_salt"), p.take(2000))
   }
 
+  test("approx_percentile within sketch accuracy of exact percentiles") {
+    val approx = q("q_agg_approx_pct")
+      .select("l_returnflag", "p50_qty", "p90_qty")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = q("q_agg_percentile")
+      .select("l_returnflag", "p50_qty", "p90_qty")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy=1000 → rank error <= n/1000; on ~[1,50] quantities allow
+    // a small absolute band around the exact interpolated value
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) <= 1.0, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= 1.0, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("rollup subtotals are consistent with detail rows") {
     val r = q("q_agg_rollup")
     val grand = r.filter(col("nation") === "ALL" && col("segment") === "ALL")
