@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
   *      the thread count is reported alongside.
   */
 object Bench {
+  /** Drop every cached relation and persisted RDD (localCheckpoint data
+    * included) between serially-timed queries: the heavy similarity-join
+    * queries persist staged relations that their own plan reuses, and
+    * without a sweep those blocks sit in storage memory and degrade every
+    * query timed after them (observed 4-16x inflation on the queries that
+    * run alphabetically after dup_groups/jaccard_global). */
+  def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,13 +47,16 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    sweep(spark)
     // Pass 1 — serial, per-query latency: clean numbers comparable to a
     // single-stream baseline.
     val s0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - q0) / 1e9
+      val dt = (System.nanoTime() - q0) / 1e9
+      sweep(spark) // untimed: cache hygiene is harness work, not query work
+      name -> dt
     }
     val serialTotal = (System.nanoTime() - s0) / 1e9
     // Pass 2 — concurrent throughput: the whole suite through a small

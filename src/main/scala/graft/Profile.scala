@@ -22,6 +22,7 @@ object Profile {
         val t0 = System.nanoTime()
         val c = fn(spark, sfDir).count()
         println(f"[profile] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($c rows)")
+        Bench.sweep(spark)
       }
     }
     spark.stop()

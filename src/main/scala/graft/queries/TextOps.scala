@@ -55,7 +55,16 @@ object TextOps {
     * pushed in FIRST by Catalyst): the O(1) size band — jac >= 0.5
     * implies |a|/|b| ∈ [1/2, 2] — runs before the O(|a|+|b|)
     * merge-intersect threshold (jac >= 0.5 ⟺ 3·|∩| >= |a|+|b|). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsWithHandle(s, d)._1
+
+  /** Also returns the persisted tokenized-docs relation so callers that
+    * materialize the pair join into their own cache (dup_groups) can
+    * unpersist it instead of leaking it into later queries' storage
+    * memory (round-2 verdict: un-unpersisted handles inflated every
+    * query benched after the similarity joins 4-16x). */
+  private def jaccardPairsWithHandle(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -67,12 +76,13 @@ object TextOps {
       .sortedIntersectSize(s, col("a.hs"), col("b.hs"))
     val sa = size(col("a.toks")); val sb = size(col("b.toks"))
     val jac = hinter.cast("double") / (sa + sb - hinter)
-    a.join(b, col("a.source") === col("b.source")
+    val pairs = a.join(b, col("a.source") === col("b.source")
         && col("a.doc_id") < col("b.doc_id")
         && sa <= sb * 2 && sb <= sa * 2
         && hinter * 3 >= sa + sb)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         Det.r(jac, 4).as("jaccard"))
+    (pairs, docs)
   }
 
   private def hits(toks: Column, words: Seq[String]): Column =
@@ -274,8 +284,8 @@ object TextOps {
     // Oracle: DuckDB recursive-CTE transitive closure over the same
     // pair graph.
     "q_llm_dup_groups" -> ((s, d) => {
-      val edges = jaccardPairs(s, d)
-        .select(col("d1").as("src"), col("d2").as("dst"))
+      val (pairRel, docsHandle) = jaccardPairsWithHandle(s, d)
+      val edges = pairRel.select(col("d1").as("src"), col("d2").as("dst"))
       // Edges are hash-partitioned on dst ONCE and cached: every round's
       // edge⋈label join then co-locates on the cached layout and only
       // the (small) label table moves — the partitioning-reuse design
@@ -285,6 +295,16 @@ object TextOps {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("dst"))
         .persist()
+      // Materialize the edge cache now, then drop the tokenized-docs
+      // cache it was built from — the loop only ever reads `both`.
+      both.count()
+      docsHandle.unpersist(blocking = false)
+      // localCheckpoint blocks freed as soon as a round no longer needs
+      // them (round-2 verdict: ~40 uncollected checkpoint RDDs per run).
+      def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+        df.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
       // Iterative lineage control: each round's label table is
       // localCheckpoint'ed (eager), truncating the logical plan to an
       // RDD leaf. Without this the plan doubles per round (the label
@@ -296,6 +316,7 @@ object TextOps {
       var labels = t(s, d, "documents")
         .select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint()
+      var labelsRdd = backingRdd(labels)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 20) {
@@ -326,9 +347,16 @@ object TextOps {
         changed = next.agg(sum(col("chg"))).head().getLong(0)
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           System.err.println(f"[cc] round $rounds%d changed=$changed%d took ${(System.nanoTime() - rt0) / 1e9}%.2f s")
+        // `next` is materialized (eager checkpoint + the agg above), so
+        // this round's intermediate and the previous labels are dead.
+        backingRdd(stepped).foreach(_.unpersist(blocking = false))
+        labelsRdd.foreach(_.unpersist(blocking = false))
         labels = next.select(col("doc_id"), col("label"))
+        labelsRdd = backingRdd(next)
         rounds += 1
       }
+      // the fixpoint labels are checkpointed; the edge cache is dead
+      both.unpersist(blocking = false)
       labels.select(col("doc_id"), col("label").as("canonical"))
         .withColumn("is_canonical",
           when(col("doc_id") === col("canonical"), 1).otherwise(0))
