@@ -155,6 +155,35 @@ object ExtendedOps {
           Det.r2(col("o_totalprice")).as("o_totalprice"))
         .orderBy("o_orderkey")),
 
+    // DecimalType money math end-to-end (SURVEY §1.2's declared decimal
+    // surface): prices/discounts cast to DECIMAL(12,2) at the scan, net
+    // revenue computed in exact decimal arithmetic through a 4-table
+    // join + aggregate. Decimal +/*/− are exact (no FP summation-order
+    // nondeterminism — contrast Det.sumMoney's cents trick for doubles),
+    // so the only portability rule is to keep the RESULT scale fixed:
+    // the final cast widens precision without rescaling (22,4 holds any
+    // 100 TB-scale revenue sum), and no .xx5 rounding boundary is ever
+    // crossed. double→decimal(12,2) casts cannot tie either: a binary
+    // double is never exactly x.yz5.
+    "q_decimal_money" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_discount").cast("decimal(12,2)").as("disc"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("net", col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
+        .groupBy("n_name")
+        .agg(sum(col("net")).cast("decimal(22,4)").as("revenue"),
+          max(col("price")).cast("decimal(12,2)").as("max_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // Conditional scalar family: coalesce / nullif / least / greatest.
     "q_fn_cond" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -236,6 +265,20 @@ object ExtendedOps {
          FROM orders
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
          ORDER BY o_orderkey""",
+    "q_decimal_money" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                            CAST(l_discount AS DECIMAL(12,2)) AS disc
+                     FROM lineitem)
+         SELECT n_name,
+                CAST(SUM(price * (CAST(1 AS DECIMAL(12,2)) - disc)) AS DECIMAL(22,4)) AS revenue,
+                CAST(MAX(price) AS DECIMAL(12,2)) AS max_price,
+                COUNT(*) AS n_items
+         FROM li
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_fn_cond" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_or_none,

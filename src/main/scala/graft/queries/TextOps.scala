@@ -30,6 +30,11 @@ object TextOps {
 
   private val STOP = Seq("the", "a", "of", "to", "is")
 
+  /** LSH bucket-size cap: buckets with more members are degenerate
+    * (boilerplate band keys) and are dropped before the O(k²) in-bucket
+    * pair expansion — mirrored in the DuckDB oracle twin. */
+  val MaxBucket = 64
+
   /** Portable 32-bit string hash, identical in Spark and DuckDB:
     * first 8 hex chars of md5 parsed as an integer. Spark: the native
     * codegen'd PortableHash32 expression (≡ conv(substring(md5(x),1,8),16,10));
@@ -409,18 +414,31 @@ object TextOps {
             .reduce((acc, x) => acc * 31 + x).as("bkey"))
       }: _*)
       // Bucket members collected per (band,bkey); in-bucket i<j pair
-      // expansion via indexed transforms. Bucket sizes are bounded by the
-      // band width in practice; a 100 TB deployment would additionally
-      // drop degenerate mega-buckets (stop-shingle equivalent).
+      // expansion via indexed transforms. Degenerate mega-buckets (the
+      // stop-shingle equivalent: one boilerplate band key shared by a
+      // huge fraction of the corpus would expand O(k²) pairs and melt
+      // the stage) are DROPPED above MaxBucket members. The guard is
+      // part of the declared semantics: the DuckDB oracle twin applies
+      // the identical cap, so correctness holds whether or not any
+      // bucket hits it. Empirical max bucket size: 2 at sf0.01, 2 at
+      // sf0.1 (near-dup groups are pairs/small clusters) — the cap only
+      // bites on pathological boilerplate corpora, where dropping the
+      // bucket is the intended behavior.
       val ids = array_sort(col("ids"))
       val pairs = transform(ids, (x, i) =>
         transform(slice(ids, i + 2, size(ids)), y =>
           struct(x.as("d1"), y.as("d2"))))
-      val cand = docSig
+      val buckets = docSig
         .select(col("doc_id"), explode(bands).as("bk"))
         .groupBy(col("bk.band"), col("bk.bkey"))
         .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
+      if (sys.env.contains("GRAFT_LSH_DEBUG")) {
+        val dropped = buckets.filter(size(col("ids")) > MaxBucket).count()
+        System.err.println(s"[minhash-lsh] mega-buckets dropped (> $MaxBucket members): $dropped")
+      }
+      val cand = buckets
+        .filter(size(col("ids")) <= MaxBucket)
         .select(explode(flatten(pairs)).as("p"))
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .distinct()
@@ -516,9 +534,12 @@ object TextOps {
           sig AS (SELECT doc_id, hs, $sigCols FROM hashed),
           bands AS (SELECT doc_id, b.band, CASE b.band $bandCase END AS bkey
                     FROM sig CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band)),
+          bsz AS (SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
           cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
                    FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+                     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+                   JOIN bsz ON bsz.band = x.band AND bsz.bkey = x.bkey
+                     AND bsz.c <= $MaxBucket),
           j AS (SELECT d1, d2,
                   CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
                     / (len(hx.hs) + len(hy.hs) - len(list_intersect(hx.hs, hy.hs))) AS jac
