@@ -113,6 +113,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q_llm_cosine_dup is a grid equality join, not a nested-loop scan") {
+    // The exact near-dup pair join must distribute as block-pair tiles
+    // (equality join on the grid pair id) — a BroadcastNestedLoopJoin
+    // over the corpus is the plan that dies at 100 TB.
+    val p = physical("q_llm_cosine_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "cosine_dup still plans an NLJ:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that
