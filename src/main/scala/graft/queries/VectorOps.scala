@@ -33,6 +33,41 @@ object VectorOps {
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
 
+  /** Multi-table RP-LSH parameters (q_llm_ann_lsh): L tables × BITS-bit
+    * signatures, queries probe the Hamming ≤ HD ball per table. */
+  private val LshTables = 10
+  private val LshBits = 16
+  private val LshSeed = 13
+  /** XOR masks of the Hamming ≤ 2 ball over LshBits bits (137 masks). */
+  private val LshMasks: Seq[Int] =
+    0 +: (0 until LshBits).map(1 << _) ++:
+      (for (i <- 0 until LshBits; j <- i + 1 until LshBits)
+        yield (1 << i) | (1 << j))
+
+  /** Candidate set of q_llm_ann_lsh — (qid, qv, vec_id, v) rows, one per
+    * (query, probed candidate), deduped across tables. Shared with
+    * VectorOpsSpec's candidate-fraction assertion so the test measures
+    * exactly what the query runs. */
+  private[graft] def annLshCandidates(s: SparkSession, d: String,
+      tables: Int = LshTables, seed: Int = LshSeed): DataFrame = {
+    val e = emb(s, d).withColumn("sigs",
+      graft.functions.RpLshSig.rplshSig(s, col("v"), tables, LshBits, 64, seed))
+    val data = e.select(col("vec_id"), col("v"),
+      posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        posexplode(col("sigs")).as(Seq("tbl", "qsig")))
+      .select(col("qid"), col("qv"), col("tbl"), col("qsig"),
+        explode(array(LshMasks.map(lit): _*)).as("m"))
+      .select(col("qid"), col("qv"), col("tbl"),
+        col("qsig").bitwiseXOR(col("m")).as("sig"))
+    data.join(broadcast(probes), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      // a pair colliding in several tables is one candidate
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
+  }
+
   /** Elementwise label centroids, computed relationally (posexplode →
     * avg per (label, pos)) so the same math is expressible in the DuckDB
     * oracle. One shuffle on (label, pos). */
@@ -161,39 +196,30 @@ object VectorOps {
         .orderBy("qid", "rk")
     }),
 
-    // Random-hyperplane LSH ANN (the sign-LSH / SimHash-for-cosine
-    // family): 8 fixed seeded hyperplanes → 8-bit bucket signature per
-    // vector (collision prob per bit = 1 − θ/π, Charikar '02); queries
-    // probe every bucket within Hamming distance ≤ 2 of their own
-    // signature (1+8+28 = 37 probes) and run exact cosine only on those
-    // candidates — an equality join on bucket id, never an all-pairs
-    // scan. Complements q_llm_ann_ivf (coarse-quantizer probing) as the
-    // second standard ANN blocking scheme. no-oracle (recall vs exact
-    // top-k asserted in VectorOpsSpec).
+    // Random-hyperplane LSH ANN (sign-LSH for cosine, Charikar '02;
+    // P[bit match] = 1 − θ/π per plane), widened this round from one
+    // 8-bit table to L=10 independent 16-bit tables (multi-table LSH)
+    // with per-table ORTHONORMAL planes (decorrelated signature bits —
+    // measurably evens bucket occupancy; see RpLshKernel.planes):
+    // signatures come from the one-pass codegen'd RpLshSig kernel
+    // (map-only, zero shuffle), the data side explodes to (table, sig)
+    // rows, and each query probes the Hamming ≤ 2 ball of its own
+    // signature in every table (137 masks × 10 tables = 1370 probe
+    // keys) — an equality join on (table, bucket), never a corpus scan.
+    // Measured candidate fraction per query ≈ 2% of the corpus
+    // (asserted in VectorOpsSpec) vs 14% for the round-2 single-table
+    // shape, at equal-or-better recall; the per-table selectivity
+    // 137/2^16 is corpus-size-independent. This synthetic corpus is
+    // near-isotropic (top-5 neighbors sit at cos ≈ 0.5, i.e. LSH
+    // hardness ρ ≈ 0.6) — the measured recall/candidate frontier here
+    // is the worst case; clustered production embeddings separate far
+    // better at the same parameters. no-oracle (recall + determinism +
+    // candidate-fraction tests in VectorOpsSpec).
     "q_llm_ann_lsh" -> ((s, d) => {
-      val planes: Seq[Seq[Double]] = {
-        val rnd = new scala.util.Random(7)
-        Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
-      }
-      def sigOf(v: Column): Column =
-        planes.zipWithIndex.map { case (h, i) =>
-          val hl = array(h.map(lit): _*)
-          when(aggregate(zip_with(v, hl, (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val e = emb(s, d).withColumn("sig", sigOf(col("v"))).persist()
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"))
-      // Hamming ≤ 2 probe masks: 0 flips, 1 flip, 2 flips
-      val masks = 0 +: (0 until 8).map(1 << _) ++:
-        (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
-      val probes = q.select(col("qid"), col("qv"),
-          explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*))
-            .as("sig"))
+      val cand = annLshCandidates(s, d)
       val wTop = Window.partitionBy("qid")
         .orderBy(col("sim").desc, col("nbr").asc)
-      e.join(broadcast(probes), Seq("sig"))
-        .filter(col("vec_id") =!= col("qid"))
+      cand
         .select(col("qid"), col("vec_id").as("nbr"),
           CosineSimilarity.cosineSim(s, col("qv"), col("v")).as("sim"))
         .withColumn("rk", row_number().over(wTop))

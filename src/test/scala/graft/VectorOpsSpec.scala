@@ -81,21 +81,53 @@ class VectorOpsSpec extends SparkSpecBase {
     info(f"IVF mean recall vs exact top-5: $recall%.2f")
   }
 
-  test("RP-LSH ANN probes Hamming<=2 buckets with decent recall vs exact") {
-    val exact = q("q_llm_cosine_topk").select("qid", "nbr")
+  test("RP-LSH ANN: multi-table Hamming<=2 probing, recall >= bar, candidates <= 2.5%") {
+    // ANN parameters target real corpus sizes; at the sf0.001 toy corpus
+    // (50 vectors) bucket occupancy is pure noise, so this test runs at
+    // sf0.01 (500 vectors), the same SF the driver's correctness gate uses.
+    val sf01 = "/root/testdata/sf0.01"
+    def q01(name: String) = SparkEntry.queries(name)(spark, sf01)
+    val exact = q01("q_llm_cosine_topk").select("qid", "nbr")
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    val lsh = q("q_llm_ann_lsh").select("qid", "nbr")
+    val lsh = q01("q_llm_ann_lsh").select("qid", "nbr")
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    assert(lsh.keys.toSet == exact.keys.toSet)
+    assert(lsh.keys.toSet.subsetOf(exact.keys.toSet))
     val recall = exact.map { case (k, ex) =>
       lsh.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size
     }.sum / exact.size
+    // the scale claim: candidates per query stay a small corpus fraction
+    // (round-2 single-table shape probed 14%; the bar here is 2.5%)
+    val nVec = Tables(spark, sf01, "embeddings").count()
+    val nQueries = exact.size
+    val cands = queries.VectorOps.annLshCandidates(spark, sf01).count()
+    val frac = cands.toDouble / (nQueries * nVec)
+    info(f"RP-LSH mean recall vs exact top-5: $recall%.2f, candidate fraction $frac%.4f")
     assert(recall >= 0.2, s"mean recall $recall")
-    info(f"RP-LSH mean recall vs exact top-5: $recall%.2f")
+    assert(frac <= 0.025, f"candidate fraction $frac%.4f")
     // determinism: seeded hyperplanes -> identical output across runs
-    val r1 = q("q_llm_ann_lsh").collect().map(_.toString).sorted
-    val r2 = q("q_llm_ann_lsh").collect().map(_.toString).sorted
+    val r1 = q01("q_llm_ann_lsh").collect().map(_.toString).sorted
+    val r2 = q01("q_llm_ann_lsh").collect().map(_.toString).sorted
     assert(r1.sameElements(r2))
+  }
+
+  test("RpLshSig expression matches a straightforward Scala reference") {
+    import graft.functions.{RpLshKernel, RpLshSig}
+    val (l, bits, dim, seed) = (4, 16, 64, 7)
+    val rows = embDbl.limit(20)
+      .select(col("vec_id"), RpLshSig.rplshSig(spark, col("v"), l, bits, dim, seed).as("sigs"),
+        col("v"))
+      .as[(Long, Array[Int], Array[Double])].collect()
+    val planes = RpLshKernel.planes(l, bits, dim, seed)
+    rows.foreach { case (id, sigs, v) =>
+      assert(sigs.length == l)
+      for (t <- 0 until l; b <- 0 until bits) {
+        val off = (t * bits + b) * dim
+        val dot = (0 until dim).map(i => v(i) * planes(off + i)).sum
+        val bit = (sigs(t) >> b) & 1
+        assert(bit == (if (dot > 0) 1 else 0),
+          s"vec $id table $t bit $b: dot=$dot sig bit=$bit")
+      }
+    }
   }
 
   test("int8 quantization reconstructs within half a step") {
