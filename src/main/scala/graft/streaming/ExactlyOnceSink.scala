@@ -1,47 +1,164 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Exactly-once, Delta-protocol-style table sink (SURVEY.md §7.3).
   *
   * The delta-spark jar is absent offline, so the Delta commit protocol's
-  * essential guarantee — data files and the consumer's progress cursor
-  * commit in ONE atomic action (Delta's `add` + `txn{appId, version}`
-  * log entry) — is reproduced on public APIs:
+  * essential guarantees are reproduced on public APIs:
   *
   *   table/
-  *     data/batch=<id>/part-*.parquet   (written to a staging dir first)
-  *     _graft_log/<%020d batchId>.json  (atomic rename = the commit point)
+  *     data/batch=<id>/part-*.parquet   (streaming appends, hive layout)
+  *     data/files/<uuid>/part-*.parquet (optimistic commits, unique dirs)
+  *     _graft_log/<%020d version>.json  (exclusive creation = the commit)
   *
-  * A batch is visible iff its log entry exists. `process` is idempotent
-  * on batchId — a replayed micro-batch (crash between write and commit,
-  * Spark retries from the checkpoint WAL) sees the committed version and
-  * no-ops, which is exactly-once delivery end-to-end. Readers list the
-  * log, not the data dir, so half-written staging data is never visible.
+  * A batch is visible iff its log entry exists. Readers list the log,
+  * not the data dir, so staged/unclaimed data is never visible.
   *
-  * Single-writer (the deltasink scenario: one ingestion daemon per
-  * table); the atomic-rename commit generalizes to Delta's
-  * optimistic-concurrency loop if multiple writers are ever needed.
+  * Two writer protocols, matching Delta's:
+  *
+  *  1. **Streaming appends** (`process`, driven by foreachBatch):
+  *     idempotent on batchId — a replayed micro-batch (crash between
+  *     write and commit, Spark retries from the checkpoint WAL) sees the
+  *     committed version and no-ops. Spark guarantees one streaming
+  *     writer per (appId, table), so version = batchId.
+  *
+  *  2. **Multi-writer optimistic concurrency** (`commitAppend` /
+  *     `transactSnapshot`): data files land under a writer-unique
+  *     directory first, then the writer claims the next log version by
+  *     EXCLUSIVE creation of the version file (hard-link of a staged
+  *     entry — atomic, fails if the version exists). Losing a claim race
+  *     means another writer committed that version: appends simply
+  *     re-claim the next version (append⇄append never conflicts — the
+  *     Delta protocol's disjoint-files rule), while snapshot transactions
+  *     (merge/delete/compact) re-read the table and recompute before
+  *     retrying, because their output depends on the state they read.
+  *     The log is therefore linear and gap-free: a version file exists
+  *     only after its data is in place, and claims are dense because
+  *     every writer targets exactly `nextVersion()`.
+  *
+  * Every commit entry also records **per-file column stats** (min/max of
+  * numeric and string columns — the Delta data-skipping analog):
+  * `readSkipping` prunes committed files whose [min,max] range cannot
+  * intersect a predicate's bounds, so a selective read touches only the
+  * matching files instead of scanning the whole table (asserted in
+  * StreamingSpec). At 100 TB the stats in the log are what make the
+  * table queryable at all.
   */
 class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   private val logDir = Paths.get(tableDir, "_graft_log")
   private val dataDir = Paths.get(tableDir, "data")
 
-  private def logFile(batchId: Long): Path =
-    logDir.resolve(f"$batchId%020d.json")
+  private def logFile(version: Long): Path =
+    logDir.resolve(f"$version%020d.json")
 
   def committedVersions(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
     Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
+      .filter(f => f.endsWith(".json") && !f.startsWith("."))
       .map(_.stripSuffix(".json").toLong)
       .toSeq.sorted
   }
 
-  def isCommitted(batchId: Long): Boolean = Files.exists(logFile(batchId))
+  def isCommitted(version: Long): Boolean = Files.exists(logFile(version))
+
+  // ---------------------------------------------------------------------
+  // staging + stats
+  // ---------------------------------------------------------------------
+
+  /** Write df to a staging dir; return relative parquet paths (sorted). */
+  private def stage(df: DataFrame, staging: Path,
+      partitionBy: Seq[String]): Seq[Path] = {
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+    Files.walk(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .map(p => staging.relativize(p)).sortBy(_.toString)
+  }
+
+  /** Per-file min/max stats of every numeric/string top-level column,
+    * computed in ONE job over the staged files (groupBy input file).
+    * A real Delta writer collects these during the write itself; the
+    * single post-pass keeps the same log contents on public APIs. */
+  private def fileStats(spark: SparkSession, staging: Path)
+      : Map[String, Map[String, (String, String)]] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(staging.toString)
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType => true
+      case _ => false
+    }).map(_.name)
+    if (statCols.isEmpty) return Map.empty
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { r =>
+      val file = Paths.get(new java.net.URI(r.getString(0)).getPath)
+      val rel = staging.relativize(file).toString.replace("\\", "/")
+      rel -> statCols.map { c =>
+        c -> (Option(r.getAs[String](s"min_$c")).orNull,
+          Option(r.getAs[String](s"max_$c")).orNull)
+      }.toMap
+    }.toMap
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Commit-entry JSON: txn cursor + schema metaData + add actions with
+    * per-file stats + the commit's data dir (relative to data/). */
+  private def entryJson(df: DataFrame, version: Long, dir: String,
+      partitionBy: Seq[String], snapshot: Boolean,
+      adds: Seq[Path],
+      stats: Map[String, Map[String, (String, String)]]): String = {
+    val parts = partitionBy.map(jstr).mkString(",")
+    val op = if (snapshot) "SNAPSHOT" else "STREAMING UPDATE"
+    val addJson = adds.map { p =>
+      val rel = p.toString.replace("\\", "/")
+      val st = stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).map {
+        case (c, (lo, hi)) =>
+          val loJ = Option(lo).map(jstr).getOrElse("null")
+          val hiJ = Option(hi).map(jstr).getOrElse("null")
+          s"${jstr(c)}:{${jstr("min")}:$loJ,${jstr("max")}:$hiJ}"
+      }.mkString(",")
+      s"""{"path":${jstr(rel)},"stats":{$st}}"""
+    }.mkString(",")
+    s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
+      s""""snapshot":$snapshot,""" +
+      s""""metaData":{"schemaString":${df.schema.json},""" +
+      s""""partitionColumns":[$parts]},""" +
+      s""""dir":${jstr(dir)},""" +
+      s""""add":[$addJson],""" +
+      s""""commitInfo":{"operation":"$op","version":$version}}"""
+  }
+
+  /** THE commit point: exclusive creation of the version's log file via
+    * an atomic hard-link of the staged entry. Returns false if the
+    * version was already claimed (by a replay or another writer). */
+  private def claim(version: Long, entry: String): Boolean = {
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s".claim-$appId-${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, entry)
+    try { Files.createLink(logFile(version), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp) }
+  }
+
+  // ---------------------------------------------------------------------
+  // protocol 1: streaming appends (single writer per appId, idempotent)
+  // ---------------------------------------------------------------------
 
   /** foreachBatch body: write-then-commit, idempotent on batchId.
     * `partitionBy` columns produce hive-style subdirectories inside the
@@ -53,17 +170,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   private def process(df: DataFrame, batchId: Long, partitionBy: Seq[String],
       snapshot: Boolean): Unit = {
     if (isCommitted(batchId)) return // replay after crash → no-op
-    Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
 
     // 1. stage data files (invisible to readers — they go through the log)
     val staging = Paths.get(tableDir, s".staging-$batchId")
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging.toString)
-    val adds = Files.walk(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      .map(p => staging.relativize(p)).sortBy(_.toString)
+    val adds = stage(df, staging, partitionBy)
+    val stats = fileStats(df.sparkSession, staging)
 
     // 2. move into place under the batch's own directory
     val target = dataDir.resolve(s"batch=$batchId")
@@ -79,47 +191,166 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     }
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
 
-    // 3. THE commit: one atomic rename publishing add-actions + txn
-    //    cursor + table metadata (schema JSON is itself JSON — inlined)
-    val parts = partitionBy.map("\"" + _ + "\"").mkString(",")
-    val op = if (snapshot) "SNAPSHOT" else "STREAMING UPDATE"
-    val entry =
-      s"""{"txn":{"appId":"$appId","version":$batchId},""" +
-        s""""snapshot":$snapshot,""" +
-        s""""metaData":{"schemaString":${df.schema.json},""" +
-        s""""partitionColumns":[$parts]},""" +
-        s""""add":[${moved.map(p => "\"" + p.toString.replace("\\", "/") + "\"").mkString(",")}],""" +
-        s""""commitInfo":{"operation":"$op","batchId":$batchId}}"""
-    val tmp = logDir.resolve(s".${batchId}.json.tmp")
-    Files.writeString(tmp, entry)
-    Files.move(tmp, logFile(batchId), StandardCopyOption.ATOMIC_MOVE)
+    // 3. commit; a lost claim means a concurrent replay already committed
+    //    this batchId — exactly-once either way
+    claim(batchId, entryJson(df, batchId, s"batch=$batchId", partitionBy,
+      snapshot, moved, stats))
+  }
+
+  // ---------------------------------------------------------------------
+  // protocol 2: multi-writer optimistic concurrency
+  // ---------------------------------------------------------------------
+
+  /** Optimistically-committed append: safe under concurrent writers.
+    * Data is staged once under a writer-unique dir; the claim loop only
+    * re-targets the version number (append⇄append never conflicts).
+    * Returns the committed version. */
+  def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    Files.createDirectories(dataDir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = Paths.get(tableDir, s".staging-$uuid")
+    val adds = stage(df, staging, partitionBy)
+    val stats = fileStats(df.sparkSession, staging)
+    val dir = s"files/$uuid"
+    val target = dataDir.resolve(dir)
+    Files.createDirectories(target.getParent)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    var v = nextVersion()
+    while (!claim(v, entryJson(df, v, dir, partitionBy, snapshot = false,
+        adds, stats))) {
+      v = math.max(v + 1, nextVersion()) // lost the race — next version
+    }
+    v
+  }
+
+  /** Optimistic read-modify-write transaction (Delta's OCC loop): reads
+    * the live table, applies `f`, and commits the result as a snapshot
+    * at exactly the version following what was read. If another writer
+    * commits first, the read state is stale — re-read, recompute, retry.
+    * Returns the committed version. */
+  def transactSnapshot(spark: SparkSession, maxRetries: Int = 20)
+      (f: DataFrame => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      val expected = nextVersion()
+      val out = f(liveData(spark))
+      val uuid = java.util.UUID.randomUUID().toString
+      val staging = Paths.get(tableDir, s".staging-$uuid")
+      val adds = stage(out, staging, Nil)
+      val stats = fileStats(spark, staging)
+      val dir = s"files/$uuid"
+      Files.createDirectories(dataDir.resolve("files"))
+      Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
+      if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
+          adds, stats)))
+        return expected
+      // conflict: someone committed `expected` first → our snapshot was
+      // computed on stale state. Abandon the staged dir (never visible —
+      // a vacuum job reclaims it) and recompute.
+      attempt += 1
+      if (attempt > maxRetries)
+        sys.error(s"transactSnapshot: gave up after $maxRetries conflicts")
+    }
+    -1L // unreachable
+  }
+
+  // ---------------------------------------------------------------------
+  // read path
+  // ---------------------------------------------------------------------
+
+  private case class Commit(version: Long, dir: String, snapshot: Boolean,
+      adds: Seq[(String, Map[String, (Option[String], Option[String])])])
+
+  private def parseCommit(v: Long): Commit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Files.readString(logFile(v)))
+    val dir = (j \ "dir") match {
+      case JString(s) => s
+      case _ => s"batch=$v" // pre-dir log entries
+    }
+    val snap = (j \ "snapshot") match {
+      case JBool(b) => b
+      case _ => false
+    }
+    val adds = (j \ "add") match {
+      case JArray(items) => items.map {
+        case JString(p) => (p, Map.empty[String, (Option[String], Option[String])])
+        case o: JObject =>
+          val path = (o \ "path") match { case JString(p) => p; case _ => "" }
+          val stats = (o \ "stats") match {
+            case JObject(fields) => fields.map { case (c, st) =>
+              def s(k: String) = (st \ k) match {
+                case JString(x) => Some(x); case _ => None
+              }
+              c -> (s("min"), s("max"))
+            }.toMap
+            case _ => Map.empty[String, (Option[String], Option[String])]
+          }
+          (path, stats)
+        case _ => ("", Map.empty[String, (Option[String], Option[String])])
+      }
+      case _ => Nil
+    }
+    Commit(v, dir, snap, adds)
+  }
+
+  /** Committed commits visible at `versionAsOf`, snapshot-compaction
+    * applied (a snapshot REPLACES everything before it — Delta's
+    * copy-on-write rewrite narrowed to full-table snapshots). */
+  private def visibleCommits(versionAsOf: Option[Long]): Seq[Commit] = {
+    val all = committedVersions()
+      .filter(v => versionAsOf.forall(v <= _))
+      .map(parseCommit)
+    all.filter(_.snapshot).lastOption
+      .map(sc => all.filter(_.version >= sc.version)).getOrElse(all)
   }
 
   /** Read the committed table state (only data referenced by the log);
-    * `versionAsOf` time-travels to the state after that batch committed.
-    * `batch` surfaces as a partition column (basePath discovery) — the
-    * version cursor is queryable like any Delta partition.
-    * `mergeSchema` = Delta-style schema evolution on read: batches
-    * written with widened schemas union into one (missing columns null),
-    * per the schemaString each commit's metaData action records. */
-  def read(spark: org.apache.spark.sql.SparkSession,
+    * `versionAsOf` time-travels to the state after that version
+    * committed. The commit version surfaces as a `batch` column.
+    * `mergeSchema` = Delta-style schema evolution on read: commits
+    * written with widened schemas union into one (missing columns
+    * null), per the schemaString each commit's metaData records. */
+  def read(spark: SparkSession,
       versionAsOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val all = committedVersions()
-      .filter(v => versionAsOf.forall(v <= _))
-    // A snapshot commit REPLACES everything before it (Delta's
-    // copy-on-write rewrite, narrowed to a full-table snapshot): the
-    // live state is the last snapshot plus appends after it.
-    val fromSnapshot = all.filter(isSnapshot).lastOption
-      .map(sv => all.filter(_ >= sv)).getOrElse(all)
-    val dirs = fromSnapshot.map(v => dataDir.resolve(s"batch=$v").toString)
-    if (dirs.isEmpty)
-      spark.emptyDataFrame
-    else
+    import org.apache.spark.sql.functions.lit
+    val commits = visibleCommits(versionAsOf)
+    if (commits.isEmpty) return spark.emptyDataFrame
+    commits.map { c =>
       spark.read
-        .option("basePath", dataDir.toString)
         .option("mergeSchema", mergeSchema.toString)
-        .parquet(dirs: _*)
+        .parquet(dataDir.resolve(c.dir).toString)
+        .withColumn("batch", lit(c.version).cast("int"))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Stat-skipped read: prune committed files whose recorded [min,max]
+    * for `column` cannot intersect [lower, upper] (string-compared for
+    * strings, numerically for numerics — the comparison mirrors how the
+    * stats were written). Files with no stats for the column are kept
+    * (skipping must be conservative). The predicate itself still needs
+    * applying by the caller — this is file pruning, not filtering. */
+  def readSkipping(spark: SparkSession, column: String,
+      lower: Double, upper: Double): DataFrame = {
+    val commits = visibleCommits(None)
+    val files = commits.flatMap { c =>
+      c.adds.collect {
+        case (path, stats) if keepFile(stats.get(column), lower, upper) =>
+          dataDir.resolve(c.dir).resolve(path).toString
+      }
+    }
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  private def keepFile(stat: Option[(Option[String], Option[String])],
+      lower: Double, upper: Double): Boolean = stat match {
+    case Some((Some(lo), Some(hi))) =>
+      try { !(hi.toDouble < lower || lo.toDouble > upper) }
+      catch { case _: NumberFormatException => true } // non-numeric: keep
+    case _ => true // no stats recorded → cannot skip
   }
 
   private def isSnapshot(v: Long): Boolean =
@@ -128,45 +359,31 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   private def nextVersion(): Long =
     committedVersions().lastOption.map(_ + 1).getOrElse(0L)
 
-  /** Live state without the `batch` version-cursor partition column
-    * (which read() surfaces via basePath discovery). */
-  private def liveData(spark: org.apache.spark.sql.SparkSession): DataFrame =
+  /** Live state without the `batch` version-cursor column. */
+  private def liveData(spark: SparkSession): DataFrame =
     read(spark).drop("batch")
 
   /** MERGE (upsert): rows of `updates` replace committed rows sharing
-    * the same key; non-matching update rows insert. Implemented as a
-    * full-state rewrite committed as one snapshot version — Delta's
-    * copy-on-write merge narrowed to the single-writer/full-rewrite
-    * case. Time travel still sees every prior version. */
-  def merge(spark: org.apache.spark.sql.SparkSession,
-      updates: DataFrame, keys: Seq[String]): Long = {
+    * the same key; non-matching update rows insert. Runs through the
+    * optimistic snapshot transaction — concurrent writers retry on
+    * conflict. Time travel still sees every prior version. */
+  def merge(spark: SparkSession, updates: DataFrame, keys: Seq[String]): Long = {
     import org.apache.spark.sql.functions.col
-    val current = liveData(spark)
-    val merged =
+    transactSnapshot(spark) { current =>
       if (current.isEmpty) updates
       else current.join(updates.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(updates)
-    val v = nextVersion()
-    process(merged, v, Nil, snapshot = true)
-    v
+    }
   }
 
   /** DELETE rows matching the predicate; snapshot-commit the remainder. */
-  def delete(spark: org.apache.spark.sql.SparkSession,
-      predicate: org.apache.spark.sql.Column): Long = {
-    val remaining = liveData(spark).filter(!predicate)
-    val v = nextVersion()
-    process(remaining, v, Nil, snapshot = true)
-    v
-  }
+  def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
+    transactSnapshot(spark)(_.filter(!predicate))
 
   /** Compact the live state (many small append batches → one snapshot);
     * semantically a no-op, physically the Delta OPTIMIZE analog. */
-  def compact(spark: org.apache.spark.sql.SparkSession): Long = {
-    val v = nextVersion()
-    process(liveData(spark), v, Nil, snapshot = true)
-    v
-  }
+  def compact(spark: SparkSession): Long =
+    transactSnapshot(spark)(identity)
 
   /** Table schema as recorded by the latest commit's metaData action. */
   def latestSchema(): Option[org.apache.spark.sql.types.StructType] =

@@ -122,6 +122,90 @@ class StreamingSpec extends SparkSpecBase {
     assert(v1 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("two concurrent optimistic writers produce a linear, gap-free history") {
+    val tableDir = tmp("graft-occ")
+    val perWriter = 6
+    def writer(id: String): Seq[Long] = {
+      val sink = new ExactlyOnceSink(tableDir, appId = id)
+      (0 until perWriter).map { i =>
+        sink.commitAppend(Seq((id, i)).toDF("writer", "seq"))
+      }
+    }
+    // interleave the two writers on real threads: every commitAppend races
+    // for the next log version via exclusive file creation
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val (f1, f2) = (Future(writer("w1")), Future(writer("w2")))
+    val (v1, v2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    val sink = new ExactlyOnceSink(tableDir)
+    // gap-free and linear: exactly versions 0..2N-1, no duplicates
+    assert(sink.committedVersions() == (0L until 2L * perWriter),
+      s"history not linear: ${sink.committedVersions()}")
+    // the two writers' claimed versions partition the history
+    assert((v1 ++ v2).sorted == (0L until 2L * perWriter))
+    assert(v1.toSet.intersect(v2.toSet).isEmpty)
+    // every committed row is present exactly once
+    val rows = sink.read(spark).select("writer", "seq")
+      .as[(String, Int)].collect().toSeq
+    assert(rows.size == 2 * perWriter)
+    assert(rows.toSet == (0 until perWriter)
+      .flatMap(i => Seq(("w1", i), ("w2", i))).toSet)
+  }
+
+  test("concurrent snapshot transactions (OCC) retry on conflict, losing no update") {
+    val tableDir = tmp("graft-occ-snap")
+    val seed = new ExactlyOnceSink(tableDir, appId = "seed")
+    seed.process(Seq((0L, 0.0)).toDF("id", "v"), 0L)
+    // two writers each run counter-increment-style merges concurrently;
+    // OCC must serialize them (each retry re-reads the latest state)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def bump(writer: String, rounds: Int) = Future {
+      val sink = new ExactlyOnceSink(tableDir, appId = writer)
+      (1 to rounds).foreach { _ =>
+        sink.transactSnapshot(spark) { cur =>
+          cur.withColumn("v", col("v") + 1.0)
+        }
+      }
+    }
+    Await.result(Future.sequence(Seq(bump("a", 4), bump("b", 4))), 5.minutes)
+    val sink = new ExactlyOnceSink(tableDir)
+    // 8 serialized increments happened-before the final state
+    val v = sink.read(spark).select("v").as[Double].head()
+    assert(v == 8.0, s"lost update: v = $v (want 8.0)")
+    // and the version history is still contiguous: 0 + 8 snapshots
+    assert(sink.committedVersions() == (0L to 8L))
+  }
+
+  test("commit-log file stats skip non-matching files on read") {
+    val tableDir = tmp("graft-skip")
+    val sink = new ExactlyOnceSink(tableDir)
+    // three commits with disjoint id ranges -> disjoint min/max stats
+    sink.process(spark.range(0, 100).toDF("id").withColumn("tag", lit("lo")), 0L)
+    sink.process(spark.range(1000, 1100).toDF("id").withColumn("tag", lit("mid")), 1L)
+    sink.process(spark.range(5000, 5100).toDF("id").withColumn("tag", lit("hi")), 2L)
+    val full = sink.read(spark)
+    assert(full.count() == 300)
+    val allFiles = full.inputFiles.toSet
+    // a predicate inside the middle commit's range must touch ONLY files
+    // whose recorded [min,max] intersect it
+    val pruned = sink.readSkipping(spark, "id", 1000, 1050)
+    val prunedFiles = pruned.inputFiles.toSet
+    assert(prunedFiles.nonEmpty && prunedFiles.subsetOf(allFiles))
+    assert(prunedFiles.forall(_.contains("batch=1")),
+      s"stat skipping read outside batch=1: $prunedFiles")
+    assert(prunedFiles.size < allFiles.size,
+      "no files were skipped")
+    // the surviving files still contain every matching row
+    assert(pruned.filter(col("id").between(1000, 1050)).count() == 51)
+    // a range matching nothing reads nothing
+    assert(sink.readSkipping(spark, "id", 900, 950).inputFiles.isEmpty)
+  }
+
   test("watermark drops events later than the lateness bound") {
     val input = MemoryStream[(Timestamp, Long)](1, spark, None)
     val agg = input.toDF().toDF("ts", "v")
