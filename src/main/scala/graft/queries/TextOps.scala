@@ -291,78 +291,12 @@ object TextOps {
     "q_llm_dup_groups" -> ((s, d) => {
       val (pairRel, docsHandle) = jaccardPairsWithHandle(s, d)
       val edges = pairRel.select(col("d1").as("src"), col("d2").as("dst"))
-      // Edges are hash-partitioned on dst ONCE and cached: every round's
-      // edge⋈label join then co-locates on the cached layout and only
-      // the (small) label table moves — the partitioning-reuse design
-      // that keeps per-round cost at one map-side-combined shuffle of
-      // the per-vertex minima instead of re-shuffling the edge set.
-      val both = edges
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("dst"))
-        .persist()
-      // Materialize the edge cache now, then drop the tokenized-docs
-      // cache it was built from — the loop only ever reads `both`.
-      both.count()
+      val ids = t(s, d, "documents").select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.run(ids, edges)
+      // the CC run has materialized its edge cache; the tokenized-docs
+      // cache it was built from is dead
       docsHandle.unpersist(blocking = false)
-      // localCheckpoint blocks freed as soon as a round no longer needs
-      // them (round-2 verdict: ~40 uncollected checkpoint RDDs per run).
-      def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-        df.queryExecution.analyzed.collectFirst {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }
-      // Iterative lineage control: each round's label table is
-      // localCheckpoint'ed (eager), truncating the logical plan to an
-      // RDD leaf. Without this the plan doubles per round (the label
-      // relation appears twice: neighbor-min + pointer jump) and
-      // driver-side analysis/cache matching grows superlinearly —
-      // observed 100s+ spent planning round 3 on a 5000-row table. On a
-      // cluster this is reliable-storage checkpointing, same idiom as
-      // GraphFrames' iterative algorithms.
-      var labels = t(s, d, "documents")
-        .select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint()
-      var labelsRdd = backingRdd(labels)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 20) {
-        val nbrMin = both
-          .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-        // checkpointed: the jump join reads it twice — without the
-        // materialization the full edge pass would run 2x
-        val stepped = labels
-          .join(nbrMin.select(col("src").as("doc_id"), col("nmin")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"))
-          .localCheckpoint()
-        // pointer jump: label <- label(label). Neighbor-min alone needs
-        // O(diameter) rounds; composing with one jump per round brings
-        // convergence to ~log(diameter) rounds.
-        val next = stepped
-          .join(stepped.select(col("doc_id").as("label"),
-            col("label").as("label2")), Seq("label"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label2"), col("label")).as("label"),
-            when(coalesce(col("label2"), col("label")) < col("old"), 1L)
-              .otherwise(0L).as("chg"))
-          .localCheckpoint()
-        val rt0 = System.nanoTime()
-        changed = next.agg(sum(col("chg"))).head().getLong(0)
-        if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(f"[cc] round $rounds%d changed=$changed%d took ${(System.nanoTime() - rt0) / 1e9}%.2f s")
-        // `next` is materialized (eager checkpoint + the agg above), so
-        // this round's intermediate and the previous labels are dead.
-        backingRdd(stepped).foreach(_.unpersist(blocking = false))
-        labelsRdd.foreach(_.unpersist(blocking = false))
-        labels = next.select(col("doc_id"), col("label"))
-        labelsRdd = backingRdd(next)
-        rounds += 1
-      }
-      // the fixpoint labels are checkpointed; the edge cache is dead
-      both.unpersist(blocking = false)
-      labels.select(col("doc_id"), col("label").as("canonical"))
+      labels.select(col("id").as("doc_id"), col("label").as("canonical"))
         .withColumn("is_canonical",
           when(col("doc_id") === col("canonical"), 1).otherwise(0))
         .orderBy("doc_id")

@@ -33,6 +33,34 @@ object VectorOps {
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
 
+  /** Exact embedding near-dup pairs (v1 < v2, cosine ≥ 0.4) via the
+    * B×B block-grid join — shared by q_llm_cosine_dup and the
+    * q_llm_semdedup clustering. See the q_llm_cosine_dup entry for the
+    * full design rationale. Returns (v1, v2, sim) with sim unrounded. */
+  private def cosineDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 8
+    val grid = (for { i <- 0 until B; j <- i until B } yield (i * B + j, i, j))
+      .toDF("pid", "ba", "bb")
+    val e = emb(s, d)
+      .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    val a2 = e.select(col("vec_id").as("v1"), col("v").as("va"),
+        col("blk").as("ba"))
+      .join(broadcast(grid), Seq("ba"))
+    val b2 = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+        col("blk").as("bj"))
+      .join(broadcast(grid.select(col("pid").as("pid2"), col("bb").as("bj"))),
+        Seq("bj"))
+    // cross-block pairs appear exactly once (a-side holds the smaller
+    // block); in-block tiles dedup via v1 < v2
+    a2.join(b2, col("pid") === col("pid2")
+        && (col("ba") < col("bb") || col("v1") < col("v2")))
+      .select(least(col("v1"), col("v2")).as("v1"),
+        greatest(col("v1"), col("v2")).as("v2"),
+        CosineSimilarity.cosineSim(s, col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.4)
+  }
+
   /** Multi-table RP-LSH parameters (q_llm_ann_lsh): L tables × BITS-bit
     * signatures, queries probe the Hamming ≤ HD ball per table. */
   private val LshTables = 10
@@ -117,30 +145,28 @@ object VectorOps {
     // embarrassingly parallel instead of driver-broadcast. The
     // sub-quadratic paths are the declared approximate ops
     // (q_llm_ann_ivf / q_llm_ann_lsh).
-    "q_llm_cosine_dup" -> ((s, d) => {
-      import s.implicits._
-      val B = 8
-      val grid = (for { i <- 0 until B; j <- i until B } yield (i * B + j, i, j))
-        .toDF("pid", "ba", "bb")
-      val e = emb(s, d)
-        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
-      val a2 = e.select(col("vec_id").as("v1"), col("v").as("va"),
-          col("blk").as("ba"))
-        .join(broadcast(grid), Seq("ba"))
-      val b2 = e.select(col("vec_id").as("v2"), col("v").as("vb"),
-          col("blk").as("bj"))
-        .join(broadcast(grid.select(col("pid").as("pid2"), col("bb").as("bj"))),
-          Seq("bj"))
-      // cross-block pairs appear exactly once (a-side holds the smaller
-      // block); in-block tiles dedup via v1 < v2
-      a2.join(b2, col("pid") === col("pid2")
-          && (col("ba") < col("bb") || col("v1") < col("v2")))
-        .select(least(col("v1"), col("v2")).as("v1"),
-          greatest(col("v1"), col("v2")).as("v2"),
-          CosineSimilarity.cosineSim(s, col("va"), col("vb")).as("sim"))
-        .filter(col("sim") >= 0.4)
+    "q_llm_cosine_dup" -> ((s, d) =>
+      cosineDupPairs(s, d)
         .select(col("v1"), col("v2"), Det.r(col("sim"), 4).as("sim"))
-        .orderBy("v1", "v2")
+        .orderBy("v1", "v2")),
+
+    // SemDeDup-style semantic deduplication (Abbas et al. '23 shape):
+    // connected components over the embedding near-dup pair graph → one
+    // kept representative (component-min vec_id) per semantic cluster —
+    // the embedding-space analog of q_llm_dup_groups, sharing the same
+    // distributed hash-min CC operator. Pairs come from the exact grid
+    // join (cosineDupPairs); at 100 TB the pair stage swaps to ANN
+    // blocking while the clustering stage is unchanged. Oracle: DuckDB
+    // recursive-CTE transitive closure over the brute-force pair graph.
+    "q_llm_semdedup" -> ((s, d) => {
+      val edges = cosineDupPairs(s, d)
+        .select(col("v1").as("src"), col("v2").as("dst"))
+      val ids = emb(s, d).select(col("vec_id").as("id"))
+      graft.operators.ConnectedComponents.run(ids, edges)
+        .select(col("id").as("vec_id"), col("label").as("canonical"))
+        .withColumn("is_kept",
+          when(col("vec_id") === col("canonical"), 1).otherwise(0))
+        .orderBy("vec_id")
     }),
 
     // Label centroids + mean cosine of members to their own centroid
@@ -315,6 +341,24 @@ object VectorOps {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY v1, v2""",
+    "q_llm_semdedup" ->
+      """WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                      FROM e a JOIN e b ON a.vec_id < b.vec_id
+                      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+                      WHERE e2.b <> r.a)
+         SELECT ee.vec_id,
+                LEAST(ee.vec_id, COALESCE(min(r.b), ee.vec_id)) AS canonical,
+                CASE WHEN LEAST(ee.vec_id, COALESCE(min(r.b), ee.vec_id)) = ee.vec_id
+                     THEN 1 ELSE 0 END AS is_kept
+         FROM embeddings ee LEFT JOIN reach r ON r.a = ee.vec_id
+         GROUP BY ee.vec_id ORDER BY ee.vec_id""",
     "q_llm_knn_label" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
             x AS (SELECT vec_id, label, i, v[i] AS val

@@ -385,6 +385,40 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   def compact(spark: SparkSession): Long =
     transactSnapshot(spark)(identity)
 
+  /** VACUUM analog: delete data that no committed version references —
+    * abandoned OCC staging dirs (lost snapshot races) and, with
+    * `retainHistory = false`, data dirs superseded by a later snapshot
+    * (after which time travel before that snapshot is gone, exactly as
+    * Delta's VACUUM breaks time travel past the retention window).
+    * Returns the number of directories removed. Never touches dirs a
+    * visible commit references, so readers are unaffected. */
+  def vacuum(retainHistory: Boolean = true): Int = {
+    val commits = committedVersions().map(parseCommit)
+    val referenced: Set[String] =
+      (if (retainHistory) commits
+       else commits.filter(_.snapshot).lastOption
+         .map(sc => commits.filter(_.version >= sc.version)).getOrElse(commits))
+        .map(_.dir).toSet
+    def purge(p: Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    var removed = 0
+    // abandoned staging dirs (crashed or lost-race writers)
+    Files.list(Paths.get(tableDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".staging-"))
+      .foreach { p => purge(p); removed += 1 }
+    // unreferenced data dirs
+    val roots = Seq(dataDir, dataDir.resolve("files")).filter(Files.isDirectory(_))
+    roots.foreach { root =>
+      Files.list(root).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString != "files")
+        .foreach { p =>
+          val rel = dataDir.relativize(p).toString.replace("\\", "/")
+          if (!referenced.contains(rel)) { purge(p); removed += 1 }
+        }
+    }
+    removed
+  }
+
   /** Table schema as recorded by the latest commit's metaData action. */
   def latestSchema(): Option[org.apache.spark.sql.types.StructType] =
     committedVersions().lastOption.map { v =>

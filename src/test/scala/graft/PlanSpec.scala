@@ -123,6 +123,40 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact-dim join") {
+    // The 100 TB shuffle-reduction lever: when one join side is small
+    // after filtering, Catalyst builds a bloom filter from it at runtime
+    // and pushes a might-contain probe into the big side's scan, cutting
+    // the shuffled fact rows before the join. Thresholds are sized for
+    // clusters; lower them to demonstrate the plan shape on test data.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "100MB")
+      conf.set(keys(2), "true")
+      // a broadcast join needs no bloom filter (the small side ships
+      // whole); force the shuffle-join shape the filter exists for
+      conf.set(keys(3), "-1")
+      val orders = Tables(spark, sf, "orders")
+        .filter(col("o_totalprice") > 300000) // selective creation side
+      val li = Tables(spark, sf, "lineitem")
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        "no runtime bloom filter injected:\n" + p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that

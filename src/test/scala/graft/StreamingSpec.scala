@@ -181,6 +181,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.committedVersions() == (0L to 8L))
   }
 
+  test("vacuum removes only unreferenced data; readers unaffected") {
+    val tableDir = tmp("graft-vacuum")
+    val sink = new ExactlyOnceSink(tableDir)
+    sink.process(Seq((1L, "a")).toDF("id", "x"), 0L)
+    sink.commitAppend(Seq((2L, "b")).toDF("id", "x"))
+    // an abandoned staging dir (crashed writer) + an orphan OCC data dir
+    // (lost snapshot race, never committed)
+    Files.createDirectories(Paths.get(tableDir, ".staging-dead"))
+    val orphan = Paths.get(tableDir, "data", "files", "orphan-uuid")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "junk")
+    val before = sink.read(spark).select("id").as[Long].collect().toSet
+    assert(sink.vacuum() == 2) // staging + orphan, nothing referenced
+    assert(!Files.exists(orphan) && !Files.exists(Paths.get(tableDir, ".staging-dead")))
+    assert(sink.read(spark).select("id").as[Long].collect().toSet == before)
+    // compact, then vacuum without history: pre-snapshot dirs reclaimed
+    sink.compact(spark)
+    assert(sink.vacuum(retainHistory = false) == 2) // batch=0 + the append dir
+    assert(sink.read(spark).select("id").as[Long].collect().toSet == before)
+  }
+
   test("commit-log file stats skip non-matching files on read") {
     val tableDir = tmp("graft-skip")
     val sink = new ExactlyOnceSink(tableDir)
