@@ -391,6 +391,74 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    // check every training pipeline runs): docs sharing ≥ 3 distinct
+    // 3-shingles with any doc of the held-out eval set (here: doc_id
+    // < 20) are flagged with their worst offending eval doc. Relational
+    // shape: shingle-explode both sides once, equality join on the
+    // shingle, count distinct shared shingles per (doc, eval) pair —
+    // shuffles on shingle and (doc,eval) only, and the eval side of the
+    // join is tiny (broadcast at scale). Self-matches excluded so the
+    // eval docs themselves don't report contamination.
+    "q_llm_decontaminate" -> ((s, d) => {
+      val tks = col("toks")
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(when(size(tks) >= 3,
+            array_distinct(transform(sequence(lit(0), size(tks) - 3),
+              i => concat_ws(" ", element_at(tks, i + 1),
+                element_at(tks, i + 2), element_at(tks, i + 3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      val eval_ = sh.filter(col("doc_id") < 20)
+        .select(col("sh"), col("doc_id").as("eval_id"))
+      val hits = sh.join(broadcast(eval_), Seq("sh"))
+        .filter(col("doc_id") =!= col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+        .filter(col("n_shared") >= 3)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n_shared").desc, col("eval_id").asc)
+      hits.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("eval_id").as("worst_eval"),
+          col("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-sequence packing: greedy first-fit of whole documents
+    // into fixed-capacity context windows (2048 whitespace tokens),
+    // per `source` shard in doc_id order — the standard pre-training
+    // batching step. Packing is inherently sequential WITHIN a shard
+    // (each placement depends on the running fill), so this is the one
+    // operator implemented on the typed API: groupByKey(source) +
+    // flatMapSortedGroups streams each shard's docs through a
+    // constant-memory fold, while shards pack in parallel across the
+    // cluster — exactly how a 100 TB corpus is packed (shard count
+    // scales with executors; no shard's doc list ever materializes).
+    // Oracle: DuckDB recursive CTE running the identical recurrence.
+    "q_llm_pack" -> ((s, d) => {
+      import s.implicits._
+      val C = 2048
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .as[(Long, String, Int)]
+        .groupByKey(_._2)
+        .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+          var seq = 0
+          var fill = 0
+          var first = true
+          it.map { case (id, _, n) =>
+            if (first) { first = false; fill = n; (id, src, n, 0, 0) }
+            else if (fill + n <= C) {
+              val off = fill; fill += n; (id, src, n, seq, off)
+            } else { seq += 1; fill = n; (id, src, n, seq, 0) }
+          }
+        }
+        .toDF("doc_id", "source", "n_tokens", "seq_id", "offset")
+        .orderBy("doc_id")
+    }),
+
     // Text normalization (the canonical pre-dedup cleaning stage):
     // lowercase → strip non-alphanumerics → collapse whitespace → trim.
     // Map-only; at 100 TB this is a pure scan-side projection.
@@ -614,6 +682,41 @@ object TextOps {
                   FROM scored)
          SELECT doc_id, term, floor(tfidf * 1000000 + 0.5) / 1000000 AS tfidf
          FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q_llm_pack" ->
+      """WITH RECURSIVE
+            d AS (SELECT doc_id, source,
+                         CAST(len(string_split(text, ' ')) AS INT) AS n,
+                         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                  FROM documents),
+            pack AS (
+              SELECT doc_id, source, n, rn,
+                     0 AS seq_id, 0 AS off, n AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.source, d.n, d.rn,
+                     CASE WHEN p.fill + d.n <= 2048 THEN p.seq_id ELSE p.seq_id + 1 END,
+                     CASE WHEN p.fill + d.n <= 2048 THEN p.fill ELSE 0 END,
+                     CASE WHEN p.fill + d.n <= 2048 THEN p.fill + d.n ELSE d.n END
+              FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+         SELECT doc_id, source, n AS n_tokens,
+                CAST(seq_id AS INT) AS seq_id, CAST(off AS INT) AS offset
+         FROM pack ORDER BY doc_id""",
+    "q_llm_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                     THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE []::VARCHAR[] END) AS sh
+                   FROM tok),
+            ev AS (SELECT sh, doc_id AS eval_id FROM sh WHERE doc_id < 20),
+            hits AS (SELECT s.doc_id, ev.eval_id, count(*) AS n_shared
+                     FROM sh s JOIN ev ON s.sh = ev.sh AND s.doc_id <> ev.eval_id
+                     GROUP BY 1, 2
+                     HAVING count(*) >= 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n_shared DESC, eval_id) AS rk FROM hits)
+         SELECT doc_id, eval_id AS worst_eval, n_shared
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
     "q_llm_normalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(lower(text),
