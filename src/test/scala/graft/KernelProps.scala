@@ -92,6 +92,48 @@ object KernelProps extends Properties("graft.kernels") {
       interSize(a, b) <= math.min(a.length, b.length)
     }
 
+  private val unitVec: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0))
+      .suchThat(v => v.map(x => x * x).sum > 1e-6)
+      .map(_.toArray)
+
+  private def rpSig(v: Array[Double]): Seq[Int] = {
+    val planes = graft.functions.RpLshKernel.planes(4, 8, 16, 99L)
+    graft.functions.RpLshKernel
+      .compute(new GenericArrayData(v), planes, 4, 8)
+      .toIntArray().toSeq
+  }
+
+  property("rplsh: signature is invariant under positive scaling") =
+    forAll(unitVec, Gen.chooseNum(0.001, 1000.0)) { (v, c) =>
+      // sign(<cv, h>) == sign(<v, h>) for c > 0: LSH for COSINE must not
+      // see vector magnitude
+      rpSig(v) == rpSig(v.map(_ * c))
+    }
+
+  property("rplsh: negation flips every signature bit") =
+    forAll(unitVec) { v =>
+      // sign-LSH of -v is the bitwise complement (over the 8 used bits)
+      // unless some projection is exactly zero (measure-zero; generator
+      // values make it impossible in practice)
+      rpSig(v).zip(rpSig(v.map(-_))).forall { case (a, b) => (a ^ b) == 0xFF }
+    }
+
+  property("rplsh: per-table planes are orthonormal") =
+    Prop {
+      val (l, bits, dim) = (3, 8, 16)
+      val p = graft.functions.RpLshKernel.planes(l, bits, dim, 7L)
+      (0 until l).forall { t =>
+        (0 until bits).forall { i =>
+          (i until bits).forall { j =>
+            val dot = (0 until dim).map(k =>
+              p((t * bits + i) * dim + k) * p((t * bits + j) * dim + k)).sum
+            if (i == j) math.abs(dot - 1.0) < 1e-9 else math.abs(dot) < 1e-9
+          }
+        }
+      }
+    }
+
   property("minhash estimates Jaccard: identical sets agree on all slots") =
     forAll(tokenSet) { xs =>
       val a = sig(xs); val b = sig(scala.util.Random.shuffle(xs))
