@@ -123,6 +123,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_llm_decontaminate broadcasts the eval shingle side") {
+    // the eval set is tiny by construction — its shingles must ship to
+    // the corpus scan, never shuffle the corpus to the eval set
+    val p = physical("q_llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // and the per-doc top-1 must pre-rank before the shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("q_llm_pack shuffles once into the per-shard fold") {
+    // groupByKey(source) + flatMapSortedGroups: exactly one Exchange
+    // feeds MapGroups (plus the final presentation sort) — the packing
+    // fold itself never re-shuffles
+    val p = physical("q_llm_pack")
+    assert(p.contains("MapGroups"), p.take(3000))
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"pack plans $exchanges exchanges:\n" + p.take(3000))
+  }
+
   test("runtime bloom-filter pruning injects on a selective fact-dim join") {
     // The 100 TB shuffle-reduction lever: when one join side is small
     // after filtering, Catalyst builds a bloom filter from it at runtime
