@@ -80,33 +80,49 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       .map(p => staging.relativize(p)).sortBy(_.toString)
   }
 
-  /** Per-file min/max stats of every numeric/string top-level column,
-    * computed in ONE job over the staged files (groupBy input file).
-    * A real Delta writer collects these during the write itself; the
-    * single post-pass keeps the same log contents on public APIs. */
+  /** Per-file min/max column stats read from the PARQUET FOOTERS of the
+    * staged files — metadata-only, no data pass (the executors already
+    * wrote row-group statistics during the write, exactly the stats a
+    * real Delta writer records). Row-group stats merge per file; columns
+    * without usable stats are simply absent (skipping stays
+    * conservative). Stored as strings; numeric comparison happens at
+    * read time (readSkipping). */
   private def fileStats(spark: SparkSession, staging: Path)
       : Map[String, Map[String, (String, String)]] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
-    val df = spark.read.parquet(staging.toString)
-    val statCols = df.schema.fields.filter(f => f.dataType match {
-      case _: NumericType | StringType | DateType | TimestampType => true
-      case _ => false
-    }).map(_.name)
-    if (statCols.isEmpty) return Map.empty
-    val aggs = statCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")))
-    val rows = df.groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    rows.map { r =>
-      val file = Paths.get(new java.net.URI(r.getString(0)).getPath)
-      val rel = staging.relativize(file).toString.replace("\\", "/")
-      rel -> statCols.map { c =>
-        c -> (Option(r.getAs[String](s"min_$c")).orNull,
-          Option(r.getAs[String](s"max_$c")).orNull)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+    def render(v: Any): String = v match {
+      case b: Binary => b.toStringUsingUTF8
+      case x => String.valueOf(x)
+    }
+    Files.walk(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).map { file =>
+        val rel = staging.relativize(file).toString.replace("\\", "/")
+        val stats = scala.collection.mutable
+          .Map[String, org.apache.parquet.column.statistics.Statistics[_]]()
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toUri), conf))
+        try {
+          for (block <- reader.getFooter.getBlocks.asScala;
+               chunk <- block.getColumns.asScala) {
+            val st = chunk.getStatistics
+            // nested paths (a.b) are skipped: top-level scalar stats only
+            val name = chunk.getPath.toDotString
+            if (st != null && st.hasNonNullValue && !name.contains(".")) {
+              stats.get(name) match {
+                case None => stats(name) = st.copy()
+                case Some(acc) => acc.mergeStatistics(
+                  st.asInstanceOf[org.apache.parquet.column.statistics.Statistics[Nothing]])
+              }
+            }
+          }
+        } finally reader.close()
+        rel -> stats.toMap.map { case (c, st) =>
+          c -> (render(st.genericGetMin), render(st.genericGetMax))
+        }
       }.toMap
-    }.toMap
   }
 
   private def jstr(s: String): String =
