@@ -165,6 +165,16 @@ object ExtendedOps {
     // 100 TB-scale revenue sum), and no .xx5 rounding boundary is ever
     // crossed. double→decimal(12,2) casts cannot tie either: a binary
     // double is never exactly x.yz5.
+    //
+    // The OUTPUT columns are cast decimal→double at the very end: the
+    // driver's hash compare reads the Spark parquet and the DuckDB result
+    // through different client paths (arrow decimal128 objects vs float64
+    // frames), which hash-mismatch on value-equal DECIMAL cells (observed
+    // round 3: rows+schema matched, hash didn't; tools/check.py cell
+    // compare passes). decimal→double is the correctly-rounded nearest
+    // double of the exact decimal in BOTH engines (scaled integer ≤ 2^53
+    // divided by 10^scale — one exact division), so the cast is portable
+    // and the decimal arithmetic stays the tested surface.
     "q_decimal_money" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"),
@@ -178,8 +188,8 @@ object ExtendedOps {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .withColumn("net", col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
         .groupBy("n_name")
-        .agg(sum(col("net")).cast("decimal(22,4)").as("revenue"),
-          max(col("price")).cast("decimal(12,2)").as("max_price"),
+        .agg(sum(col("net")).cast("decimal(22,4)").cast("double").as("revenue"),
+          max(col("price")).cast("decimal(12,2)").cast("double").as("max_price"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -271,8 +281,8 @@ object ExtendedOps {
                             CAST(l_discount AS DECIMAL(12,2)) AS disc
                      FROM lineitem)
          SELECT n_name,
-                CAST(SUM(price * (CAST(1 AS DECIMAL(12,2)) - disc)) AS DECIMAL(22,4)) AS revenue,
-                CAST(MAX(price) AS DECIMAL(12,2)) AS max_price,
+                CAST(CAST(SUM(price * (CAST(1 AS DECIMAL(12,2)) - disc)) AS DECIMAL(22,4)) AS DOUBLE) AS revenue,
+                CAST(CAST(MAX(price) AS DECIMAL(12,2)) AS DOUBLE) AS max_price,
                 COUNT(*) AS n_items
          FROM li
          JOIN orders ON l_orderkey = o_orderkey
