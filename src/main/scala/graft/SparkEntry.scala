@@ -29,7 +29,8 @@ object SparkEntry {
       EventsOps.queries ++
       TextOps.queries ++
       VectorOps.queries ++
-      ExtendedOps.queries
+      ExtendedOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -42,5 +43,6 @@ object SparkEntry {
       EventsOps.oracles ++
       TextOps.oracles ++
       VectorOps.oracles ++
-      ExtendedOps.oracles
+      ExtendedOps.oracles ++
+      PipelineOps.oracles
 }

@@ -72,6 +72,57 @@ object EventsOps {
         .select(col("user_id"), col("event_type"),
           col("event_id").as("first_event"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // SCD2 history build (the CDC→dimension-table shape a Kafka→Delta
+    // pipeline feeds): collapse each user's event stream to its
+    // event_type CHANGE points, each valid [valid_from, valid_to) with
+    // the open row's valid_to null. One shuffle on user_id; both windows
+    // (the change-detect lag and the close-out lead) reuse the same
+    // partitioning+sort, so Spark plans a single Window exchange.
+    // Boundaries are epoch seconds (§2.0 timestamp rule).
+    "q_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = t(s, d, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("valid_from_s"), col("event_id"))
+      val w2 = Window.partitionBy("user_id").orderBy("valid_from_s", "event_id")
+      changes
+        .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w2))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_s"), col("valid_to_s"),
+          col("valid_to_s").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_s", "event_id")
+    }),
+
+    // Conversion-funnel sequence (signup → first click after it → first
+    // purchase after that), per user, reported as per-stage user counts.
+    // Three per-user conditional aggregations chained by time joins; every
+    // join is on user_id against an already-aggregated (one row per user)
+    // side, so at 100 TB this is one shuffle per stage on a high-card
+    // well-distributed key — never a self-join of raw events. Stage times
+    // compare at second granularity (§2.0).
+    "q_funnel_seq" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      def firstAfter(typ: String, prev: org.apache.spark.sql.DataFrame,
+          prevCol: String, outCol: String) =
+        ev.filter(col("event_type") === typ).as("e")
+          .join(prev.as("p"), col("e.user_id") === col("p.user_id"))
+          .filter(col("e.ts_s") > col(s"p.$prevCol"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts_s")).as(outCol))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+      val s2 = firstAfter("click", s1, "t1", "t2")
+      val s3 = firstAfter("purchase", s2, "t2", "t3")
+      val counts = Seq(("1_signup", s1), ("2_click", s2), ("3_purchase", s3))
+        .map { case (n, df) => df.agg(lit(n).as("stage"),
+          count(lit(1)).as("n_users")) }
+      counts.reduce(_.unionByName(_)).orderBy("stage")
     })
   )
 
@@ -113,6 +164,41 @@ object EventsOps {
                   row_number() OVER (PARTITION BY user_id, event_type
                                      ORDER BY ts, event_id) AS rn
            FROM events) t
-         WHERE rn = 1 ORDER BY user_id, event_type"""
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events
+         ), c AS (
+           SELECT user_id, event_type, ts_s AS valid_from_s, event_id
+           FROM e WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, valid_from_s,
+                lead(valid_from_s) OVER w AS valid_to_s,
+                lead(valid_from_s) OVER w IS NULL AS is_current
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_s, event_id)
+         ORDER BY user_id, valid_from_s, event_id""",
+    "q_funnel_seq" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+                     FROM events),
+              s1 AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, min(e.ts_s) AS t2 FROM ev e
+                     JOIN s1 p ON e.user_id = p.user_id
+                     WHERE e.event_type = 'click' AND e.ts_s > p.t1
+                     GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, min(e.ts_s) AS t3 FROM ev e
+                     JOIN s2 p ON e.user_id = p.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts_s > p.t2
+                     GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+           UNION ALL SELECT '2_click', count(*) FROM s2
+           UNION ALL SELECT '3_purchase', count(*) FROM s3)
+         ORDER BY stage"""
   )
 }

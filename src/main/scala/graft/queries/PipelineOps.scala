@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators beyond the round-3 surface (SURVEY §2.9
+  * north star, BASELINE.json driver note): repetition-based quality
+  * filtering, deterministic mixture sampling, and incremental cross-corpus
+  * dedup. Reference implements none (SURVEY.md §0).
+  *
+  * Scale design notes per operator inline; everything is relational
+  * (map-only or one/two shuffles on bounded keys) — no all-pairs work,
+  * no driver-side state.
+  */
+object PipelineOps {
+  import graft.QueryFn
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Portable 32-bit hash (shared contract with TextOps): first 8 md5 hex
+    * chars as an integer; DuckDB twin `('0x'||substr(md5(x),1,8))::BIGINT`. */
+  private def h32(s: SparkSession, c: Column): Column =
+    graft.functions.PortableHash32.portableHash32(s, c)
+
+  val queries: Map[String, QueryFn] = Map(
+    // Repetition-based quality scoring (the Gopher/C4-style "fraction of
+    // text inside the most repeated n-gram" rule): per doc, count bigram
+    // occurrences and report the top bigram's share of all bigrams. Docs
+    // whose share exceeds a curation threshold are boilerplate candidates.
+    // Shape: per-row bigram generation (map-only transform over the token
+    // array, no shingle self-join) → count shuffle on (doc_id, bigram) →
+    // per-doc max/sum shuffle on doc_id. Both keys are bounded and
+    // well-distributed; at 100 TB this is two clean hash aggregations.
+    "q_llm_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val bigrams = transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ",
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_cnt"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+          Det.r(col("top_cnt").cast("double") / col("n_bigrams"), 4)
+            .as("top_share"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic mixture sampling (data-mixing step of a training
+    // pipeline): each source gets a sampling rate; a doc is kept iff its
+    // portable hash lands under rate·1000 — reproducible across engines,
+    // runs, and cluster sizes (no seeded RNG, no TABLESAMPLE). Map-only:
+    // the predicate evaluates at the scan, nothing shuffles; at 100 TB
+    // this is the cheapest possible downsampling pass, and the hash
+    // predicate composes with partition pruning on `source`.
+    "q_llm_mix_sample" -> ((s, d) => {
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val rateMil = when(srcNum < 5, lit(1000)) // keep all of src0-4
+        .when(srcNum < 10, lit(500)) //         half of src5-9
+        .when(srcNum < 15, lit(250)) //         quarter of src10-14
+        .otherwise(lit(100)) //                 a tenth of the rest
+      t(s, d, "documents")
+        .filter(pmod(h32(s, concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(1000)) < rateMil)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental cross-corpus dedup (the per-ingest-batch form of exact
+    // dedup): treat doc_id % 4 == 0 as the incoming batch and the rest as
+    // the committed corpus; emit only batch docs whose normalized text
+    // hash does NOT appear in the corpus — what an ingestion job appends.
+    // Shape: one left-anti hash join on the md5 key. At 100 TB the corpus
+    // side is the big one: the anti join shuffles both sides on the hash
+    // (or, with the sink's bloom filter, prunes corpus partitions before
+    // the shuffle); there is no per-batch rescan of history beyond the
+    // hash column.
+    "q_llm_cross_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(trim(lower(col("text")))).as("h"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      batch.join(corpus, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              b AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(t)),
+                                                 i -> t[i] || ' ' || t[i+1])) AS bg
+                    FROM tk WHERE len(t) >= 2),
+              c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(n) AS BIGINT) AS n_bigrams,
+                CAST(max(n) AS BIGINT) AS top_cnt,
+                floor(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) * 10000 + 0.5)
+                  / 10000 AS top_share
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE (('0x'||substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000
+               < CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 5 THEN 1000
+                      WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 10 THEN 500
+                      WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 15 THEN 250
+                      ELSE 100 END
+         ORDER BY doc_id""",
+    "q_llm_cross_dedup" ->
+      """WITH h AS (SELECT doc_id, source, md5(trim(lower(text))) AS h FROM documents)
+         SELECT b.doc_id, b.source FROM h b
+         WHERE b.doc_id % 4 = 0
+           AND NOT EXISTS (SELECT 1 FROM h c
+                           WHERE c.doc_id % 4 <> 0 AND c.h = b.h)
+         ORDER BY b.doc_id"""
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 curation + event-analytics
+  * operators (exact values are the oracle's job — Verify + DuckDB). */
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("repetition: top_share in (0,1], top_cnt <= n_bigrams, all docs scored") {
+    val r = q("q_llm_repetition")
+    assert(r.count() ==
+      Tables(spark, sf, "documents")
+        .filter(size(split(col("text"), " ")) >= 2).count())
+    assert(r.filter(col("top_cnt") > col("n_bigrams")).count() == 0)
+    assert(r.filter(col("top_share") <= 0 || col("top_share") > 1).count() == 0)
+    // a doc of one repeated bigram scores 1.0: verified on a literal row
+    val one = Seq((1L, "x x x x")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("bg"))
+      .groupBy("doc_id", "bg").count()
+    assert(one.count() == 1 && one.head().getLong(2) == 3)
+  }
+
+  test("mix sample: deterministic, per-source rates honored within tolerance") {
+    val a = q("q_llm_mix_sample").as[(Long, String)].collect().toSet
+    val b = q("q_llm_mix_sample").as[(Long, String)].collect().toSet
+    assert(a == b) // rerun-stable: pure hash predicate, no RNG
+    val bySrc = a.groupBy(_._2).view.mapValues(_.size).toMap
+    // src0-4 keep everything: exactly the source's full count
+    val full = Tables(spark, sf, "documents")
+      .filter(col("source") === "src0").count()
+    assert(bySrc("src0").toLong == full)
+    // lower-rate tiers keep strictly less than everything
+    assert(bySrc.getOrElse("src19", 0) < full)
+  }
+
+  test("cross dedup: novel batch docs only — disjoint from corpus hashes") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(trim(lower(col("text")))).as("h"))
+    val corpusH = docs.filter(col("doc_id") % 4 =!= 0)
+      .select("h").as[String].collect().toSet
+    val novel = q("q_llm_cross_dedup").select("doc_id").as[Long].collect()
+    assert(novel.forall(_ % 4 == 0))
+    val novelH = docs.filter(col("doc_id").isin(novel: _*))
+      .select("h").as[String].collect()
+    assert(novelH.forall(!corpusH.contains(_)))
+  }
+
+  test("scd2: per-user intervals chain (valid_to = next valid_from), one open row") {
+    val h = q("q_scd2_history").cache()
+    try {
+      // exactly one open (is_current) row per user
+      val open = h.filter(col("is_current")).groupBy("user_id").count()
+      assert(open.filter(col("count") =!= 1).count() == 0)
+      // no interval ends before it starts
+      assert(h.filter(col("valid_to_s") < col("valid_from_s")).count() == 0)
+      // consecutive rows never carry the same event_type (change points only)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from_s", "valid_to_s")
+      // ties within one epoch-second may interleave types; where seconds
+      // differ the ordering is chronological and adjacent types must differ
+      val sameAsPrev = h
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("prevFrom", lag(col("valid_from_s"), 1).over(w))
+        .filter(col("prev") === col("event_type")
+          && col("prevFrom") =!= col("valid_from_s"))
+      assert(sameAsPrev.count() == 0)
+    } finally h.unpersist()
+  }
+
+  test("funnel: stage counts are monotone non-increasing") {
+    val c = q("q_funnel_seq").as[(String, Long)].collect().toMap
+    assert(c("1_signup") >= c("2_click"))
+    assert(c("2_click") >= c("3_purchase"))
+    assert(c("1_signup") > 0)
+  }
+}
