@@ -196,16 +196,21 @@ object TextOps {
       val dl = tf.groupBy("doc_id").agg(sum(col("cnt")).as("dl"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term").asc)
+      // Top-1 term per doc as a single hash aggregation:
+      // min(struct(-tfidf, term)) orders (tfidf DESC, term ASC) exactly
+      // like the oracle's row_number window, without the window's extra
+      // sort+exchange over the full tf relation — partial aggregation
+      // collapses each map partition to one candidate per doc first.
       tf.join(dl, "doc_id")
         .join(dfreq, "term")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           (col("cnt") / col("dl")) * log(col("n_docs") / col("df")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("term"), Det.r(col("tfidf"), 6).as("tfidf"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("tfidf")).as("neg"), col("term").as("term")))
+          .as("top"))
+        .select(col("doc_id"), col("top.term").as("term"),
+          Det.r(-col("top.neg"), 6).as("tfidf"))
         .orderBy("doc_id")
     }),
 
