@@ -71,6 +71,35 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus-LM quality scoring (the CCNet/KenLM perplexity-proxy filter,
+    // reduced to its unigram form): score every doc by its mean token
+    // log-probability under the corpus' own unigram distribution — low
+    // scorers are gibberish/rare-token soup, high scorers boilerplate.
+    // Shape: one token-frequency aggregation (shuffle on term), then the
+    // scored pass joins tokens to the BROADCAST frequency table (the
+    // vocabulary is sublinear in the corpus — at 100 TB it still fits a
+    // broadcast after min-count pruning) and aggregates per doc_id.
+    // Portability: per-token log-probs are fixed-point-scaled to integer
+    // micros and summed exactly (FP summation order differs between
+    // engines — same rule as Det.sumMoney).
+    "q_llm_unigram_logprob" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val cf = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
+      val tot = cf.agg(sum(col("ctf")).as("t"))
+      tok.join(broadcast(cf), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp_u",
+          floor(log(col("ctf").cast("double") / col("t")) * 1e6 + 0.5)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_u")).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          Det.r(col("s").cast("double") / 1e6 / col("n_tokens"), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental cross-corpus dedup (the per-ingest-batch form of exact
     // dedup): treat doc_id % 4 == 0 as the incoming batch and the rest as
     // the committed corpus; emit only batch docs whose normalized text
@@ -114,6 +143,19 @@ object PipelineOps {
                       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 15 THEN 250
                       ELSE 100 END
          ORDER BY doc_id""",
+    "q_llm_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              cf AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+              tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM cf),
+              lp AS (SELECT doc_id,
+                            CAST(floor(ln(CAST(ctf AS DOUBLE) / t) * 1000000 + 0.5)
+                                 AS BIGINT) AS lp_u
+                     FROM tok JOIN cf USING (term) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                floor(CAST(sum(lp_u) AS DOUBLE) / 1000000 / count(*) * 10000 + 0.5)
+                  / 10000 AS avg_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_cross_dedup" ->
       """WITH h AS (SELECT doc_id, source, md5(trim(lower(text))) AS h FROM documents)
          SELECT b.doc_id, b.source FROM h b

@@ -38,6 +38,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(bySrc.getOrElse("src19", 0) < full)
   }
 
+  test("unigram logprob: every doc scored, scores non-positive, dup-invariant") {
+    val r = q("q_llm_unigram_logprob").cache()
+    try {
+      assert(r.count() == Tables(spark, sf, "documents").count())
+      assert(r.filter(col("avg_logprob") > 0).count() == 0)
+      // exact-duplicate docs score identically (pure function of text)
+      val dup = Tables(spark, sf, "documents")
+        .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("doc_id"), col("text"))
+        .join(r, "doc_id")
+      assert(dup.groupBy("text")
+        .agg(countDistinct(col("avg_logprob")).as("n"))
+        .filter(col("n") =!= 1).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("cross dedup: novel batch docs only — disjoint from corpus hashes") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(trim(lower(col("text")))).as("h"))
