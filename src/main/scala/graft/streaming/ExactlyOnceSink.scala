@@ -220,12 +220,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   /** Optimistically-committed append: safe under concurrent writers.
     * Data is staged once under a writer-unique dir; the claim loop only
     * re-targets the version number (append⇄append never conflicts).
-    * Returns the committed version. */
-  def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    * Returns the committed version.
+    *
+    * `clusterBy` z-order-clusters the append across `clusterFiles` write
+    * units (graft.operators.ZOrder) so the per-file footer stats the
+    * commit records are tight on EVERY clustered column — readSkipping
+    * then prunes on any of them, not just a partition column. */
+  def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 8): Long = {
     Files.createDirectories(dataDir)
+    val clustered =
+      if (clusterBy.isEmpty) df
+      else graft.operators.ZOrder.cluster(df, clusterBy, clusterFiles)
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(tableDir, s".staging-$uuid")
-    val adds = stage(df, staging, partitionBy)
+    val adds = stage(clustered, staging, partitionBy)
     val stats = fileStats(df.sparkSession, staging)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)

@@ -227,6 +227,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.readSkipping(spark, "id", 900, 950).inputFiles.isEmpty)
   }
 
+  test("z-ordered append: file skipping prunes on BOTH clustered columns") {
+    val tableDir = tmp("graft-zorder")
+    val sink = new ExactlyOnceSink(tableDir)
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    sink.commitAppend(ev, clusterBy = Seq("user_id", "value"),
+      clusterFiles = 16)
+    val all = sink.read(spark)
+    assert(all.count() == ev.count()) // clustering reorders, loses nothing
+    val nFiles = all.inputFiles.length
+    assert(nFiles >= 8, s"expected >=8 z-ordered files, got $nFiles")
+    // a 12.5%-mass slab on EITHER column touches a minority of files —
+    // the point of z-order over linear sort (which serves only one
+    // column). Equi-mass (quantile) slabs, not equi-width: value is
+    // skewed, and no layout can read few files for a predicate that
+    // matches half the rows.
+    val stats = ev.agg(min(col("user_id")), min(col("value"))).head()
+    val (uLo, vLo) = (stats.getLong(0).toDouble, stats.getDouble(1))
+    val uCut = ev.stat.approxQuantile("user_id", Array(0.125), 0.001).head
+    val vCut = ev.stat.approxQuantile("value", Array(0.125), 0.001).head
+    val byUser = sink.readSkipping(spark, "user_id", uLo, uCut)
+    val byValue = sink.readSkipping(spark, "value", vLo, vCut)
+    assert(byUser.inputFiles.length < nFiles / 2,
+      s"user_id skip read ${byUser.inputFiles.length}/$nFiles files")
+    assert(byValue.inputFiles.length < nFiles / 2,
+      s"value skip read ${byValue.inputFiles.length}/$nFiles files")
+    // pruning is lossless: surviving files hold every matching row
+    assert(byUser.filter(col("user_id").between(uLo, uCut)).count() ==
+      ev.filter(col("user_id").between(uLo, uCut)).count())
+    assert(byValue.filter(col("value").between(vLo, vCut)).count() ==
+      ev.filter(col("value").between(vLo, vCut)).count())
+  }
+
   test("watermark drops events later than the lateness bound") {
     val input = MemoryStream[(Timestamp, Long)](1, spark, None)
     val agg = input.toDF().toDF("ts", "v")
