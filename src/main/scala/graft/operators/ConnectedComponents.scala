@@ -49,34 +49,28 @@ object ConnectedComponents {
       val nbrMin = both
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // checkpointed: the jump join reads it twice — without the
+      // materialization the full edge pass would run 2x
       val stepped = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // Two pointer jumps through the PREVIOUS round's label table (the
-      // one relation already materialized) instead of a self-join on the
-      // fresh `stepped`: same contraction up to one round of staleness,
-      // but the round needs only ONE eager materialization instead of
-      // three — measured 2x fewer jobs/round, which is what the round
-      // cost is made of on a cluster (scheduling + shuffle setup), while
-      // the label-only jump joins stay tiny at any scale.
-      def jump(df: DataFrame, in: String, out: String): DataFrame = df
-        .join(labels.select(col("id").as(in), col("label").as(out)),
-          Seq(in), "left")
-      val next = jump(jump(stepped, "label", "l2"), "l2", "l3")
+        .localCheckpoint()
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("l2"), col("label")),
-            coalesce(col("l3"), col("label"))).as("label"),
-          col("old"))
-        .select(col("id"), col("label"),
-          when(col("label") < col("old"), 1L).otherwise(0L).as("chg"))
+          coalesce(col("label2"), col("label")).as("label"),
+          when(coalesce(col("label2"), col("label")) < col("old"), 1L)
+            .otherwise(0L).as("chg"))
         .localCheckpoint()
       val rt0 = System.nanoTime()
       changed = next.agg(sum(col("chg"))).head().getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $rounds%d changed=$changed%d took ${(System.nanoTime() - rt0) / 1e9}%.2f s")
       // `next` is materialized (eager checkpoint + the agg above), so
-      // the previous labels are dead.
+      // this round's intermediate and the previous labels are dead.
+      backingRdd(stepped).foreach(_.unpersist(blocking = false))
       labelsRdd.foreach(_.unpersist(blocking = false))
       labels = next.select(col("id"), col("label"))
       labelsRdd = backingRdd(next)
