@@ -41,6 +41,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.committedVersions().nonEmpty)
   }
 
+  test("ingest pipeline: stream -> per-batch dedup vs committed corpus -> sink") {
+    // The deltasink end-to-end: an at-least-once envelope stream lands
+    // exactly-once AND content-deduplicated — each micro-batch drops rows
+    // whose payload hash already exists in the committed table (the
+    // streaming form of q_llm_cross_dedup), then appends the survivors.
+    val topicDir = tmp("graft-ddtopic")
+    val tableDir = tmp("graft-ddtable")
+    val ckpt = tmp("graft-ddckpt")
+    KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 4)
+
+    val sink = new ExactlyOnceSink(tableDir)
+    def payloadHash = md5(concat_ws("|",
+      col("user_id"), col("event_type"), col("event_value")))
+    val stream = KafkaEnvelope.decode(KafkaEnvelope.readStream(spark, topicDir, 2))
+      .select("event_id", "user_id", "event_type", "event_value")
+    val qy = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val batch = df.withColumn("h", payloadHash)
+          .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+            .Window.partitionBy("h").orderBy("event_id")))
+          .filter(col("rn") === 1).drop("rn") // in-batch dedup, keep-first
+        val corpus = sink.read(df.sparkSession)
+        val novel =
+          if (corpus.isEmpty) batch
+          else batch.join(corpus.select("h"), Seq("h"), "left_anti")
+        sink.process(novel, id)
+      }
+      .start()
+    qy.awaitTermination(120000)
+
+    val committed = sink.read(spark)
+    val expected = Tables(spark, sf, "events")
+      .select(md5(concat_ws("|", col("user_id"), col("event_type"),
+        col("value"))).as("h"))
+      .distinct().count()
+    assert(committed.count() == expected,
+      s"committed ${committed.count()} != distinct payloads $expected")
+    assert(committed.select("h").distinct().count() == expected)
+  }
+
   test("sink replay of an already-committed batch is a no-op (exactly-once)") {
     val tableDir = tmp("graft-replay")
     val sink = new ExactlyOnceSink(tableDir)
