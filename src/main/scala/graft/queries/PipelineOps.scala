@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Training-data curation operators beyond the round-3 surface (SURVEY §2.9
@@ -118,10 +119,87 @@ object PipelineOps {
       batch.join(corpus, Seq("h"), "left_anti")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // The capstone curation DAG as ONE declarative query — what a user
+    // of the engine actually runs nightly: quality gate → exact dedup
+    // (keep-min per normalized hash) → deterministic 75% sample →
+    // greedy sequence packing into 2048-token windows per source shard.
+    // Every stage is a declared operator elsewhere (q_llm_quality,
+    // q_llm_exact_dedup, q_llm_mix_sample, q_llm_pack); composing them
+    // stays a single Catalyst plan: two window shuffles (dedup hash,
+    // pack shard) over map-only stages — no materialization barriers
+    // between pipeline steps, which is the point of a declarative
+    // engine at 100 TB (one pass, fused stages, nothing landed twice).
+    "q_llm_curate" -> ((s, d) => {
+      import s.implicits._
+      val C = 2048
+      val toks = split(col("text"), " ")
+      val stopRatio = size(filter(toks, x =>
+        x.isin(Seq("the", "a", "of", "to", "is"): _*))).cast("double") /
+        size(toks)
+      val uniqRatio = size(array_distinct(toks)).cast("double") / size(toks)
+      val quality = uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.5
+      val dedupW = Window
+        .partitionBy(md5(trim(lower(col("text"))))).orderBy("doc_id")
+      t(s, d, "documents")
+        .filter(quality >= 0.65)
+        .withColumn("dr", row_number().over(dedupW))
+        .filter(col("dr") === 1)
+        .filter(pmod(h32(s, concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(1000)) < 750)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .as[(Long, String, Int)]
+        .groupByKey(_._2)
+        .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+          var seq = 0; var fill = 0; var first = true
+          it.map { case (id, _, n) =>
+            if (first) { first = false; fill = n; (id, src, n, 0, 0) }
+            else if (fill + n <= C) {
+              val off = fill; fill += n; (id, src, n, seq, off)
+            } else { seq += 1; fill = n; (id, src, n, seq, 0) }
+          }
+        }
+        .toDF("doc_id", "source", "n_tokens", "seq_id", "offset")
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_llm_curate" ->
+      """WITH RECURSIVE
+            q AS (SELECT doc_id, source, text,
+                         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                           / len(string_split(text, ' ')) * 0.5
+                         + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the','a','of','to','is'))) AS DOUBLE)
+                             / len(string_split(text, ' '))) * 0.5 AS q
+                  FROM documents),
+            dd AS (SELECT doc_id, source, text,
+                          row_number() OVER (PARTITION BY md5(trim(lower(text)))
+                                             ORDER BY doc_id) AS dr
+                   FROM q WHERE q >= 0.65),
+            sam AS (SELECT doc_id, source, text FROM dd
+                    WHERE dr = 1
+                      AND (('0x'||substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000 < 750),
+            d AS (SELECT doc_id, source,
+                         CAST(len(string_split(text, ' ')) AS INT) AS n,
+                         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                  FROM sam),
+            pack AS (
+              SELECT doc_id, source, n, rn,
+                     0 AS seq_id, 0 AS off, n AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.source, d.n, d.rn,
+                     CASE WHEN p.fill + d.n <= 2048 THEN p.seq_id ELSE p.seq_id + 1 END,
+                     CASE WHEN p.fill + d.n <= 2048 THEN p.fill ELSE 0 END,
+                     CASE WHEN p.fill + d.n <= 2048 THEN p.fill + d.n ELSE d.n END
+              FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+         SELECT doc_id, source, n AS n_tokens,
+                CAST(seq_id AS INT) AS seq_id, CAST(off AS INT) AS offset
+         FROM pack ORDER BY doc_id""",
     "q_llm_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               b AS (SELECT doc_id,

@@ -89,6 +89,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     } finally h.unpersist()
   }
 
+  test("curate: packed output respects window capacity and stage filters") {
+    val r = q("q_llm_curate").cache()
+    try {
+      // every (source, seq_id) window fits the 2048-token budget
+      assert(r.groupBy("source", "seq_id")
+        .agg(sum(col("n_tokens")).as("fill"))
+        .filter(col("fill") > 2048).count() == 0)
+      // offsets are consistent: per window, max(offset)+its doc = fill
+      assert(r.filter(col("offset") + col("n_tokens") > 2048).count() == 0)
+      // curation only removes docs (gate+dedup+sample), never invents
+      val ids = r.select("doc_id").as[Long].collect().toSet
+      val all = Tables(spark, sf, "documents")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.subsetOf(all) && ids.size < all.size)
+    } finally r.unpersist()
+  }
+
   test("funnel: stage counts are monotone non-increasing") {
     val c = q("q_funnel_seq").as[(String, Long)].collect().toMap
     assert(c("1_signup") >= c("2_click"))
