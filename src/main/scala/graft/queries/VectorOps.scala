@@ -216,6 +216,11 @@ object VectorOps {
         .withColumn("rk", row_number().over(wAssign))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("slabel").as("bucket"))
+      // NOT persisted although two consumers read it (centroid recompute
+      // + probe join): A/B-profiled slower with a cache at sf0.1 (the
+      // assignment is a map-only broadcast+window pass — recompute beats
+      // materialization), and at 100 TB caching the full assigned corpus
+      // is exactly what an IVF build must avoid.
       // recompute centroids over the refined buckets (relational, one
       // shuffle on (bucket, pos))
       val trained = assigned
