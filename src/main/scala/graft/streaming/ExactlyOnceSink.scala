@@ -406,9 +406,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     transactSnapshot(spark)(_.filter(!predicate))
 
   /** Compact the live state (many small append batches → one snapshot);
-    * semantically a no-op, physically the Delta OPTIMIZE analog. */
-  def compact(spark: SparkSession): Long =
-    transactSnapshot(spark)(identity)
+    * semantically a no-op, physically the Delta OPTIMIZE analog. With
+    * `clusterBy`, the rewrite is z-order clustered (OPTIMIZE ZORDER BY):
+    * the snapshot's per-file stats come out tight on every clustered
+    * column, so readSkipping prunes on any of them even though the
+    * original appends were written in arrival order. */
+  def compact(spark: SparkSession, clusterBy: Seq[String] = Nil,
+      clusterFiles: Int = 8): Long =
+    transactSnapshot(spark) { live =>
+      if (clusterBy.isEmpty) live
+      else graft.operators.ZOrder.cluster(live, clusterBy, clusterFiles)
+    }
 
   /** VACUUM analog: delete data that no committed version references —
     * abandoned OCC staging dirs (lost snapshot races) and, with

@@ -302,6 +302,33 @@ class StreamingSpec extends SparkSpecBase {
       ev.filter(col("value").between(vLo, vCut)).count())
   }
 
+  test("compact(clusterBy) rewrites arrival-order appends into a skippable table") {
+    val tableDir = tmp("graft-optimize")
+    val sink = new ExactlyOnceSink(tableDir)
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // arrival-order appends: stats are wide on both columns
+    Seq(ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+      .foreach(b => sink.commitAppend(b))
+    val vCut = ev.stat.approxQuantile("value", Array(0.125), 0.001).head
+    val vLo = ev.agg(min(col("value"))).head().getDouble(0)
+    // arrival order cannot prune a value predicate: every file's value
+    // stats span the full range
+    val preFiles = sink.read(spark).inputFiles.length
+    assert(sink.readSkipping(spark, "value", vLo, vCut)
+      .inputFiles.length == preFiles)
+    // OPTIMIZE ZORDER BY (user_id, value)
+    sink.compact(spark, clusterBy = Seq("user_id", "value"), clusterFiles = 16)
+    val all = sink.read(spark)
+    assert(all.count() == ev.count())
+    val after = sink.readSkipping(spark, "value", vLo, vCut)
+    assert(after.inputFiles.length < all.inputFiles.length / 2,
+      s"post-OPTIMIZE value skip read ${after.inputFiles.length}/${all.inputFiles.length}")
+    assert(after.filter(col("value").between(vLo, vCut)).count() ==
+      ev.filter(col("value").between(vLo, vCut)).count())
+  }
+
   test("watermark drops events later than the lateness bound") {
     val input = MemoryStream[(Timestamp, Long)](1, spark, None)
     val agg = input.toDF().toDF("ts", "v")
