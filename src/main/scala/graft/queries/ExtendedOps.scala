@@ -194,6 +194,37 @@ object ExtendedOps {
         .orderBy("n_name")
     }),
 
+    // Market-basket co-occurrence (frequent-pair mining): part pairs
+    // bought together in >= 2 orders. The self-join key is l_orderkey,
+    // whose per-order line count is bounded (~7), so the pair expansion
+    // is linear in orders with a constant factor of C(lines,2) — never
+    // corpus²; the support count then shuffles on the (pa, pb) pair key.
+    // The relational form of an FP-growth first pass at 100 TB.
+    "q_basket_pairs" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy("pa", "pb")
+    }),
+
+    // Equi-width histogram summarization (the profiling primitive every
+    // engine ships): bucket o_totalprice into 25k-wide bins via portable
+    // floor arithmetic (width_bucket differs across engines), count +
+    // exact cents sum per bin. Map-only bucketing + one bounded-key
+    // shuffle.
+    "q_agg_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket",
+          floor(col("o_totalprice") / 25000).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          Det.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy("bucket")),
+
     // Conditional scalar family: coalesce / nullif / least / greatest.
     "q_fn_cond" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -289,6 +320,18 @@ object ExtendedOps {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY pa, pb""",
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+                count(*) AS n,
+                CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_fn_cond" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_or_none,
