@@ -201,12 +201,19 @@ object ExtendedOps {
     // corpus²; the support count then shuffles on the (pa, pb) pair key.
     // The relational form of an FP-growth first pass at 100 TB.
     "q_basket_pairs" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+      // Pair expansion happens map-side from each order's collected part
+      // set (bounded ~7 lines/order ⇒ ≤ C(7,2) pairs) — one shuffle to
+      // assemble baskets, one for the support count; the self-join
+      // formulation would shuffle the line relation a third time.
+      val pairs = flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .orderBy("pa", "pb")
     }),
