@@ -121,6 +121,46 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance near-dup pairs — the character-level dedup modality
+    // the token-set family can't express (OCR noise, small in-place
+    // edits leave token sets nearly disjoint but edit distance tiny).
+    // Blocked by source + a length band, distance computed on a bounded
+    // 80-char prefix so the per-pair cost is constant; the levenshtein
+    // conjunct sits LAST in the join condition (codegen keeps written
+    // order — the O(1) band checks prune before the O(80²) DP runs).
+    // At 100 TB the block key is a shard/bucket, same as jaccard_pairs.
+    "q_llm_edit_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 80).as("p"),
+          length(col("text")).as("len"))
+      val a = docs.select(col("source"), col("doc_id").as("d1"),
+        col("p").as("p1"), col("len").as("l1"))
+      val b = docs.select(col("source"), col("doc_id").as("d2"),
+        col("p").as("p2"), col("len").as("l2"))
+      a.alias("a").join(b.alias("b"),
+          col("a.source") === col("b.source")
+            && col("a.d1") < col("b.d2")
+            && abs(col("a.l1") - col("b.l2")) <= 20
+            && levenshtein(col("a.p1"), col("b.p2")) <= 8)
+        .select(col("a.d1").as("d1"), col("b.d2").as("d2"),
+          levenshtein(col("a.p1"), col("b.p2")).as("dist"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Deterministic train/val/test split (98/1/1): the hash-range
+    // assignment every training pipeline needs — reproducible across
+    // runs, engines, and cluster sizes, no seeded RNG. Map-only.
+    "q_llm_split" -> ((s, d) => {
+      val bucket = pmod(h32(s,
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          when(bucket < 98, "train").when(bucket === 98, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // The capstone curation DAG as ONE declarative query — what a user
     // of the engine actually runs nightly: quality gate → exact dedup
     // (keep-min per normalized hash) → deterministic 75% sample →
@@ -221,6 +261,23 @@ object PipelineOps {
                       WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) < 15 THEN 250
                       ELSE 100 END
          ORDER BY doc_id""",
+    "q_llm_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, source, substr(text, 1, 80) AS p,
+                           length(text) AS len
+                    FROM documents)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                levenshtein(a.p, b.p) AS dist
+         FROM d a JOIN d b
+           ON a.source = b.source AND a.doc_id < b.doc_id
+          AND abs(a.len - b.len) <= 20
+          AND levenshtein(a.p, b.p) <= 8
+         ORDER BY d1, d2""",
+    "q_llm_split" ->
+      """SELECT doc_id, source,
+                CASE WHEN (('0x'||substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 < 98 THEN 'train'
+                     WHEN (('0x'||substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 100 = 98 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "q_llm_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                       FROM documents),
