@@ -7,8 +7,11 @@ import graft.Tables
 
 /** Training-data curation operators beyond the round-3 surface (SURVEY §2.9
   * north star, BASELINE.json driver note): repetition-based quality
-  * filtering, deterministic mixture sampling, and incremental cross-corpus
-  * dedup. Reference implements none (SURVEY.md §0).
+  * filtering, corpus-LM (unigram log-prob) scoring, deterministic mixture
+  * sampling and train/val/test splitting, incremental cross-corpus dedup,
+  * edit-distance near-dup pairs, and the composed curation DAG
+  * (gate→dedup→sample→pack) as one plan. Reference implements none
+  * (SURVEY.md §0).
   *
   * Scale design notes per operator inline; everything is relational
   * (map-only or one/two shuffles on bounded keys) — no all-pairs work,

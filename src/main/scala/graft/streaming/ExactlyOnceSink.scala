@@ -351,6 +351,26 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** CDC read (the Delta Change Data Feed analog for an append-mostly
+    * table): rows ADDED in versions (fromVersion, toVersion], each
+    * carrying its commit version in `batch`. Append commits contribute
+    * their rows; snapshot commits (compact/merge/delete rewrites) are
+    * SKIPPED — a snapshot is a physical rewrite of prior state, not a
+    * logical change, so a downstream incremental consumer must not
+    * re-ingest it. Metadata-only selection of which dirs to scan. */
+  def readChanges(spark: SparkSession, fromVersion: Long,
+      toVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val commits = committedVersions().map(parseCommit)
+      .filter(c => c.version > fromVersion && c.version <= toVersion
+        && !c.snapshot)
+    if (commits.isEmpty) return spark.emptyDataFrame
+    commits.map { c =>
+      spark.read.parquet(dataDir.resolve(c.dir).toString)
+        .withColumn("batch", lit(c.version).cast("int"))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Stat-skipped read: prune committed files whose recorded [min,max]
     * for `column` cannot intersect [lower, upper] (string-compared for
     * strings, numerically for numerics — the comparison mirrors how the

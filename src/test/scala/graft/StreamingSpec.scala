@@ -269,6 +269,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.readSkipping(spark, "id", 900, 950).inputFiles.isEmpty)
   }
 
+  test("readChanges returns only rows appended in the version range") {
+    val tableDir = tmp("graft-cdc")
+    val sink = new ExactlyOnceSink(tableDir)
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).toDF("id")
+    sink.process(batch(0, 10), 0L)
+    sink.process(batch(10, 30), 1L)
+    sink.process(batch(30, 60), 2L)
+    // incremental consumer cursor at version 0: sees versions 1..2 only
+    val ch = sink.readChanges(spark, fromVersion = 0)
+    assert(ch.count() == 50)
+    assert(ch.select("batch").distinct().as[Int].collect().toSet == Set(1, 2))
+    assert(ch.agg(min(col("id")), max(col("id"))).as[(Long, Long)].head() ==
+      (10L, 59L))
+    // bounded range
+    assert(sink.readChanges(spark, 0, 1).count() == 20)
+    // compaction is a physical rewrite, not a logical change
+    sink.compact(spark)
+    assert(sink.readChanges(spark, 2).count() == 0)
+    // and appends after the snapshot surface again
+    sink.process(batch(60, 70), 10L)
+    assert(sink.readChanges(spark, 2).select("id").as[Long].collect().toSet ==
+      (60L until 70L).toSet)
+  }
+
   test("z-ordered append: file skipping prunes on BOTH clustered columns") {
     val tableDir = tmp("graft-zorder")
     val sink = new ExactlyOnceSink(tableDir)
