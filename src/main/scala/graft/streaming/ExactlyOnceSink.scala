@@ -134,13 +134,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     } + "\""
 
   /** Commit-entry JSON: txn cursor + schema metaData + add actions with
-    * per-file stats + the commit's data dir (relative to data/). */
+    * per-file stats + the commit's data dir (relative to data/). Snapshot
+    * commits carry the OPERATION that produced them (MERGE / DELETE /
+    * COMPACT / SNAPSHOT) and, for logical-change operations, the dir of
+    * their recorded change rows (the Delta CDF `_change_data` analog). */
   private def entryJson(df: DataFrame, version: Long, dir: String,
       partitionBy: Seq[String], snapshot: Boolean,
       adds: Seq[Path],
-      stats: Map[String, Map[String, (String, String)]]): String = {
+      stats: Map[String, Map[String, (String, String)]],
+      op: String = "",
+      changeDir: Option[String] = None): String = {
     val parts = partitionBy.map(jstr).mkString(",")
-    val op = if (snapshot) "SNAPSHOT" else "STREAMING UPDATE"
+    val opName =
+      if (op.nonEmpty) op
+      else if (snapshot) "SNAPSHOT" else "STREAMING UPDATE"
     val addJson = adds.map { p =>
       val rel = p.toString.replace("\\", "/")
       val st = stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).map {
@@ -151,13 +158,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }.mkString(",")
       s"""{"path":${jstr(rel)},"stats":{$st}}"""
     }.mkString(",")
+    val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
       s""""snapshot":$snapshot,""" +
       s""""metaData":{"schemaString":${df.schema.json},""" +
       s""""partitionColumns":[$parts]},""" +
       s""""dir":${jstr(dir)},""" +
+      changeJson +
       s""""add":[$addJson],""" +
-      s""""commitInfo":{"operation":"$op","version":$version}}"""
+      s""""commitInfo":{"operation":"$opName","version":$version}}"""
   }
 
   /** THE commit point: exclusive creation of the version's log file via
@@ -229,12 +238,18 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 8): Long = {
     Files.createDirectories(dataDir)
-    val clustered =
-      if (clusterBy.isEmpty) df
-      else graft.operators.ZOrder.cluster(df, clusterBy, clusterFiles)
+    // A clustered append runs TWO actions over the input (the quantile
+    // sketch pass inside ZOrder.key, then the staged write): persist the
+    // input so an expensive upstream query feeding the append computes
+    // once, not twice. Released after staging.
+    val pinned = if (clusterBy.isEmpty) None else Some(df.persist())
+    val clustered = pinned
+      .map(graft.operators.ZOrder.cluster(_, clusterBy, clusterFiles))
+      .getOrElse(df)
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(tableDir, s".staging-$uuid")
     val adds = stage(clustered, staging, partitionBy)
+    pinned.foreach(_.unpersist(blocking = false))
     val stats = fileStats(df.sparkSession, staging)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)
@@ -252,13 +267,32 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * the live table, applies `f`, and commits the result as a snapshot
     * at exactly the version following what was read. If another writer
     * commits first, the read state is stale — re-read, recompute, retry.
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * A bare transactSnapshot records op=SNAPSHOT and NO change rows —
+    * `readChanges` over such a commit fails loudly, because an arbitrary
+    * user transform's logical change set is unknowable here. merge() /
+    * delete() / compact() go through [[transactSnapshotChanges]] and stay
+    * CDC-consumable. */
   def transactSnapshot(spark: SparkSession, maxRetries: Int = 20)
-      (f: DataFrame => DataFrame): Long = {
+      (f: DataFrame => DataFrame): Long =
+    transactSnapshotChanges(spark, "SNAPSHOT", maxRetries)(df => (f(df), None))
+
+  /** OCC snapshot commit that also records the commit's LOGICAL change
+    * rows (each tagged with a `_change_type` column) under
+    * `data/changes/<uuid>` — the Delta Change Data Feed `_change_data`
+    * analog. `f` computes (new state, change rows) from the SAME read
+    * state, and both are recomputed together on a conflict retry, so the
+    * recorded changes always describe exactly the transition this
+    * version committed. `None` changes mean "no logical change"
+    * (compact — a physical rewrite). */
+  private def transactSnapshotChanges(spark: SparkSession, op: String,
+      maxRetries: Int = 20)
+      (f: DataFrame => (DataFrame, Option[DataFrame])): Long = {
     var attempt = 0
     while (true) {
       val expected = nextVersion()
-      val out = f(liveData(spark))
+      val (out, changes) = f(liveData(spark))
       val uuid = java.util.UUID.randomUUID().toString
       val staging = Paths.get(tableDir, s".staging-$uuid")
       val adds = stage(out, staging, Nil)
@@ -266,12 +300,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
+      val changeDir = changes.map { ch =>
+        val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
+        stage(ch, chStaging, Nil)
+        val rel = s"changes/$uuid"
+        Files.createDirectories(dataDir.resolve("changes"))
+        Files.move(chStaging, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+        rel
+      }
       if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
-          adds, stats)))
+          adds, stats, op, changeDir)))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
-      // computed on stale state. Abandon the staged dir (never visible —
-      // a vacuum job reclaims it) and recompute.
+      // computed on stale state. Abandon the staged dirs (never visible —
+      // a vacuum job reclaims them) and recompute.
       attempt += 1
       if (attempt > maxRetries)
         sys.error(s"transactSnapshot: gave up after $maxRetries conflicts")
@@ -284,7 +326,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   // ---------------------------------------------------------------------
 
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
-      adds: Seq[(String, Map[String, (Option[String], Option[String])])])
+      adds: Seq[(String, Map[String, (Option[String], Option[String])])],
+      op: String = "", changeDir: Option[String] = None)
 
   private def parseCommit(v: Long): Commit = {
     import org.json4s._
@@ -297,6 +340,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     val snap = (j \ "snapshot") match {
       case JBool(b) => b
       case _ => false
+    }
+    val op = (j \ "commitInfo" \ "operation") match {
+      case JString(s) => s
+      case _ => ""
+    }
+    val changeDir = (j \ "changeDir") match {
+      case JString(s) => Some(s)
+      case _ => None
     }
     val adds = (j \ "add") match {
       case JArray(items) => items.map {
@@ -317,7 +368,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }
       case _ => Nil
     }
-    Commit(v, dir, snap, adds)
+    Commit(v, dir, snap, adds, op, changeDir)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -351,24 +402,46 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
-  /** CDC read (the Delta Change Data Feed analog for an append-mostly
-    * table): rows ADDED in versions (fromVersion, toVersion], each
-    * carrying its commit version in `batch`. Append commits contribute
-    * their rows; snapshot commits (compact/merge/delete rewrites) are
-    * SKIPPED — a snapshot is a physical rewrite of prior state, not a
-    * logical change, so a downstream incremental consumer must not
-    * re-ingest it. Metadata-only selection of which dirs to scan. */
+  /** CDC read (the Delta Change Data Feed analog): the LOGICAL changes
+    * committed in versions (fromVersion, toVersion], each row tagged
+    * with `_change_type` and its commit version in `batch`.
+    *
+    *  - append commits contribute their rows as `insert`;
+    *  - merge commits contribute their recorded change rows (`insert`,
+    *    `update_preimage`, `update_postimage`) and delete commits their
+    *    `delete` rows — read from the per-commit change dir the
+    *    transaction recorded, NOT reconstructed after the fact;
+    *  - compact commits contribute nothing (a physical rewrite of prior
+    *    state is not a logical change — same as Delta OPTIMIZE);
+    *  - a bare SNAPSHOT commit (arbitrary user transform, no recorded
+    *    change rows) in range FAILS LOUDLY: silently skipping it would
+    *    hand an incremental consumer a feed missing real changes.
+    *
+    * Metadata-only selection of which dirs to scan. */
   def readChanges(spark: SparkSession, fromVersion: Long,
       toVersion: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val commits = committedVersions().map(parseCommit)
-      .filter(c => c.version > fromVersion && c.version <= toVersion
-        && !c.snapshot)
-    if (commits.isEmpty) return spark.emptyDataFrame
-    commits.map { c =>
-      spark.read.parquet(dataDir.resolve(c.dir).toString)
-        .withColumn("batch", lit(c.version).cast("int"))
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .filter(c => c.version > fromVersion && c.version <= toVersion)
+    commits.find(c => c.snapshot && c.changeDir.isEmpty && c.op != "COMPACT")
+      .foreach { c =>
+        sys.error(s"readChanges: version ${c.version} is a ${c.op} snapshot " +
+          "with no recorded change rows — the change feed over this range " +
+          "would silently miss logical changes. Re-read the full table, or " +
+          "commit such transforms via merge()/delete().")
+      }
+    val frames = commits.flatMap {
+      case c if !c.snapshot =>
+        Some(spark.read.parquet(dataDir.resolve(c.dir).toString)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("batch", lit(c.version).cast("int")))
+      case c => c.changeDir.map { cd =>
+        spark.read.parquet(dataDir.resolve(cd).toString)
+          .withColumn("batch", lit(c.version).cast("int"))
+      }
+    }
+    if (frames.isEmpty) spark.emptyDataFrame
+    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Stat-skipped read: prune committed files whose recorded [min,max]
@@ -378,28 +451,37 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * (skipping must be conservative). The predicate itself still needs
     * applying by the caller — this is file pruning, not filtering. */
   def readSkipping(spark: SparkSession, column: String,
-      lower: Double, upper: Double): DataFrame = {
+      lower: Double, upper: Double): DataFrame =
+    readSkippingWith(spark, column) {
+      case Some((Some(lo), Some(hi))) =>
+        try { !(hi.toDouble < lower || lo.toDouble > upper) }
+        catch { case _: NumberFormatException => true } // non-numeric: keep
+      case _ => true // no stats recorded → cannot skip
+    }
+
+  /** String-range variant: prunes files by LEXICOGRAPHIC [min,max] —
+    * the order string parquet footer stats are recorded in, so a
+    * string-clustered table (ZOrder on a string column) prunes under
+    * string predicates too. */
+  def readSkipping(spark: SparkSession, column: String,
+      lower: String, upper: String): DataFrame =
+    readSkippingWith(spark, column) {
+      case Some((Some(lo), Some(hi))) => !(hi < lower || lo > upper)
+      case _ => true
+    }
+
+  private def readSkippingWith(spark: SparkSession, column: String)
+      (keep: Option[(Option[String], Option[String])] => Boolean): DataFrame = {
     val commits = visibleCommits(None)
     val files = commits.flatMap { c =>
       c.adds.collect {
-        case (path, stats) if keepFile(stats.get(column), lower, upper) =>
+        case (path, stats) if keep(stats.get(column)) =>
           dataDir.resolve(c.dir).resolve(path).toString
       }
     }
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }
-
-  private def keepFile(stat: Option[(Option[String], Option[String])],
-      lower: Double, upper: Double): Boolean = stat match {
-    case Some((Some(lo), Some(hi))) =>
-      try { !(hi.toDouble < lower || lo.toDouble > upper) }
-      catch { case _: NumberFormatException => true } // non-numeric: keep
-    case _ => true // no stats recorded → cannot skip
-  }
-
-  private def isSnapshot(v: Long): Boolean =
-    Files.readString(logFile(v)).contains("\"snapshot\":true")
 
   private def nextVersion(): Long =
     committedVersions().lastOption.map(_ + 1).getOrElse(0L)
@@ -411,31 +493,53 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   /** MERGE (upsert): rows of `updates` replace committed rows sharing
     * the same key; non-matching update rows insert. Runs through the
     * optimistic snapshot transaction — concurrent writers retry on
-    * conflict. Time travel still sees every prior version. */
+    * conflict. Time travel still sees every prior version.
+    *
+    * Records its logical change set for the CDC feed exactly as Delta
+    * CDF does for MERGE: update rows as preimage+postimage pairs,
+    * non-matching rows as inserts. */
   def merge(spark: SparkSession, updates: DataFrame, keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.col
-    transactSnapshot(spark) { current =>
-      if (current.isEmpty) updates
-      else current.join(updates.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(updates)
+    import org.apache.spark.sql.functions.{col, lit}
+    transactSnapshotChanges(spark, "MERGE") { current =>
+      if (current.isEmpty) {
+        (updates, Some(updates.withColumn("_change_type", lit("insert"))))
+      } else {
+        val keyRel = updates.select(keys.map(col): _*).distinct()
+        val state = current.join(keyRel, keys, "left_anti").unionByName(updates)
+        val inserted = updates.join(current.select(keys.map(col): _*), keys, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        val pre = current.join(keyRel, keys, "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = updates.join(current.select(keys.map(col): _*), keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        (state, Some(inserted.unionByName(pre).unionByName(post)))
+      }
     }
   }
 
-  /** DELETE rows matching the predicate; snapshot-commit the remainder. */
-  def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long =
-    transactSnapshot(spark)(_.filter(!predicate))
+  /** DELETE rows matching the predicate; snapshot-commit the remainder.
+    * The deleted rows are recorded as the commit's change set. */
+  def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.lit
+    transactSnapshotChanges(spark, "DELETE") { current =>
+      (current.filter(!predicate),
+        Some(current.filter(predicate).withColumn("_change_type", lit("delete"))))
+    }
+  }
 
   /** Compact the live state (many small append batches → one snapshot);
-    * semantically a no-op, physically the Delta OPTIMIZE analog. With
-    * `clusterBy`, the rewrite is z-order clustered (OPTIMIZE ZORDER BY):
-    * the snapshot's per-file stats come out tight on every clustered
+    * semantically a no-op, physically the Delta OPTIMIZE analog — so it
+    * records NO change rows and readChanges skips it. With `clusterBy`,
+    * the rewrite is z-order clustered (OPTIMIZE ZORDER BY): the
+    * snapshot's per-file stats come out tight on every clustered
     * column, so readSkipping prunes on any of them even though the
     * original appends were written in arrival order. */
   def compact(spark: SparkSession, clusterBy: Seq[String] = Nil,
       clusterFiles: Int = 8): Long =
-    transactSnapshot(spark) { live =>
-      if (clusterBy.isEmpty) live
-      else graft.operators.ZOrder.cluster(live, clusterBy, clusterFiles)
+    transactSnapshotChanges(spark, "COMPACT") { live =>
+      (if (clusterBy.isEmpty) live
+       else graft.operators.ZOrder.cluster(live, clusterBy, clusterFiles),
+        None)
     }
 
   /** VACUUM analog: delete data that no committed version references —
@@ -447,11 +551,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * visible commit references, so readers are unaffected. */
   def vacuum(retainHistory: Boolean = true): Int = {
     val commits = committedVersions().map(parseCommit)
+    val visible =
+      if (retainHistory) commits
+      else commits.filter(_.snapshot).lastOption
+        .map(sc => commits.filter(_.version >= sc.version)).getOrElse(commits)
+    // change dirs of ANY committed version stay referenced even past a
+    // snapshot boundary: the CDC feed reads history, not live state
     val referenced: Set[String] =
-      (if (retainHistory) commits
-       else commits.filter(_.snapshot).lastOption
-         .map(sc => commits.filter(_.version >= sc.version)).getOrElse(commits))
-        .map(_.dir).toSet
+      visible.map(_.dir).toSet ++ commits.flatMap(_.changeDir)
     def purge(p: Path): Unit =
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     var removed = 0
@@ -460,10 +567,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       .filter(p => p.getFileName.toString.startsWith(".staging-"))
       .foreach { p => purge(p); removed += 1 }
     // unreferenced data dirs
-    val roots = Seq(dataDir, dataDir.resolve("files")).filter(Files.isDirectory(_))
+    val roots = Seq(dataDir, dataDir.resolve("files"), dataDir.resolve("changes"))
+      .filter(Files.isDirectory(_))
     roots.foreach { root =>
       Files.list(root).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString != "files")
+        .filter(p => Files.isDirectory(p) &&
+          !Set("files", "changes").contains(p.getFileName.toString))
         .foreach { p =>
           val rel = dataDir.relativize(p).toString.replace("\\", "/")
           if (!referenced.contains(rel)) { purge(p); removed += 1 }

@@ -292,6 +292,73 @@ class StreamingSpec extends SparkSpecBase {
     sink.process(batch(60, 70), 10L)
     assert(sink.readChanges(spark, 2).select("id").as[Long].collect().toSet ==
       (60L until 70L).toSet)
+    // appended rows are typed as inserts in the feed
+    assert(sink.readChanges(spark, 2).select("_change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+  }
+
+  test("readChanges surfaces merge/delete logical changes; opaque snapshots fail loudly") {
+    val tableDir = tmp("graft-cdf")
+    val sink = new ExactlyOnceSink(tableDir)
+    sink.process(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), 0L)
+    // MERGE: one key update (2), one insert (4) — the feed carries the
+    // Delta-CDF change rows, not the rewritten table
+    val mv = sink.merge(spark, Seq((2L, "B"), (4L, "d")).toDF("id", "name"),
+      Seq("id"))
+    val ch = sink.readChanges(spark, fromVersion = 0)
+    assert(ch.select("id", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet == Set(
+        (4L, "d", "insert"),
+        (2L, "b", "update_preimage"),
+        (2L, "B", "update_postimage")))
+    assert(ch.select("batch").distinct().as[Int].collect().toSet ==
+      Set(mv.toInt))
+    // DELETE: the removed rows appear as `delete` changes
+    val dv = sink.delete(spark, col("id") === 1L)
+    assert(sink.readChanges(spark, mv).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet == Set((1L, "delete")))
+    // compact in range contributes nothing (physical rewrite only)
+    sink.compact(spark)
+    assert(sink.readChanges(spark, dv).count() == 0)
+    // change dirs survive history-dropping vacuum: the feed reads history
+    assert(sink.vacuum(retainHistory = false) >= 0)
+    assert(sink.readChanges(spark, mv - 1, dv).count() == 4) // 3 merge + 1 delete rows
+    // an opaque snapshot (arbitrary transform, unknowable change set)
+    // in range must fail loudly, never silently drop changes
+    sink.transactSnapshot(spark)(cur => cur)
+    val err = intercept[RuntimeException](sink.readChanges(spark, dv))
+    assert(err.getMessage.contains("no recorded change rows"))
+    // ranges that end before the opaque snapshot still work
+    assert(sink.readChanges(spark, mv, dv).count() == 1)
+  }
+
+  test("z-order accepts string clustering columns; string stats prune files") {
+    val tableDir = tmp("graft-zorder-str")
+    val sink = new ExactlyOnceSink(tableDir)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    sink.commitAppend(docs, clusterBy = Seq("source"), clusterFiles = 8)
+    val all = sink.read(spark)
+    assert(all.count() == docs.count())
+    val nFiles = all.inputFiles.length
+    // a lexicographic slab covering ~4/20 source values reads fewer files
+    val pruned = sink.readSkipping(spark, "source", "src0", "src12")
+    assert(pruned.inputFiles.length < nFiles,
+      s"string skip read all ${pruned.inputFiles.length}/$nFiles files")
+    // pruning is lossless
+    val slab = col("source") >= "src0" && col("source") <= "src12"
+    assert(pruned.filter(slab).count() == docs.filter(slab).count())
+    // a user __z column is rejected loudly, not silently overwritten
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.key(docs.withColumn("__z", lit(1)), Seq("n_chars"))
+    }
+    assert(err.getMessage.contains("__z"))
+    // unsupported cluster-column type rejected with a clear message
+    val err2 = intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.key(
+        docs.withColumn("arr", array(lit(1))), Seq("arr"))
+    }
+    assert(err2.getMessage.contains("unclusterable"))
   }
 
   test("z-ordered append: file skipping prunes on BOTH clustered columns") {
