@@ -30,7 +30,8 @@ object SparkEntry {
       TextOps.queries ++
       VectorOps.queries ++
       ExtendedOps.queries ++
-      PipelineOps.queries
+      PipelineOps.queries ++
+      AnalyticsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -44,5 +45,6 @@ object SparkEntry {
       TextOps.oracles ++
       VectorOps.oracles ++
       ExtendedOps.oracles ++
-      PipelineOps.oracles
+      PipelineOps.oracles ++
+      AnalyticsOps.oracles
 }

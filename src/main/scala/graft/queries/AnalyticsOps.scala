@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-5 surface growth (SURVEY §2.8/§2.9/§2.10 extensions): line-level
+  * corpus dedup, PII masking, cohort retention, per-group mode, stratified
+  * sampling, and integer-exact anomaly flagging. Reference implements
+  * nothing (SURVEY.md §0); semantics follow the public training-data-
+  * pipeline and event-analytics literature (C4/CCNet line dedup, cohort
+  * retention matrices).
+  *
+  * Scale design notes inline; every operator is map-only or shuffles on
+  * bounded, well-distributed keys — no all-pairs work, no driver state.
+  */
+object AnalyticsOps {
+  import graft.QueryFn
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def h32(s: SparkSession, c: Column): Column =
+    graft.functions.PortableHash32.portableHash32(s, c)
+
+  /** Line-dedup window: 5 consecutive tokens per "line" (the corpus has
+    * no newlines, so fixed token windows stand in for physical lines —
+    * same operator shape as C4's duplicated-line removal). */
+  private val W = 5
+
+  val queries: Map[String, QueryFn] = Map(
+    // Line-level corpus dedup (C4/CCNet shape): chunk every doc into
+    // 5-token "lines", drop every line whose exact text occurs more than
+    // once ACROSS THE CORPUS (boilerplate, headers, near-dup overlap),
+    // and reassemble each doc from its surviving lines in order. Emits
+    // per-doc kept/total counts plus an md5 of the cleaned text (compact
+    // oracle-checkable proof of the reassembled string).
+    // Shape: map-only chunking (no shuffle), one count shuffle on the
+    // line hash (high-cardinality, well distributed), join back on the
+    // line (broadcast-able after dup-only projection at scale: the
+    // duplicated-line dictionary is sublinear in the corpus), one per-doc
+    // agg. At 100 TB this is the standard two-aggregation dedup pass.
+    "q_llm_line_dedup" -> ((s, d) => {
+      val nch = ceil(size(col("toks")).cast("double") / W).cast("int")
+      val chunkArr = transform(sequence(lit(0), nch - 1),
+        i => array_join(slice(col("toks"), i * W + 1, lit(W)), " "))
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      val counted = chunks.groupBy("chunk").agg(count(lit(1)).as("c"))
+      chunks.join(counted, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_chunks"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("kept_chunks"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("c") === 1, struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // PII masking (map-only redaction pass every public training corpus
+    // runs): replace email addresses then digit runs with typed mask
+    // tokens, counting each. The input line synthesizes an email from
+    // user_id so the email path is exercised; props carries real digits.
+    // Both regexes are RE2-and-Java-compatible (no lookaround/backrefs),
+    // so Spark and the DuckDB oracle transform identically. Shape: pure
+    // scan projection — zero shuffles at any scale.
+    "q_llm_pii_mask" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val raw = concat(col("event_type"), lit(" user"),
+        col("user_id").cast("string"), lit("@example.com "), col("props"))
+      t(s, d, "events")
+        .select(col("event_id"), raw.as("raw"))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))))
+        .withColumn("m1",
+          regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+        .withColumn("n_nums",
+          size(regexp_extract_all(col("m1"), lit("[0-9]+"), lit(0))))
+        .select(col("event_id"), col("n_emails"), col("n_nums"),
+          regexp_replace(col("m1"), "[0-9]+", "<NUM>").as("masked"))
+        .orderBy("event_id")
+    }),
+
+    // Cohort retention matrix (the standard event-analytics readout):
+    // cohort = each user's first active DATE; cell (cohort, offset) =
+    // distinct users of that cohort active offset days later. Shape:
+    // distinct on (user, day) → per-user min → join back on user_id
+    // (both sides pre-aggregated, the cohort side one row per user —
+    // broadcast-able) → final bounded-key agg. No raw-event self-join at
+    // any scale.
+    "q_retention_cohort" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = ud.groupBy("user_id").agg(min(col("day")).as("cohort_d"))
+      ud.join(cohort, "user_id")
+        .select(col("cohort_d"),
+          datediff(col("day"), col("cohort_d")).as("offset_d"),
+          col("user_id"))
+        .groupBy("cohort_d", "offset_d")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_d", "offset_d")
+    }),
+
+    // Per-group MODE with a total tie-break (most frequent event_type per
+    // user; ties broken to the lexicographically smallest type). Shape:
+    // one hash agg on the bounded (user, type) key, then a tiny per-user
+    // window — the window input is already one row per (user, type), so
+    // the sort is over group counts, not raw events.
+    "q_agg_mode" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type").asc)
+      t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("n").as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Stratified sampling: EXACTLY 5 docs per source stratum, picked by
+    // smallest portable hash (deterministic across engines, runs, and
+    // cluster sizes — the fixed-count counterpart of q_llm_mix_sample's
+    // rate-based pass). Shape: one window per stratum over the hash; at
+    // 100 TB the per-stratum top-k runs as WindowGroupLimit (rank-limit
+    // pushdown), never a full sort of the corpus.
+    "q_llm_strat_sample" -> ((s, d) => {
+      val h = h32(s, concat(lit("strat:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("pick_rank", row_number().over(w))
+        .filter(col("pick_rank") <= 5)
+        .select(col("doc_id"), col("source"), col("pick_rank"))
+        .orderBy("source", "pick_rank")
+    }),
+
+    // Anomaly flagging with integer-exact math: events whose value
+    // exceeds 3x their user's mean. The comparison is pure integer
+    // arithmetic (cents * count > 3 * cents_sum) — no FP mean, so the
+    // flag set is bit-identical on any engine and any partitioning (an
+    // FP mean's last ulp can flip boundary rows between engines). Shape:
+    // per-user agg (map-side combined) + join back on user_id; the
+    // per-user stats relation is one row per user — broadcast-able.
+    "q_events_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          Det.cents(col("value"), 2).as("cents"))
+      val stats = ev.groupBy("user_id")
+        .agg(sum(col("cents")).as("sum_c"), count(lit(1)).as("cnt"))
+      ev.join(broadcast(stats), "user_id")
+        .filter(col("cents") * col("cnt") > lit(3L) * col("sum_c"))
+        .select(col("event_id"), col("user_id"),
+          Det.r2(col("value")).as("value_r"),
+          Det.r2(col("cents").cast("double") * col("cnt") / col("sum_c"))
+            .as("x_mean"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             chunks AS (
+               SELECT doc_id, u.i AS pos,
+                      array_to_string(t[(u.i*$W+1):(u.i*$W+$W)], ' ') AS chunk
+               FROM toks, unnest(range(0, CAST(ceil(len(t)/$W.0) AS BIGINT))) AS u(i)),
+             counted AS (SELECT chunk, count(*) AS c FROM chunks GROUP BY 1)
+         SELECT ch.doc_id, count(*) AS total_chunks,
+                CAST(SUM(CASE WHEN ct.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+                md5(coalesce(string_agg(CASE WHEN ct.c = 1 THEN ch.chunk END,
+                                        ' ' ORDER BY ch.pos), '')) AS clean_md5
+         FROM chunks ch JOIN counted ct USING (chunk)
+         GROUP BY ch.doc_id ORDER BY ch.doc_id""",
+    "q_llm_pii_mask" ->
+      """WITH raw AS (
+           SELECT event_id,
+                  event_type || ' user' || CAST(user_id AS VARCHAR)
+                    || '@example.com ' || props AS raw
+           FROM events),
+         m AS (
+           SELECT event_id, raw,
+                  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+                  regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS m1
+           FROM raw)
+         SELECT event_id, n_emails,
+                CAST(len(regexp_extract_all(m1, '[0-9]+')) AS INTEGER) AS n_nums,
+                regexp_replace(m1, '[0-9]+', '<NUM>', 'g') AS masked
+         FROM m ORDER BY event_id""",
+    "q_retention_cohort" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+              c AS (SELECT user_id, min(day) AS cohort_d FROM ud GROUP BY 1)
+         SELECT c.cohort_d,
+                CAST(date_diff('day', c.cohort_d, ud.day) AS INTEGER) AS offset_d,
+                count(DISTINCT ud.user_id) AS n_users
+         FROM ud JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_agg_mode" ->
+      """SELECT user_id, event_type AS mode_type, n AS n_events FROM (
+           SELECT user_id, event_type, count(*) AS n,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY count(*) DESC, event_type ASC) AS rn
+           FROM events GROUP BY user_id, event_type) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_llm_strat_sample" ->
+      """SELECT doc_id, source, pick_rank FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY ('0x'||substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                             doc_id) AS INTEGER) AS pick_rank
+           FROM documents) t
+         WHERE pick_rank <= 5 ORDER BY source, pick_rank""",
+    "q_events_anomaly" ->
+      """WITH ev AS (SELECT event_id, user_id, value,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                     FROM events),
+              st AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS sum_c,
+                            count(*) AS cnt
+                     FROM ev GROUP BY user_id)
+         SELECT ev.event_id, ev.user_id,
+                floor(ev.value * 100 + 0.5) / 100 AS value_r,
+                floor(CAST(ev.cents AS DOUBLE) * st.cnt / st.sum_c * 100 + 0.5) / 100 AS x_mean
+         FROM ev JOIN st USING (user_id)
+         WHERE ev.cents * st.cnt > 3 * st.sum_c
+         ORDER BY ev.event_id"""
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticsOps
+
+/** Semantic unit tests for the round-5 operators (SURVEY §2.8-§2.10
+  * additions). The DuckDB oracle checks cross-engine parity; these pin
+  * the SEMANTICS on data where the expected answer is computed by hand. */
+class AnalyticsOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("line dedup removes exactly the corpus-duplicated 5-token chunks") {
+    val ld = AnalyticsOps.queries("q_llm_line_dedup")(spark, sf)
+      .select("doc_id", "total_chunks", "kept_chunks")
+      .as[(Long, Long, Long)].collect()
+    assert(ld.nonEmpty)
+    // kept <= total everywhere, and the corpus (which carries near-dup
+    // docs by construction) must actually lose some chunks
+    assert(ld.forall { case (_, t, k) => k <= t && t > 0 })
+    assert(ld.map(r => r._2 - r._3).sum > 0, "no duplicated chunks found")
+    // cross-check one doc against a literal recomputation
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val chunks = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(5).zipWithIndex
+        .map { case (c, i) => (id, i, c.mkString(" ")) }
+    }
+    val counts = chunks.groupBy(_._3).view.mapValues(_.size).toMap
+    val expect = chunks.groupBy(_._1).view.mapValues { cs =>
+      (cs.size.toLong, cs.count(c => counts(c._3) == 1).toLong)
+    }.toMap
+    ld.foreach { case (id, t, k) =>
+      assert((t, k) == expect(id), s"doc $id: got ($t,$k) want ${expect(id)}")
+    }
+  }
+
+  test("pii mask redacts every email and digit run; counts match") {
+    val r = AnalyticsOps.queries("q_llm_pii_mask")(spark, sf)
+    val rows = r.select("n_emails", "n_nums", "masked")
+      .as[(Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    // the synthesized email is always present; props always has digits
+    assert(rows.forall(_._1 >= 1))
+    assert(rows.forall(_._2 >= 1))
+    // nothing maskable survives in the output
+    assert(rows.forall { case (_, _, m) =>
+      !m.exists(_.isDigit) && !m.contains("@example.com")
+    })
+    assert(rows.forall(_._3.contains("<EMAIL>")))
+    assert(rows.forall(_._3.contains("<NUM>")))
+  }
+
+  test("retention cohort: offsets start at 0 and day-0 covers every user once") {
+    val rc = AnalyticsOps.queries("q_retention_cohort")(spark, sf)
+      .select("offset_d", "n_users").as[(Int, Long)].collect()
+    assert(rc.forall(_._1 >= 0))
+    val nUsers = Tables(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    // every user is active on their own cohort day exactly once
+    assert(rc.filter(_._1 == 0).map(_._2).sum == nUsers)
+  }
+
+  test("mode picks the most frequent type with lexicographic tie-break") {
+    val m = AnalyticsOps.queries("q_agg_mode")(spark, sf)
+      .select("user_id", "mode_type", "n_events")
+      .as[(Long, String, Long)].collect()
+    val byUser = Tables(spark, sf, "events")
+      .groupBy("user_id", "event_type").count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1)
+    assert(m.length == byUser.size) // one row per user
+    m.foreach { case (u, typ, n) =>
+      val groups = byUser(u).map(g => (g._2, g._3))
+      val maxN = groups.map(_._2).max
+      assert(n == maxN, s"user $u: count $n != max $maxN")
+      assert(typ == groups.filter(_._2 == maxN).map(_._1).min,
+        s"user $u: tie-break picked $typ")
+    }
+  }
+
+  test("stratified sample returns exactly 5 docs per source, hash-deterministic") {
+    val s1 = AnalyticsOps.queries("q_llm_strat_sample")(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val perSource = s1.groupBy(_._2).view.mapValues(_.size)
+    val nSources = Tables(spark, sf, "documents")
+      .select(countDistinct(col("source"))).as[Long].head()
+    assert(perSource.size == nSources)
+    assert(perSource.values.forall(_ == 5), s"uneven strata: $perSource")
+    // deterministic: a rerun picks the identical set
+    val s2 = AnalyticsOps.queries("q_llm_strat_sample")(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("anomaly flags exactly the events above 3x the user's exact-cents mean") {
+    val flagged = AnalyticsOps.queries("q_events_anomaly")(spark, sf)
+      .select("event_id").as[Long].collect().toSet
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val cents = ev.map { case (e, u, v) => (e, u, math.floor(v * 100 + 0.5).toLong) }
+    val stats = cents.groupBy(_._2).view
+      .mapValues(xs => (xs.map(_._3).sum, xs.size.toLong)).toMap
+    val expect = cents.collect {
+      case (e, u, c) if c * stats(u)._2 > 3 * stats(u)._1 => e
+    }.toSet
+    assert(flagged == expect)
+    assert(flagged.nonEmpty, "no anomalies in the fixture data")
+  }
+}
