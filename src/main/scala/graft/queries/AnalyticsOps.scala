@@ -35,11 +35,11 @@ object AnalyticsOps {
     // and reassemble each doc from its surviving lines in order. Emits
     // per-doc kept/total counts plus an md5 of the cleaned text (compact
     // oracle-checkable proof of the reassembled string).
-    // Shape: map-only chunking (no shuffle), one count shuffle on the
-    // line hash (high-cardinality, well distributed), join back on the
-    // line (broadcast-able after dup-only projection at scale: the
-    // duplicated-line dictionary is sublinear in the corpus), one per-doc
-    // agg. At 100 TB this is the standard two-aggregation dedup pass.
+    // Shape: map-only chunking (no shuffle), ONE shuffle on the line key
+    // (a full-partition count window — partitioning by line replaces the
+    // groupBy+self-join twin, which would shuffle the same chunk rows
+    // twice), then one per-doc agg. The line key is high-cardinality and
+    // well distributed; at 100 TB this is two clean exchanges total.
     "q_llm_line_dedup" -> ((s, d) => {
       val nch = ceil(size(col("toks")).cast("double") / W).cast("int")
       val chunkArr = transform(sequence(lit(0), nch - 1),
@@ -47,8 +47,8 @@ object AnalyticsOps {
       val chunks = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
-      val counted = chunks.groupBy("chunk").agg(count(lit(1)).as("c"))
-      chunks.join(counted, "chunk")
+      chunks
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("chunk")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("total_chunks"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("kept_chunks"),

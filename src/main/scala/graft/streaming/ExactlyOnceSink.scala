@@ -125,6 +125,47 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }.toMap
   }
 
+  /** Per-file bloom filters for point-lookup file skipping (the Delta
+    * bloom-filter-index analog): min/max stats cannot prune an equality
+    * probe on a high-cardinality column whose per-file ranges overlap
+    * (ingest order rarely clusters ids), but a ~1 KB bloom in the commit
+    * log prunes every file that definitely lacks the value.
+    *
+    * One Spark pass over the staged files, grouped by `_metadata
+    * .file_path`: k=3 probes of xxhash64(seed, value-as-string) set bits
+    * in a `bits`-wide bitmap held as 64-bit words, OR-merged per file by
+    * `bit_or` aggregates — all public, codegen'd functions. `bits` is a
+    * writer knob; a real deployment sizes it from expected distinct
+    * count and target FPP exactly as Delta's index does. */
+  private def fileBlooms(spark: SparkSession, staging: Path,
+      cols: Seq[String], bits: Int): Map[String, Map[String, Array[Long]]] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    val words = bits / 64
+    val df = spark.read.parquet(staging.toString)
+    val aggs = for { c <- cols; w <- 0 until words } yield {
+      val contrib = (0 until 3).map { j =>
+        val p = pmod(xxhash64(lit(j), col(c).cast("string")), lit(bits))
+        when((p / 64).cast("int") === w,
+          call_function("shiftleft", lit(1L), (p % 64).cast("int")))
+          .otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      bit_or(contrib).as(s"${c}__$w")
+    }
+    val base = java.nio.file.Paths.get(staging.toUri).toString
+    df.groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { row =>
+        val uri = java.net.URI.create(row.getString(0))
+        val abs = java.nio.file.Paths.get(uri.getPath).toString
+        val rel = abs.stripPrefix(base).stripPrefix("/").replace("\\", "/")
+        rel -> cols.zipWithIndex.map { case (c, ci) =>
+          c -> (0 until words)
+            .map(w => row.getLong(1 + ci * words + w)).toArray
+        }.toMap
+      }.toMap
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -143,7 +184,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       adds: Seq[Path],
       stats: Map[String, Map[String, (String, String)]],
       op: String = "",
-      changeDir: Option[String] = None): String = {
+      changeDir: Option[String] = None,
+      blooms: Map[String, Map[String, Array[Long]]] = Map.empty): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -156,7 +198,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
           val hiJ = Option(hi).map(jstr).getOrElse("null")
           s"${jstr(c)}:{${jstr("min")}:$loJ,${jstr("max")}:$hiJ}"
       }.mkString(",")
-      s"""{"path":${jstr(rel)},"stats":{$st}}"""
+      // bloom bitmaps as fixed-width hex words (16 chars per 64-bit word)
+      val bl = blooms.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).map {
+        case (c, ws) =>
+          s"${jstr(c)}:${jstr(ws.map(w => f"$w%016x").mkString)}"
+      }.mkString(",")
+      val blJson = if (bl.isEmpty) "" else s""","bloom":{$bl}"""
+      s"""{"path":${jstr(rel)},"stats":{$st}$blJson}"""
     }.mkString(",")
     val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
@@ -234,9 +282,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * `clusterBy` z-order-clusters the append across `clusterFiles` write
     * units (graft.operators.ZOrder) so the per-file footer stats the
     * commit records are tight on EVERY clustered column — readSkipping
-    * then prunes on any of them, not just a partition column. */
+    * then prunes on any of them, not just a partition column.
+    *
+    * `bloomBy` additionally records a per-file bloom filter for each
+    * named column (`bloomBits` wide) — `readLookup` then prunes files on
+    * EQUALITY probes that range stats cannot serve. */
   def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil, clusterFiles: Int = 8): Long = {
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 8,
+      bloomBy: Seq[String] = Nil, bloomBits: Int = 4096): Long = {
     Files.createDirectories(dataDir)
     // A clustered append runs TWO actions over the input (the quantile
     // sketch pass inside ZOrder.key, then the staged write): persist the
@@ -251,13 +304,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     val adds = stage(clustered, staging, partitionBy)
     pinned.foreach(_.unpersist(blocking = false))
     val stats = fileStats(df.sparkSession, staging)
+    val blooms = fileBlooms(df.sparkSession, staging, bloomBy, bloomBits)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)
     Files.createDirectories(target.getParent)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     var v = nextVersion()
     while (!claim(v, entryJson(df, v, dir, partitionBy, snapshot = false,
-        adds, stats))) {
+        adds, stats, blooms = blooms))) {
       v = math.max(v + 1, nextVersion()) // lost the race — next version
     }
     v
@@ -325,8 +379,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   // read path
   // ---------------------------------------------------------------------
 
+  private case class AddFile(path: String,
+      stats: Map[String, (Option[String], Option[String])],
+      bloom: Map[String, Array[Long]] = Map.empty)
+
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
-      adds: Seq[(String, Map[String, (Option[String], Option[String])])],
+      adds: Seq[AddFile],
       op: String = "", changeDir: Option[String] = None)
 
   private def parseCommit(v: Long): Commit = {
@@ -351,7 +409,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     }
     val adds = (j \ "add") match {
       case JArray(items) => items.map {
-        case JString(p) => (p, Map.empty[String, (Option[String], Option[String])])
+        case JString(p) => AddFile(p, Map.empty)
         case o: JObject =>
           val path = (o \ "path") match { case JString(p) => p; case _ => "" }
           val stats = (o \ "stats") match {
@@ -363,8 +421,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
             }.toMap
             case _ => Map.empty[String, (Option[String], Option[String])]
           }
-          (path, stats)
-        case _ => ("", Map.empty[String, (Option[String], Option[String])])
+          val bloom = (o \ "bloom") match {
+            case JObject(fields) => fields.collect { case (c, JString(hx)) =>
+              c -> hx.grouped(16)
+                .map(w => java.lang.Long.parseUnsignedLong(w, 16)).toArray
+            }.toMap
+            case _ => Map.empty[String, Array[Long]]
+          }
+          AddFile(path, stats, bloom)
+        case _ => AddFile("", Map.empty)
       }
       case _ => Nil
     }
@@ -444,6 +509,28 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** What a downstream incremental consumer maintains: the live row set
+    * reconstructed PURELY from the change feed (never reading the table
+    * itself). Per key, the latest change wins — a row exists iff that
+    * change is an insert/update_postimage, and is gone iff a delete.
+    * Valid for key-unique tables (the CDC-mirrored-dimension case);
+    * StreamingSpec asserts it matches read() across
+    * append+merge+delete+compact histories. One shuffle on the key. */
+  def stateFromChanges(spark: SparkSession, keys: Seq[String],
+      toVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ch = readChanges(spark, -1L, toVersion)
+    if (ch.isEmpty) return ch
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("batch").desc,
+        when(col("_change_type") === "update_preimage", 1).otherwise(0))
+    ch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 &&
+        col("_change_type").isin("insert", "update_postimage"))
+      .drop("__rn", "_change_type", "batch")
+  }
+
   /** Stat-skipped read: prune committed files whose recorded [min,max]
     * for `column` cannot intersect [lower, upper] (string-compared for
     * strings, numerically for numerics — the comparison mirrors how the
@@ -470,13 +557,41 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       case _ => true
     }
 
+  /** Bloom-pruned point lookup: keep only files whose recorded bloom
+    * filter might contain `value` on `column` (plus files with no bloom —
+    * skipping stays conservative). The k probe positions recompute the
+    * writer's hash via one trivial 1-row Spark job, guaranteeing the
+    * exact same xxhash64 both sides. A definite miss (any probed bit
+    * clear) excludes the file — the pruning a high-cardinality equality
+    * probe needs when per-file [min,max] ranges all overlap. */
+  def readLookup(spark: SparkSession, column: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val hashes = spark.range(1).select(
+      (0 until 3).map(j => xxhash64(lit(j), lit(value)).as(s"h$j")): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val commits = visibleCommits(None)
+    val files = commits.flatMap { c =>
+      c.adds.collect {
+        case a if a.bloom.get(column).forall { words =>
+          val bits = words.length * 64L
+          hashes.forall { h =>
+            val p = ((h % bits) + bits) % bits
+            (words((p / 64).toInt) >> (p % 64).toInt & 1L) == 1L
+          }
+        } => dataDir.resolve(c.dir).resolve(a.path).toString
+      }
+    }
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
   private def readSkippingWith(spark: SparkSession, column: String)
       (keep: Option[(Option[String], Option[String])] => Boolean): DataFrame = {
     val commits = visibleCommits(None)
     val files = commits.flatMap { c =>
       c.adds.collect {
-        case (path, stats) if keep(stats.get(column)) =>
-          dataDir.resolve(c.dir).resolve(path).toString
+        case a if keep(a.stats.get(column)) =>
+          dataDir.resolve(c.dir).resolve(a.path).toString
       }
     }
     if (files.isEmpty) spark.emptyDataFrame

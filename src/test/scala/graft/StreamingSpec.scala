@@ -332,6 +332,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.readChanges(spark, mv, dv).count() == 1)
   }
 
+  test("a CDC consumer reconstructs live state from the change feed alone") {
+    val tableDir = tmp("graft-cdc-mirror")
+    val sink = new ExactlyOnceSink(tableDir)
+    sink.process(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v"), 0L)
+    sink.merge(spark, Seq((2L, "B", 25.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v"), Seq("id"))
+    sink.delete(spark, col("id") === 3L)
+    sink.commitAppend(Seq((5L, "e", 50.0)).toDF("id", "name", "v"))
+    sink.compact(spark) // physical rewrite — must not disturb the mirror
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "name", "v").as[(Long, String, Double)].collect().toSet
+    val mirror = rows(sink.stateFromChanges(spark, Seq("id")))
+    assert(mirror == rows(sink.read(spark)))
+    assert(mirror == Set((1L, "a", 10.0), (2L, "B", 25.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+    // bounded replay: mirror as of the merge (before the delete)
+    val mv = 1L
+    assert(rows(sink.stateFromChanges(spark, Seq("id"), toVersion = mv)) ==
+      rows(sink.read(spark, versionAsOf = Some(mv))))
+  }
+
+  test("per-file bloom filters prune point lookups that range stats cannot") {
+    val tableDir = tmp("graft-bloom")
+    val sink = new ExactlyOnceSink(tableDir)
+    // three appends with FULLY OVERLAPPING id ranges (0..2999) but
+    // disjoint id sets (mod-3 residues): every file's [min,max] spans
+    // nearly the whole range, so stat skipping is useless here
+    (0 until 3).foreach { r =>
+      sink.commitAppend(
+        spark.range(0, 3000).toDF("id").filter(col("id") % 3 === r)
+          .withColumn("sval", concat(lit("k"), col("id")))
+          .coalesce(1), // one file per commit => full-range [min,max] each
+        bloomBy = Seq("id", "sval"))
+    }
+    val all = sink.read(spark)
+    val nFiles = all.inputFiles.length
+    assert(nFiles >= 3)
+    // range stats cannot prune a point probe on these overlapping files
+    assert(sink.readSkipping(spark, "id", 1001, 1001)
+      .inputFiles.length == nFiles)
+    // the bloom prunes to (about) the one commit holding the residue;
+    // false positives are possible but bounded — strictly fewer files
+    val hit = sink.readLookup(spark, "id", "1001")
+    assert(hit.inputFiles.length < nFiles,
+      s"bloom pruned nothing: ${hit.inputFiles.length}/$nFiles")
+    assert(hit.filter(col("id") === 1001).count() == 1) // lossless
+    // string-column bloom works the same way
+    val hitS = sink.readLookup(spark, "sval", "k2000")
+    assert(hitS.inputFiles.length < nFiles)
+    assert(hitS.filter(col("sval") === "k2000").count() == 1)
+    // a value absent from the table: typically every file pruned (allow
+    // rare FPs, but the probe must return no matching rows regardless)
+    val miss = sink.readLookup(spark, "id", "999999")
+    assert(miss.isEmpty || miss.filter(col("id") === 999999).count() == 0)
+    // files without a bloom for the column are conservatively kept
+    sink.commitAppend(Seq(3000L).toDF("id")
+      .withColumn("sval", lit("k3000"))) // no bloomBy
+    assert(sink.readLookup(spark, "id", "3000")
+      .filter(col("id") === 3000).count() == 1)
+  }
+
   test("z-order accepts string clustering columns; string stats prune files") {
     val tableDir = tmp("graft-zorder-str")
     val sink = new ExactlyOnceSink(tableDir)
