@@ -177,6 +177,34 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q_llm_strat_sample plans a rank-limit window (WindowGroupLimit)") {
+    // exact per-stratum top-k must push the limit into the window, never
+    // fully sort each stratum before filtering
+    val p = physical("q_llm_strat_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("q_events_anomaly joins the per-user stats by broadcast") {
+    val p = physical("q_events_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_llm_pii_mask is map-only: no hash exchange anywhere") {
+    // redaction is a pure scan projection — the only exchange allowed is
+    // the determinism sort's range partitioning
+    val p = physical("q_llm_pii_mask")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("q_llm_line_dedup shuffles the chunk rows exactly twice") {
+    // one hash exchange for the per-line count window, one for the
+    // per-doc reassembly agg — the groupBy+self-join twin would add a
+    // third over the same chunk rows
+    val p = physical("q_llm_line_dedup")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 hash exchanges, found $n:\n" + p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that
