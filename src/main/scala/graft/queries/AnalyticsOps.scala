@@ -138,6 +138,33 @@ object AnalyticsOps {
         .orderBy("source", "pick_rank")
     }),
 
+    // Time-series gap fill: regularize the per-user event stream onto a
+    // dense hourly grid (missing hours explicit with zero counts) — what
+    // any downstream forecasting/rate job consumes. Shape: per-user agg
+    // of actuals (one bounded-key shuffle); the grid is generated by
+    // exploding a compact per-user sequence against the broadcast global
+    // [min,max] hour bounds (map-side, never a materialized cross join
+    // input); the left join is co-partitioned on (user, hour). At 100 TB
+    // grid size is users x hours — orders smaller than the event count.
+    "q_gapfill_hourly" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")
+          .as("hour_s"),
+        Det.cents(col("value"), 2).as("cents"))
+      val actual = ev.groupBy("user_id", "hour_s")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
+      val bounds = ev.agg(min(col("hour_s")).as("lo"), max(col("hour_s")).as("hi"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
+      grid.join(actual, Seq("user_id", "hour_s"), "left")
+        .select(col("user_id"), col("hour_s"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("sum_c"), lit(0L)).cast("double") / 100).as("val_sum"))
+        .orderBy("user_id", "hour_s")
+    }),
+
     // Anomaly flagging with integer-exact math: events whose value
     // exceeds 3x their user's mean. The comparison is pure integer
     // arithmetic (cents * count > 3 * cents_sum) — no FP mean, so the
@@ -214,6 +241,24 @@ object AnalyticsOps {
                              doc_id) AS INTEGER) AS pick_rank
            FROM documents) t
          WHERE pick_rank <= 5 ORDER BY source, pick_rank""",
+    "q_gapfill_hourly" ->
+      """WITH ev AS (SELECT user_id,
+                            CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_s,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                     FROM events),
+              actual AS (SELECT user_id, hour_s, count(*) AS n,
+                                CAST(sum(cents) AS BIGINT) AS sum_c
+                         FROM ev GROUP BY 1, 2),
+              grid AS (SELECT u.user_id, g.hour_s
+                       FROM (SELECT DISTINCT user_id FROM ev) u,
+                            (SELECT unnest(range((SELECT min(hour_s) FROM ev),
+                                                 (SELECT max(hour_s) FROM ev) + 1,
+                                                 3600)) AS hour_s) g)
+         SELECT g.user_id, g.hour_s,
+                coalesce(a.n, 0) AS n,
+                CAST(coalesce(a.sum_c, 0) AS DOUBLE) / 100 AS val_sum
+         FROM grid g LEFT JOIN actual a USING (user_id, hour_s)
+         ORDER BY user_id, hour_s""",
     "q_events_anomaly" ->
       """WITH ev AS (SELECT event_id, user_id, value,
                             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

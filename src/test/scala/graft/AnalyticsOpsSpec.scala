@@ -92,6 +92,23 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(s1 == s2)
   }
 
+  test("gap fill produces a dense per-user hourly grid preserving totals") {
+    val gf = AnalyticsOps.queries("q_gapfill_hourly")(spark, sf)
+      .select("user_id", "hour_s", "n").as[(Long, Long, Long)].collect()
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .as[(Long, Long)].collect()
+    val users = ev.map(_._1).distinct
+    val hours = ev.map(t => t._2 / 3600 * 3600)
+    val span = ((hours.max - hours.min) / 3600 + 1)
+    // dense: every user covers the full corpus hour span exactly once
+    assert(gf.length == users.length * span)
+    assert(gf.groupBy(_._1).values.forall(_.length == span))
+    // zeros are explicit, and the filled counts still sum to the events
+    assert(gf.exists(_._3 == 0))
+    assert(gf.map(_._3).sum == ev.length)
+  }
+
   test("anomaly flags exactly the events above 3x the user's exact-cents mean") {
     val flagged = AnalyticsOps.queries("q_events_anomaly")(spark, sf)
       .select("event_id").as[Long].collect().toSet
