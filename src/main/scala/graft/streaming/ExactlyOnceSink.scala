@@ -185,7 +185,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       stats: Map[String, Map[String, (String, String)]],
       op: String = "",
       changeDir: Option[String] = None,
-      blooms: Map[String, Map[String, Array[Long]]] = Map.empty): String = {
+      blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
+      constraints: Option[Map[String, String]] = None): String =
+    entryJsonS(df.schema.json, version, dir, partitionBy, snapshot, adds,
+      stats, op, changeDir, blooms, constraints)
+
+  private def entryJsonS(schemaJson: String, version: Long, dir: String,
+      partitionBy: Seq[String], snapshot: Boolean,
+      adds: Seq[Path],
+      stats: Map[String, Map[String, (String, String)]],
+      op: String = "",
+      changeDir: Option[String] = None,
+      blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
+      constraints: Option[Map[String, String]] = None): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -207,10 +219,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       s"""{"path":${jstr(rel)},"stats":{$st}$blJson}"""
     }.mkString(",")
     val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
+    // constraints ride the metaData action (Delta's table-config slot): a
+    // commit carrying the field REPLACES the active set; commits without
+    // it leave the set untouched (latest-wins log replay)
+    val consJson = constraints.map { m =>
+      ",\"constraints\":{" + m.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",") + "}"
+    }.getOrElse("")
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
       s""""snapshot":$snapshot,""" +
-      s""""metaData":{"schemaString":${df.schema.json},""" +
-      s""""partitionColumns":[$parts]},""" +
+      s""""metaData":{"schemaString":$schemaJson,""" +
+      s""""partitionColumns":[$parts]$consJson},""" +
       s""""dir":${jstr(dir)},""" +
       changeJson +
       s""""add":[$addJson],""" +
@@ -385,7 +404,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
 
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
       adds: Seq[AddFile],
-      op: String = "", changeDir: Option[String] = None)
+      op: String = "", changeDir: Option[String] = None,
+      constraints: Option[Map[String, String]] = None)
 
   private def parseCommit(v: Long): Commit = {
     import org.json4s._
@@ -405,6 +425,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     }
     val changeDir = (j \ "changeDir") match {
       case JString(s) => Some(s)
+      case _ => None
+    }
+    val cons = (j \ "metaData" \ "constraints") match {
+      case JObject(fields) =>
+        Some(fields.collect { case (n, JString(e)) => n -> e }.toMap)
       case _ => None
     }
     val adds = (j \ "add") match {
@@ -433,7 +458,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }
       case _ => Nil
     }
-    Commit(v, dir, snap, adds, op, changeDir)
+    Commit(v, dir, snap, adds, op, changeDir, cons)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -457,7 +482,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       versionAsOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val commits = visibleCommits(versionAsOf)
+    // metadata-only commits (SET CONSTRAINT) carry no data files
+    val commits = visibleCommits(versionAsOf).filter(_.adds.nonEmpty)
     if (commits.isEmpty) return spark.emptyDataFrame
     commits.map { c =>
       spark.read
@@ -497,7 +523,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }
     val frames = commits.flatMap {
       case c if !c.snapshot =>
-        Some(spark.read.parquet(dataDir.resolve(c.dir).toString)
+        // metadata-only commits change no rows
+        if (c.adds.isEmpty) None
+        else Some(spark.read.parquet(dataDir.resolve(c.dir).toString)
           .withColumn("_change_type", lit("insert"))
           .withColumn("batch", lit(c.version).cast("int")))
       case c => c.changeDir.map { cd =>
@@ -522,9 +550,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     import org.apache.spark.sql.expressions.Window
     val ch = readChanges(spark, -1L, toVersion)
     if (ch.isEmpty) return ch
+    // within one batch, row-creating changes (insert/update_postimage)
+    // outrank row-ending ones: a RESTORE diff can delete a key's old row
+    // and insert its new one in the same version, and a merge pairs
+    // preimage with postimage — the surviving row must win the rank
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("batch").desc,
-        when(col("_change_type") === "update_preimage", 1).otherwise(0))
+        when(col("_change_type").isin("insert", "update_postimage"), 0)
+          .otherwise(1))
     ch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 &&
         col("_change_type").isin("insert", "update_postimage"))
