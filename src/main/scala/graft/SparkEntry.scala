@@ -31,7 +31,8 @@ object SparkEntry {
       VectorOps.queries ++
       ExtendedOps.queries ++
       PipelineOps.queries ++
-      AnalyticsOps.queries
+      AnalyticsOps.queries ++
+      GraphSearchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       VectorOps.oracles ++
       ExtendedOps.oracles ++
       PipelineOps.oracles ++
-      AnalyticsOps.oracles
+      AnalyticsOps.oracles ++
+      GraphSearchOps.oracles
 }

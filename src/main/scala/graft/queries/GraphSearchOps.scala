@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-6 surface growth (SURVEY §2.8/§2.9 extensions): RAG chunking
+  * with overlap, BM25 relevance scoring, PageRank over the near-dup
+  * graph, and the event-type transition matrix. Reference implements
+  * nothing (SURVEY.md §0); semantics follow the public IR / graph /
+  * event-analytics literature (Robertson-Spärck Jones BM25, Brin-Page
+  * PageRank, fixed-window retrieval chunking).
+  *
+  * Portability stance shared with the round-4/5 operators: every
+  * boundary-sensitive computation is integer math (micros/nanos
+  * fixed-point, integer `div`), so the DuckDB twin is bit-identical —
+  * FP appears only inside `Det.r` display rounding and the one `ln`
+  * call whose micros-floor has in-repo precedent (q_llm_unigram_logprob).
+  */
+object GraphSearchOps {
+  import graft.QueryFn
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Retrieval chunk geometry: 16-token windows, stride 12 (4-token
+    * overlap) — the fixed-window RAG segmentation. Small enough that the
+    * ~50-token synthetic docs produce several chunks each. */
+  private val CW = 16
+  private val CS = 12
+
+  val queries: Map[String, QueryFn] = Map(
+    // RAG chunking with overlap: segment every doc into CW-token windows
+    // advancing by CS tokens (trailing partial window kept), emitting the
+    // chunk's position, token count, and an md5 of its text (compact
+    // oracle-checkable proof of the exact chunk content). The chunk count
+    // is pure integer math — n <= CW ? 1 : 1 + ceil((n-CW)/CS) — so both
+    // engines cut identical windows. Shape: map-only generate+explode at
+    // the scan, zero shuffles at any scale; the output is the retrieval
+    // corpus a vector index ingests (pairs with q_llm_cosine_topk/ANN).
+    "q_llm_chunk" -> ((s, d) => {
+      // integer ceil: chunks = 1 + (n - CW + CS - 1) div CS for n > CW
+      // (the double detour is exact — n is bounded by the doc length)
+      val n = col("n")
+      val nc = when(n <= CW, lit(1))
+        .otherwise(lit(1) + floor((n - lit(CW) + lit(CS) - 1)
+          .cast("double") / CS).cast("int"))
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), nc - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * CS + 1).as("start_tok"),
+          least(lit(CW), col("n") - col("chunk_id") * CS).as("n_toks"),
+          md5(array_join(
+            slice(col("toks"), col("chunk_id") * CS + 1,
+              least(lit(CW), col("n") - col("chunk_id") * CS)), " "))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // BM25 relevance scoring (k1=1.2, b=0.75) of the corpus against a
+    // fixed query-term set — the lexical-retrieval half of a RAG stack
+    // next to the vector half (cosine/ANN). All score math is EXACT
+    // integer arithmetic: the Robertson idf is micros-floored (the one ln
+    // call), and the tf/length-normalization ratio is cleared of
+    // fractions by scaling with total_dl (avgdl's denominator) and 10
+    // (k1/b's decimals):
+    //   score_u = idf_u * 22*tf*TD  div  (10*tf*TD + 3*TD + 9*dl*N)
+    // so per-(doc,term) scores and their per-doc BIGINT sum are
+    // bit-identical in DuckDB — no FP summation anywhere. Shape: the
+    // filtered token explode keeps only query terms (map-side, vanishing
+    // selectivity), one bounded-key (doc,term) agg, a 3-row broadcast of
+    // per-term df, and a broadcast of the 1-row corpus stats — at 100 TB
+    // this is one scan plus shuffles on keys bounded by |query terms|x|docs|.
+    "q_llm_bm25" -> ((s, d) => {
+      val qterms = Seq("join", "hash", "vector")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val corpus = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("total_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_u",
+          floor(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * 1e6 + 0.5).cast("long"))
+        .withColumn("score_tu", expr(
+          "(idf_u * 22 * tf * total_dl) div " +
+            "(10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum(col("score_tu")).as("score_u"))
+        .select(col("doc_id"), col("n_hit"), col("score_u"),
+          Det.r(col("score_u").cast("double") / 1e6, 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // PageRank over the near-dup graph (d=0.85, 3 unrolled iterations):
+    // the centrality readout a curation pipeline uses to pick the
+    // canonical member of each duplicate cluster (q_llm_dup_groups picks
+    // min-id; rank-weighted selection keeps the best-connected doc).
+    // Nodes = endpoints of the blocked Jaccard>=0.5 pair graph
+    // (q_llm_jaccard_pairs), symmetrized. All rank math is integer nanos:
+    //   pr0   = 1e9 div N
+    //   contrib(u) = pr(u) div deg(u)
+    //   pr'(v) = (0.15e9 div N) + (85 * sum_in contrib) div 100
+    // so every iteration is bit-identical in the DuckDB twin — iterative
+    // FP would drift across engines after 3 rounds. Shape per iteration:
+    // one co-partitioned join of ranks to the persisted edge list on src
+    // + one bounded-key agg on dst — the same one-shuffle-per-round
+    // discipline as the CC operator; 3 fixed rounds, no driver loop
+    // state. At 100 TB the edge list is the already-blocked near-dup
+    // graph (sublinear in the corpus), not corpus².
+    "q_llm_pagerank" -> ((s, d) => {
+      val pairs = TextOps.jaccardPairs(s, d).select("d1", "d2")
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .persist()
+      val nn = edges.select(col("src")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val node = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "doc")
+        .crossJoin(broadcast(nn))
+        .selectExpr("doc", "deg",
+          "150000000L div n as base", "1000000000L div n as p0")
+      val r0 = node.selectExpr("doc", "p0 as pr")
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        val sums = edges
+          .join(node.selectExpr("doc as src", "deg"), "src")
+          .join(r.selectExpr("doc as src", "pr"), "src")
+          .selectExpr("dst", "pr div deg as contrib")
+          .groupBy("dst").agg(sum(col("contrib")).as("s"))
+        node.join(sums, node("doc") === sums("dst"))
+          .selectExpr("doc", "base + (85L * s) div 100 as pr")
+      }
+      node.join(r3, "doc")
+        .selectExpr("doc as doc_id", "deg", "pr as pr_u")
+        .orderBy("doc_id")
+    }),
+
+    // Event-type transition matrix (the Markov-chain readout of user
+    // behavior): count consecutive (from_type -> to_type) steps in each
+    // user's time-ordered stream and report each step's share of its
+    // from-state's outgoing mass. Ordering is (epoch second, event_id) —
+    // the parquet carries nanosecond timestamps that Spark truncates to
+    // micros, so raw-ts order is not engine-portable but second+unique-id
+    // order is (§2.0 timestamp rule, same key as q_scd2_history). Shape:
+    // one window shuffle on user_id (bounded partitions), then a hash agg
+    // on the tiny (from,to) key space; the share join is against a
+    // broadcast-sized per-from total. Map-side combine does the heavy
+    // lifting at 100 TB.
+    "q_events_transition" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+      val steps = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = steps.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      steps.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          Det.r(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("from_type", "to_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+                             len(string_split(text, ' ')) AS n
+                      FROM documents),
+              c AS (SELECT doc_id, t, n, u.i
+                    FROM tk, unnest(range(0,
+                      CASE WHEN n <= $CW THEN 1
+                           ELSE 1 + (n - $CW + $CS - 1) // $CS END)) AS u(i))
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                CAST(i * $CS + 1 AS INTEGER) AS start_tok,
+                CAST(least($CW, n - i * $CS) AS INTEGER) AS n_toks,
+                md5(array_to_string(
+                  t[(i * $CS + 1):(i * $CS + least($CW, n - i * $CS))], ' '))
+                  AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
+    "q_llm_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t,
+                              CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
+                       FROM documents),
+              corpus AS (SELECT count(*) AS n_docs,
+                                CAST(sum(dl) AS BIGINT) AS total_dl
+                         FROM docs),
+              tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                     FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+                     WHERE term IN ('join', 'hash', 'vector')
+                     GROUP BY doc_id, dl, term),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              sc AS (SELECT tf.doc_id,
+                            (CAST(floor(ln((c.n_docs - df.df + 0.5)
+                                           / (df.df + 0.5) + 1.0) * 1000000
+                                        + 0.5) AS BIGINT)
+                             * 22 * tf.tf * c.total_dl)
+                            // (10 * tf.tf * c.total_dl + 3 * c.total_dl
+                                + 9 * tf.dl * c.n_docs) AS score_tu
+                     FROM tf JOIN df USING (term) CROSS JOIN corpus c)
+         SELECT doc_id, count(*) AS n_hit,
+                CAST(sum(score_tu) AS BIGINT) AS score_u,
+                floor(CAST(sum(score_tu) AS DOUBLE) / 1000000 * 10000 + 0.5)
+                  / 10000 AS score
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_pagerank" ->
+      """WITH d AS (SELECT doc_id, source,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents),
+              p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                    FROM d a JOIN d b
+                      ON a.source = b.source AND a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))) >= 0.5),
+              e AS (SELECT d1 AS src, d2 AS dst FROM p
+                    UNION ALL SELECT d2, d1 FROM p),
+              nn AS (SELECT count(DISTINCT src) AS n FROM e),
+              node AS (SELECT src AS doc, count(*) AS deg,
+                              150000000 // n AS base, 1000000000 // n AS p0
+                       FROM e CROSS JOIN nn GROUP BY src, n),
+              r0 AS (SELECT doc, p0 AS pr FROM node),
+              r1 AS (SELECT n.doc, n.base + (85 * s.s) // 100 AS pr
+                     FROM (SELECT e.dst, SUM(r.pr // n2.deg) AS s
+                           FROM e JOIN r0 r ON r.doc = e.src
+                                JOIN node n2 ON n2.doc = e.src
+                           GROUP BY e.dst) s
+                     JOIN node n ON n.doc = s.dst),
+              r2 AS (SELECT n.doc, n.base + (85 * s.s) // 100 AS pr
+                     FROM (SELECT e.dst, SUM(r.pr // n2.deg) AS s
+                           FROM e JOIN r1 r ON r.doc = e.src
+                                JOIN node n2 ON n2.doc = e.src
+                           GROUP BY e.dst) s
+                     JOIN node n ON n.doc = s.dst),
+              r3 AS (SELECT n.doc, n.base + (85 * s.s) // 100 AS pr
+                     FROM (SELECT e.dst, SUM(r.pr // n2.deg) AS s
+                           FROM e JOIN r2 r ON r.doc = e.src
+                                JOIN node n2 ON n2.doc = e.src
+                           GROUP BY e.dst) s
+                     JOIN node n ON n.doc = s.dst)
+         SELECT node.doc AS doc_id, CAST(node.deg AS BIGINT) AS deg,
+                CAST(r3.pr AS BIGINT) AS pr_u
+         FROM node JOIN r3 ON r3.doc = node.doc
+         ORDER BY doc_id""",
+    "q_events_transition" ->
+      """WITH s AS (SELECT event_type AS from_type,
+                           lead(event_type, 1) OVER (
+                             PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                      event_id) AS to_type
+                    FROM events),
+              c AS (SELECT from_type, to_type, count(*) AS n
+                    FROM s WHERE to_type IS NOT NULL
+                    GROUP BY from_type, to_type),
+              tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+                      FROM c GROUP BY from_type)
+         SELECT c.from_type, c.to_type, c.n,
+                floor(CAST(c.n AS DOUBLE) / t.tot * 10000 + 0.5) / 10000 AS p
+         FROM c JOIN tot t USING (from_type)
+         ORDER BY from_type, to_type"""
+  )
+}

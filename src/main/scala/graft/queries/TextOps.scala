@@ -60,7 +60,7 @@ object TextOps {
     * pushed in FIRST by Catalyst): the O(1) size band — jac >= 0.5
     * implies |a|/|b| ∈ [1/2, 2] — runs before the O(|a|+|b|)
     * merge-intersect threshold (jac >= 0.5 ⟺ 3·|∩| >= |a|+|b|). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsWithHandle(s, d)._1
 
   /** Also returns the persisted tokenized-docs relation so callers that

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the round-6 operators (RAG chunking, BM25,
+  * PageRank, event transitions). The DuckDB oracle checks cross-engine
+  * parity; these pin the SEMANTICS against hand-computed invariants. */
+class GraphSearchOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunking covers every token exactly via 16/12 windows") {
+    val chunks = q("q_llm_chunk")
+      .select("doc_id", "chunk_id", "start_tok", "n_toks")
+      .as[(Long, Int, Int, Int)].collect()
+    val docLen = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docLen(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk_id dense from 0; starts advance by the stride
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      sorted.foreach { case (_, i, start, len) =>
+        assert(start == i * 12 + 1)
+        assert(len == math.min(16, n - i * 12))
+        assert(len >= 1)
+      }
+      // the last chunk reaches the final token; the one before doesn't
+      assert(sorted.last._3 + sorted.last._4 - 1 == n)
+      val expected = if (n <= 16) 1 else 1 + math.ceil((n - 16) / 12.0).toInt
+      assert(sorted.length == expected, s"doc $id: $n tokens")
+    }
+  }
+
+  test("bm25 scores exactly the docs containing a query term") {
+    val scored = q("q_llm_bm25")
+      .select("doc_id", "n_hit", "score_u")
+      .as[(Long, Long, Long)].collect()
+    val qterms = Set("join", "hash", "vector")
+    val expect = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, tx) => id -> tx.split(" ").toSet.intersect(qterms).size }
+      .filter(_._2 > 0).toMap
+    assert(scored.map(_._1).toSet == expect.keySet)
+    scored.foreach { case (id, hits, su) =>
+      assert(hits == expect(id), s"doc $id")
+      assert(su > 0, s"doc $id: nonpositive score")
+    }
+  }
+
+  test("pagerank conserves bounded mass over the near-dup graph") {
+    val pr = q("q_llm_pagerank")
+      .select("doc_id", "deg", "pr_u").as[(Long, Long, Long)].collect()
+    assert(pr.nonEmpty, "near-dup graph is empty at this sf")
+    assert(pr.forall(_._2 >= 1)) // every node has an edge by construction
+    assert(pr.forall(_._3 > 0))
+    val n = pr.length
+    val mass = pr.map(_._3).sum
+    // total rank stays in (teleport-only, full-conservation]: each round
+    // loses only integer-floor dust (< 1 nano per edge and node)
+    assert(mass <= 1000000000L + n, s"mass $mass over $n nodes")
+    assert(mass >= 150000000L - n, s"mass $mass under teleport floor")
+  }
+
+  test("transition matrix counts each user's steps exactly once") {
+    val m = q("q_events_transition")
+      .select("from_type", "to_type", "n").as[(String, String, Long)].collect()
+    val ev = Tables(spark, sf, "events")
+    val users = ev.select(col("user_id")).distinct().count()
+    val total = ev.count()
+    // each user with k events contributes k-1 transitions
+    assert(m.map(_._3).sum == total - users)
+    // per-from shares sum to 1 within display rounding
+    val p = q("q_events_transition").select("from_type", "p")
+      .as[(String, Double)].collect()
+    p.groupBy(_._1).foreach { case (ft, rows) =>
+      val s = rows.map(_._2).sum
+      assert(math.abs(s - 1.0) <= 0.001 * rows.length, s"$ft sums to $s")
+    }
+  }
+}

@@ -205,6 +205,29 @@ class PlanSpec extends SparkSpecBase {
     assert(n == 2, s"expected 2 hash exchanges, found $n:\n" + p.take(3000))
   }
 
+  test("q_llm_chunk is map-only: no hash exchange anywhere") {
+    // windowed segmentation is generate+project at the scan — the only
+    // exchange allowed is the determinism sort's range partitioning
+    val p = physical("q_llm_chunk")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("q_llm_bm25 joins df and corpus stats by broadcast") {
+    // the per-term df relation (<= |query terms| rows) and the 1-row
+    // corpus stats must never shuffle the token side
+    val p = physical("q_llm_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q_llm_edit_pairs plans the banded DP behind an equi-join") {
+    // the source block key must reach the join as its equality key — the
+    // threshold levenshtein only runs inside matched blocks
+    val p = physical("q_llm_edit_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that
