@@ -119,8 +119,13 @@ object GraphSearchOps {
     // graph (sublinear in the corpus), not corpus².
     "q_llm_pagerank" -> ((s, d) => {
       val pairs = TextOps.jaccardPairs(s, d).select("d1", "d2")
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      // symmetrize in ONE pass over the expensive pair join (a union of
+      // two selects would evaluate it twice) — map-only explode of each
+      // pair into both directions
+      val edges = pairs.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst")),
+          struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist()
       val nn = edges.select(col("src")).distinct()
         .agg(count(lit(1)).as("n"))
@@ -129,15 +134,25 @@ object GraphSearchOps {
         .crossJoin(broadcast(nn))
         .selectExpr("doc", "deg",
           "150000000L div n as base", "1000000000L div n as p0")
+        .persist()
+      // deg-weighted edges cached once: every round joins ranks to this
+      // relation and re-aggregates — deg never recomputes
+      val weighted = edges
+        .join(node.selectExpr("doc as src", "deg"), "src")
+        .persist()
       val r0 = node.selectExpr("doc", "p0 as pr")
+      // base = 0.15e9 div N is one global constant, not per-node state:
+      // each round is exactly one join + one bounded agg (+ the 1-row
+      // broadcast for the constant), the minimum shuffle count a
+      // matrix-vector rank step can have
       val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
-        val sums = edges
-          .join(node.selectExpr("doc as src", "deg"), "src")
+        weighted
           .join(r.selectExpr("doc as src", "pr"), "src")
           .selectExpr("dst", "pr div deg as contrib")
           .groupBy("dst").agg(sum(col("contrib")).as("s"))
-        node.join(sums, node("doc") === sums("dst"))
-          .selectExpr("doc", "base + (85L * s) div 100 as pr")
+          .crossJoin(broadcast(nn))
+          .selectExpr("dst as doc",
+            "(150000000L div n) + (85L * s) div 100 as pr")
       }
       node.join(r3, "doc")
         .selectExpr("doc as doc_id", "deg", "pr as pr_u")
