@@ -23,6 +23,20 @@ object GraphSearchOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  private def h32(s: SparkSession, c: Column): Column =
+    graft.functions.PortableHash32.portableHash32(s, c)
+
+  /** Winnowing geometry: 16-char grams, window 8 (MOSS guarantee: any
+    * shared substring of length >= 16+8-1 = 23 chars yields at least one
+    * shared fingerprint, at any offset). */
+  private val WK = 16
+  private val WW = 8
+  /** Candidate-pair guards: a fingerprint in more than 32 docs is
+    * boilerplate (dropped, mirrored in the oracle — same discipline as
+    * the MinHash mega-bucket cap); pairs need >= 3 shared prints. */
+  private val WCAP = 32
+  private val WMIN = 3
+
   /** Retrieval chunk geometry: 16-token windows, stride 12 (4-token
     * overlap) — the fixed-window RAG segmentation. Small enough that the
     * ~50-token synthetic docs produce several chunks each. */
@@ -159,6 +173,55 @@ object GraphSearchOps {
         .orderBy("doc_id")
     }),
 
+    // Winnowing (MOSS) fingerprint substring dedup — the OFFSET-ROBUST
+    // char-level modality: token windows (q_llm_line_dedup) and prefix
+    // edit distance (q_llm_edit_pairs) both miss a long verbatim
+    // substring pasted at a different position; winnowing guarantees any
+    // shared run of >= WK+WW-1 chars produces a shared fingerprint
+    // wherever it sits (Schleimer/Wilkerson/Aiken 2003 — the scalable
+    // relational proxy for suffix-array substring dedup). Per doc:
+    // rolling 16-char gram hashes (portable md5-derived h32) → min of
+    // each 8-gram window → distinct mins are the doc's fingerprints.
+    // Candidates = docs sharing >= 3 prints, boilerplate prints (> 32
+    // docs) dropped with the cap mirrored in the oracle. Shape: gram +
+    // window passes are map-only array math at the scan; then one
+    // shuffle on the print key, an equality self-join on it (bounded
+    // per-key fan-out by the cap), and a (d1,d2) agg — the same
+    // candidate-generation discipline as MinHash banding, never
+    // all-pairs. At 100 TB the print relation is ~n_windows/w per doc
+    // (winnowing's density bound), sublinear in text volume.
+    "q_llm_winnow_dup" -> ((s, d) => {
+      val n = length(col("text"))
+      // repartition BEFORE the kernel: the fixture corpus is one parquet
+      // row group = one scan task, which would run every md5 gram on a
+      // single core (measured: 1.7 of the query's 2.7 s). The shuffled
+      // relation is just (doc_id, text) — trivial bytes against 32x map
+      // parallelism; a real table's scan splits by row group and makes
+      // this a no-op-sized exchange.
+      val fps = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(n >= WK + WW - 1) // at least one full winnow window
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), explode(
+          graft.functions.WinnowFps.winnowFps(s, col("text"), WK, WW))
+          .as("fp"))
+      // single-shuffle candidate generation (the MinHash-banding idiom,
+      // TextOps): collect each print's doc list, expand ordered pairs
+      // map-side, count shared prints per pair — a fp self-join would
+      // shuffle the print relation twice more
+      val ids = array_sort(col("ids"))
+      val prs = transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("d1"), y.as("d2"))))
+      fps.groupBy("fp").agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= WCAP)
+        .select(explode(flatten(prs)).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WMIN)
+        .orderBy("d1", "d2")
+    }),
+
     // Event-type transition matrix (the Markov-chain readout of user
     // behavior): count consecutive (from_type -> to_type) steps in each
     // user's time-ordered stream and report each step's share of its
@@ -267,6 +330,24 @@ object GraphSearchOps {
                 CAST(r3.pr AS BIGINT) AS pr_u
          FROM node JOIN r3 ON r3.doc = node.doc
          ORDER BY doc_id""",
+    "q_llm_winnow_dup" ->
+      s"""WITH g AS (SELECT doc_id,
+                            list_transform(range(1, length(text) - ${WK - 2}),
+                              i -> ('0x' || substr(md5('wn:' || substr(text, i, $WK)),
+                                                   1, 8))::BIGINT) AS g
+                     FROM documents
+                     WHERE length(text) >= ${WK + WW - 1}),
+              f AS (SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                             range(1, len(g) - ${WW - 2}),
+                             j -> list_min(g[j:j+${WW - 1}])))) AS fp
+                    FROM g),
+              keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $WCAP),
+              fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= $WMIN
+         ORDER BY d1, d2""",
     "q_events_transition" ->
       """WITH s AS (SELECT event_type AS from_type,
                            lead(event_type, 1) OVER (

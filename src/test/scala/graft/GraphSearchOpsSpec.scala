@@ -63,6 +63,48 @@ class GraphSearchOpsSpec extends SparkSpecBase {
     assert(mass >= 150000000L - n, s"mass $mass under teleport floor")
   }
 
+  test("winnowing: a shared 30-char substring at different offsets is caught") {
+    import org.apache.spark.sql.functions._
+    // the MOSS guarantee: any shared run >= 16+8-1 = 23 chars produces at
+    // least one shared fingerprint regardless of position
+    val shared = "the quick brown fox jumps over" // 30 chars
+    val df = Seq(
+      (1L, s"AAAA BBBB $shared CCCC DDDD EEEE FFFF"),
+      (2L, s"zzzz yyyy xxxx wwww $shared qqqq rrrr")
+    ).toDF("doc_id", "text")
+    val h = graft.functions.PortableHash32.portableHash32(spark, _: org.apache.spark.sql.Column)
+    val grams = transform(sequence(lit(1), length(col("text")) - 15),
+      i => h(concat(lit("wn:"), col("text").substr(i, lit(16)))))
+    val mins = transform(sequence(lit(1), size(col("g")) - 7),
+      j => array_min(slice(col("g"), j, lit(8))))
+    val fps = df.select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val common = fps(1L).map(_._2).toSet.intersect(fps(2L).map(_._2).toSet)
+    assert(common.nonEmpty, "no shared fingerprint for a 30-char shared run")
+  }
+
+  test("winnow pairs are ordered, thresholded, and dedup-consistent") {
+    val pairs = q("q_llm_winnow_dup")
+      .select("d1", "d2", "n_shared").as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "no substring-dup candidates at this sf")
+    assert(pairs.forall { case (a, b, n) => a < b && n >= 3 })
+    // exact duplicates (same normalized text) must appear as candidates:
+    // identical text shares every fingerprint
+    val dupPair = Tables(spark, sf, "documents")
+      .groupBy(md5(trim(lower(col("text")))).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id"), col("ids"))
+      .as[(Long, Seq[Long])].collect()
+    if (dupPair.nonEmpty) {
+      val ids = dupPair.head._2.sorted
+      val (a, b) = (ids(0), ids(1))
+      assert(pairs.exists(p => p._1 == a && p._2 == b),
+        s"exact dup pair ($a,$b) missing from winnow candidates")
+    }
+  }
+
   test("transition matrix counts each user's steps exactly once") {
     val m = q("q_events_transition")
       .select("from_type", "to_type", "n").as[(String, String, Long)].collect()

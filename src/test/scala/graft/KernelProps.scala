@@ -146,4 +146,50 @@ object KernelProps extends Properties("graft.kernels") {
       // so 32 slots should (almost) never all match
       xs.size < 2 || sig(xs.map(_ + "#L")) != sig(xs.map(_ + "#R"))
     }
+
+  // ------------------------------------------------------------------
+  // winnowing fingerprints
+  // ------------------------------------------------------------------
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ ' ')).map(_.mkString))
+
+  private def winnow(s: String, k: Int = 16, w: Int = 8): Seq[Long] =
+    graft.functions.WinnowKernel
+      .fps(org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+      .toLongArray().toSeq
+
+  /** Plain-Scala reference of the declared semantics: gram hashes of
+    * "wn:"+substring, min per w-window, sorted distinct. */
+  private def winnowRef(s: String, k: Int = 16, w: Int = 8): Seq[Long] = {
+    val m = s.length - k + 1
+    if (m < w) Seq.empty
+    else {
+      val g = (0 until m).map(i => {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(("wn:" + s.substring(i, i + k)).getBytes("UTF-8"))
+        ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      })
+      (0 to m - w).map(j => g.slice(j, j + w).min).distinct.sorted
+    }
+  }
+
+  property("winnow: kernel == declarative reference") =
+    forAll(asciiText) { s => winnow(s) == winnowRef(s) }
+
+  property("winnow: guarantee — a shared >=k+w-1 run shares a print") =
+    forAll(asciiText.suchThat(_.length >= 23), asciiText, asciiText) {
+      (run, pre, post) =>
+        val a = pre + run + post
+        val b = "x" + post + run + pre // different offsets and context
+        winnow(a).toSet.intersect(winnow(b).toSet).nonEmpty
+    }
+
+  property("winnow: output is sorted distinct") =
+    forAll(asciiText) { s =>
+      val f = winnow(s)
+      f == f.distinct.sorted
+    }
 }
