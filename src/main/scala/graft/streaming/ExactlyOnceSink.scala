@@ -69,10 +69,25 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   // staging + stats
   // ---------------------------------------------------------------------
 
-  /** Write df to a staging dir; return relative parquet paths (sorted). */
+  /** Write df to a staging dir; return relative parquet paths (sorted).
+    * With `check` (every DATA write path; change-row staging opts out —
+    * CDC preimages are historical rows, not new writes), the table's
+    * active CHECK constraints are enforced PER ROW inside the write
+    * tasks themselves via a short-circuiting filter: `cons OR
+    * raise_error(...)` never evaluates the error branch for passing
+    * rows, so enforcement costs zero extra passes and a violation
+    * aborts the job before anything commits — the Delta CHECK
+    * constraint behavior (write-time, transactional). */
   private def stage(df: DataFrame, staging: Path,
-      partitionBy: Seq[String]): Seq[Path] = {
-    val writer = df.write.mode("overwrite")
+      partitionBy: Seq[String], check: Boolean = true): Seq[Path] = {
+    import org.apache.spark.sql.functions._
+    val cons = if (check) activeConstraints() else Map.empty[String, String]
+    val checked = cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      d.filter(when(expr(e), lit(true)).otherwise(raise_error(concat(
+        lit(s"CHECK constraint '$n' ($e) violated by row: "),
+        to_json(struct(df.columns.map(col): _*))))))
+    }
+    val writer = checked.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
     Files.walk(staging).iterator().asScala
@@ -375,7 +390,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
       val changeDir = changes.map { ch =>
         val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
-        stage(ch, chStaging, Nil)
+        stage(ch, chStaging, Nil, check = false)
         val rel = s"changes/$uuid"
         Files.createDirectories(dataDir.resolve("changes"))
         Files.move(chStaging, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
@@ -673,6 +688,88 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       (current.filter(!predicate),
         Some(current.filter(predicate).withColumn("_change_type", lit("delete"))))
     }
+  }
+
+  /** REPLACE WHERE (Delta's predicate/partition overwrite): atomically
+    * delete the committed rows matching `predicate` and insert
+    * `replacement` in ONE snapshot commit — the idempotent backfill
+    * verb ("rewrite day X") that append+delete cannot express
+    * atomically. Every replacement row must satisfy the predicate
+    * (enforced per row inside the write via the same short-circuit
+    * raise_error guard as CHECK constraints — a row outside the
+    * predicate aborts the transaction, exactly Delta's behavior).
+    * Records deletes + inserts as the commit's CDC change set; runs
+    * through the OCC loop, so concurrent writers retry cleanly. */
+  def replaceWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column,
+      replacement: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val guarded = replacement.filter(
+      when(predicate, lit(true)).otherwise(raise_error(concat(
+        lit("replaceWhere: replacement row outside the predicate: "),
+        to_json(struct(replacement.columns.map(col): _*))))))
+    transactSnapshotChanges(spark, "REPLACE WHERE") { current =>
+      if (current.isEmpty)
+        (guarded, Some(guarded.withColumn("_change_type", lit("insert"))))
+      else {
+        val kept = current.filter(!predicate)
+        val removed = current.filter(predicate)
+          .withColumn("_change_type", lit("delete"))
+        (kept.unionByName(guarded),
+          Some(removed.unionByName(
+            guarded.withColumn("_change_type", lit("insert")))))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog)
+  // ---------------------------------------------------------------------
+
+  /** The table's active CHECK constraints: name → boolean SQL
+    * expression. Latest-wins log replay — a commit CARRYING the
+    * constraints field replaces the active set; commits without it
+    * leave the set untouched. */
+  def activeConstraints(): Map[String, String] =
+    committedVersions().map(parseCommit)
+      .foldLeft(Map.empty[String, String]) { (acc, c) =>
+        c.constraints.getOrElse(acc)
+      }
+
+  /** ADD CONSTRAINT: validates EXISTING data first (a constraint the
+    * committed table already violates is rejected — Delta's ADD
+    * CONSTRAINT semantics), then commits the new active set as a
+    * metadata-only log entry through the version-claim loop. Every
+    * subsequent write enforces it per row at write time (stage()). */
+  def setConstraint(spark: SparkSession, name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions._
+    val live = liveData(spark)
+    if (!live.isEmpty) {
+      val bad = live.filter(!expr(exprSql)).count()
+      require(bad == 0,
+        s"setConstraint '$name': $bad committed rows already violate ($exprSql)")
+    }
+    constraintCommit(_ + (name -> exprSql))
+  }
+
+  /** DROP CONSTRAINT (unknown names are a no-op commit, like Delta with
+    * IF EXISTS). */
+  def dropConstraint(name: String): Long =
+    constraintCommit(_ - name)
+
+  private def constraintCommit(f: Map[String, String] => Map[String, String]): Long = {
+    Files.createDirectories(logDir)
+    val schemaJson = latestSchema().map(_.json)
+      .getOrElse("""{"type":"struct","fields":[]}""")
+    var v = nextVersion()
+    // metadata-only entry: no data dir, no adds; snapshot=false so it
+    // neither hides prior data (visibleCommits) nor trips the CDC
+    // feed's loud-failure path (readChanges: no adds → no rows)
+    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
+        Nil, Map.empty, "SET CONSTRAINT", None, Map.empty,
+        Some(f(activeConstraints()))))) {
+      v = math.max(v + 1, nextVersion())
+    }
+    v
   }
 
   /** Compact the live state (many small append batches → one snapshot);

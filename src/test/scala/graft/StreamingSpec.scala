@@ -483,6 +483,152 @@ class StreamingSpec extends SparkSpecBase {
       ev.filter(col("value").between(vLo, vCut)).count())
   }
 
+  test("CHECK constraints enforce per row at write time, transactionally") {
+    val dir = tmp("graft-cons")
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((1L, 10.0), (2L, 5.0)).toDF("id", "value"))
+    // adding a constraint existing data violates is rejected
+    intercept[IllegalArgumentException] {
+      sink.setConstraint(spark, "big", "value >= 6.0")
+    }
+    sink.setConstraint(spark, "nonneg", "value >= 0.0")
+    assert(sink.activeConstraints() == Map("nonneg" -> "value >= 0.0"))
+    // a valid append passes
+    sink.commitAppend(Seq((3L, 1.5)).toDF("id", "value"))
+    val before = sink.committedVersions()
+    // a violating append aborts inside the write; nothing commits
+    val e = intercept[Exception] {
+      sink.commitAppend(Seq((4L, 2.0), (5L, -1.0)).toDF("id", "value"))
+    }
+    assert(e.getMessage != null || e.getCause != null) // job failed loudly
+    assert(sink.committedVersions() == before, "violating write committed")
+    assert(sink.read(spark).count() == 3)
+    // dropping the constraint re-opens the gate; history stays linear
+    sink.dropConstraint("nonneg")
+    assert(sink.activeConstraints().isEmpty)
+    sink.commitAppend(Seq((5L, -1.0)).toDF("id", "value"))
+    assert(sink.read(spark).count() == 4)
+    val vs = sink.committedVersions()
+    assert(vs == (vs.min to vs.max), s"gapped history: $vs")
+  }
+
+  test("replaceWhere atomically swaps the matching slice; CDC records it") {
+    val dir = tmp("graft-rw")
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0)
+    ).toDF("part", "id", "value"))
+    val preVersions = sink.committedVersions().size
+    val v = sink.replaceWhere(spark, col("part") === "a",
+      Seq(("a", 7L, 70.0)).toDF("part", "id", "value"))
+    // state: slice 'a' fully replaced, 'b' untouched, one new version
+    val state = sink.read(spark).select("part", "id", "value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(state == Set(("a", 7L, 70.0), ("b", 3L, 30.0)))
+    assert(sink.committedVersions().size == preVersions + 1)
+    // CDC for that commit: the two replaced rows as deletes + the insert
+    val ch = sink.readChanges(spark, v - 1, v)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(ch == Set(("delete", 1L), ("delete", 2L), ("insert", 7L)))
+    // a replacement row OUTSIDE the predicate aborts; nothing commits
+    val before = sink.committedVersions()
+    intercept[Exception] {
+      sink.replaceWhere(spark, col("part") === "a",
+        Seq(("b", 9L, 90.0)).toDF("part", "id", "value"))
+    }
+    assert(sink.committedVersions() == before)
+    // downstream state from the change feed alone still matches read()
+    val rebuilt = sink.stateFromChanges(spark, Seq("id"))
+      .select("part", "id", "value").as[(String, Long, Double)].collect().toSet
+    assert(rebuilt == state)
+  }
+
+  test("malformed stream records quarantine to a dead-letter sink exactly-once") {
+    // The ingestion contract's dead-letter path (SURVEY §3.1 step 2):
+    // PERMISSIVE-decode each micro-batch, split good/corrupt, land both
+    // sides in their own exactly-once tables keyed on the same batchId —
+    // replay duplicates neither, and no record is lost or double-counted.
+    val topicDir = tmp("graft-dlq-topic")
+    val mainDir = tmp("graft-dlq-main")
+    val dlqDir = tmp("graft-dlq-dead")
+    val ckpt = tmp("graft-dlq-ckpt")
+    // envelope topic with a corrupt value every 7th record
+    val env = KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 2)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("user_id", "long")
+    val mainSink = new ExactlyOnceSink(mainDir)
+    val dlqSink = new ExactlyOnceSink(dlqDir, appId = "graft-dlq")
+    val stream = KafkaEnvelope.readStream(spark, topicDir, 2)
+      .withColumn("value",
+        when(pmod(col("offset"), lit(7)) === 0,
+          concat(lit("{corrupt::"), col("value"))).otherwise(col("value")))
+      .withColumn("decoded", from_json(col("value"), schema))
+    val qy = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val good = df.filter(col("decoded.event_id").isNotNull)
+          .select(col("decoded.event_id").as("event_id"),
+            col("decoded.user_id").as("user_id"))
+        val dead = df.filter(col("decoded.event_id").isNull)
+          .select(col("topic"), col("partition"), col("offset"), col("value"))
+        mainSink.process(good, id)
+        dlqSink.process(dead, id)
+      }
+      .start()
+    qy.awaitTermination(120000)
+    val total = Tables(spark, sf, "events").count()
+    val goodN = mainSink.read(spark).count()
+    val deadN = dlqSink.read(spark).count()
+    assert(goodN + deadN == total, s"$goodN good + $deadN dead != $total")
+    assert(deadN > 0, "no corrupt records hit the DLQ")
+    // every quarantined record carries its replay cursor
+    assert(dlqSink.read(spark).filter(col("offset").isNull).count() == 0)
+    // replaying the same batches is a no-op on BOTH tables
+    val (v1, v2) = (mainSink.committedVersions(), dlqSink.committedVersions())
+    v1.foreach(b => mainSink.process(
+      mainSink.read(spark).limit(1).select("event_id", "user_id"), b))
+    assert(mainSink.committedVersions() == v1)
+    assert(dlqSink.committedVersions() == v2)
+    assert(mainSink.read(spark).count() == goodN)
+  }
+
+  test("stream-stream LEFT OUTER interval join emits null-padded unmatched rows") {
+    // the enrichment join that must ALSO surface unenriched rows: left
+    // rows with no match emit null-padded once the watermark closes the
+    // join window — the state-eviction semantics a 100 TB stream needs
+    val imps = MemoryStream[(Timestamp, Long)](11, spark, None)
+    val clicks = MemoryStream[(Timestamp, Long)](12, spark, None)
+    val impDf = imps.toDF().toDF("imp_ts", "ad_id")
+      .withWatermark("imp_ts", "10 minutes")
+    val clickDf = clicks.toDF().toDF("click_ts", "c_ad_id")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = impDf.join(clickDf,
+      col("ad_id") === col("c_ad_id")
+        && col("click_ts") >= col("imp_ts")
+        && col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val qy = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_left_out")
+      .option("checkpointLocation", tmp("graft-ssj-left"))
+      .start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    imps.addData((t(0), 1L), (t(0), 2L))
+    clicks.addData((t(5), 1L)) // ad 1 clicks within bound; ad 2 never does
+    qy.processAllAvailable()
+    // advance both watermarks far past imp_ts+interval so ad 2's state
+    // is provably unmatched and must be emitted null-padded
+    imps.addData((t(59), 99L))
+    clicks.addData((t(59), 98L))
+    qy.processAllAvailable()
+    qy.stop()
+    val out = spark.table("ssj_left_out")
+      .select(col("ad_id"), col("c_ad_id").isNull.as("unmatched"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(out.contains((1L, false)), s"matched row missing: $out")
+    assert(out.contains((2L, true)), s"null-padded unmatched row missing: $out")
+  }
+
   test("watermark drops events later than the lateness bound") {
     val input = MemoryStream[(Timestamp, Long)](1, spark, None)
     val agg = input.toDF().toDF("ts", "v")
