@@ -51,11 +51,18 @@ object ConnectedComponents {
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       // checkpointed: the jump join reads it twice — without the
       // materialization the full edge pass would run 2x
+      // LAZY checkpoints (eager = false): the convergence agg below is
+      // the round's single materializing job — it computes stepped,
+      // stores both checkpoint RDDs, and returns the scalar in ONE job
+      // instead of three (each eager checkpoint used to run its own
+      // job; at bench scale the per-round cost is job-scheduling
+      // overhead, not data). Lineage is still truncated: after the agg,
+      // `next` reads from its checkpoint, not the round's plan.
       val stepped = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val next = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
@@ -63,7 +70,7 @@ object ConnectedComponents {
           coalesce(col("label2"), col("label")).as("label"),
           when(coalesce(col("label2"), col("label")) < col("old"), 1L)
             .otherwise(0L).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val rt0 = System.nanoTime()
       changed = next.agg(sum(col("chg"))).head().getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
