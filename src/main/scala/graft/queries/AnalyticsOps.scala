@@ -165,6 +165,115 @@ object AnalyticsOps {
         .orderBy("user_id", "hour_s")
     }),
 
+    // RFM segmentation (the classic customer-analytics readout): per
+    // user, Recency (days since last activity vs the corpus max date),
+    // Frequency (event count), Monetary (exact cents sum); each scored
+    // into quartiles by ntile(4) over a TOTAL order (metric, then
+    // user_id — a tie-broken order is what makes ntile deterministic
+    // and portable). Shape: one bounded-key agg to a per-user relation,
+    // then three tiny windows over that relation (one row per user,
+    // never raw events); the corpus max date is a 1-row broadcast.
+    "q_events_rfm" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          Det.cents(col("value"), 2).as("cents"))
+      val per = ev.groupBy("user_id")
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("freq"), sum(col("cents")).as("cents"))
+      val maxd = ev.agg(max(col("day")).as("maxd"))
+      val base = per.crossJoin(broadcast(maxd))
+        .select(col("user_id"),
+          datediff(col("maxd"), col("last_day")).as("recency_d"),
+          col("freq"), col("cents"))
+      def q(c: String, asc: Boolean) = ntile(4).over(
+        Window.orderBy(
+          (if (asc) col(c).asc else col(c).desc), col("user_id").asc))
+      base
+        .withColumn("r_q", q("recency_d", asc = true)) // recent = best
+        .withColumn("f_q", q("freq", asc = false))
+        .withColumn("m_q", q("cents", asc = false))
+        .select(col("user_id"), col("recency_d"), col("freq"),
+          (col("cents").cast("double") / 100).as("monetary"),
+          col("r_q"), col("f_q"), col("m_q"),
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
+        .orderBy("user_id")
+    }),
+
+    // PMI collocation mining (pointwise mutual information over corpus
+    // bigrams — the classic collocation statistic): pmi(a,b) =
+    // ln(c_ab·T_uni² / (T_bi·c_a·c_b)), support-filtered, top-20 by
+    // score. Every count is an exact BIGINT; the log's rational argument
+    // stays under 2^53 so num/den is exact in both engines, and the one
+    // ln is micros-floored (the q_llm_unigram_logprob discipline).
+    // Shape: one unigram agg + one bigram agg (both bounded keys), two
+    // broadcast joins of per-term counts onto the bigram relation, and
+    // a TakeOrderedAndProject top-20 — no corpus self-joins.
+    "q_llm_pmi_bigrams" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+      val uni = base.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tu = uni.agg(sum(col("c")).as("t_uni"))
+      val bigrams = base.filter(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val tb = bigrams.agg(sum(col("c_ab")).as("t_bi"))
+      bigrams.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+        .withColumn("pmi_u", floor(log(
+          (col("c_ab") * col("t_uni") * col("t_uni")).cast("double") /
+            (col("t_bi") * col("c_a") * col("c_b")).cast("double"))
+          * 1e6 + 0.5).cast("long"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("c_ab"),
+          Det.r(col("pmi_u").cast("double") / 1e6, 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // Table profiling (the engine-utility DESCRIBE/summarize pass a
+    // data platform runs before anything else): per column — null
+    // count, exact distinct count, lexicographic/numeric min and max,
+    // all in ONE scan. The per-column stats are computed as a single
+    // aggregate row (count_if + count_distinct + min/max — map-side
+    // combined) and unpivoted to one row per column with stack();
+    // values surface as strings under portable renderings (dates as
+    // ISO strings, money as exact cents). At 100 TB this is one pass
+    // + an Expand for the distinct counts — no per-column rescans.
+    "q_agg_profile" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val row = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_st"),
+        countDistinct(col("o_orderstatus")).as("dist_st"),
+        min(col("o_orderstatus")).as("min_st"),
+        max(col("o_orderstatus")).as("max_st"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_tp"),
+        countDistinct(col("o_totalprice")).as("dist_tp"),
+        min(Det.cents(col("o_totalprice"), 2)).as("min_tp"),
+        max(Det.cents(col("o_totalprice"), 2)).as("max_tp"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_od"),
+        countDistinct(col("o_orderdate")).as("dist_od"),
+        min(to_date(col("o_orderdate"))).as("min_od"),
+        max(to_date(col("o_orderdate"))).as("max_od"))
+      row.select(col("n_rows"), expr(
+        """stack(3,
+             'o_orderstatus', null_st, dist_st, min_st, max_st,
+             'o_totalprice',  null_tp, dist_tp, cast(min_tp as string), cast(max_tp as string),
+             'o_orderdate',   null_od, dist_od, cast(min_od as string), cast(max_od as string)
+           ) as (column_name, n_nulls, n_distinct, min_s, max_s)"""))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy("column_name")
+    }),
+
     // Anomaly flagging with integer-exact math: events whose value
     // exceeds 3x their user's mean. The comparison is pure integer
     // arithmetic (cents * count > 3 * cents_sum) — no FP mean, so the
@@ -259,6 +368,74 @@ object AnalyticsOps {
                 CAST(coalesce(a.sum_c, 0) AS DOUBLE) / 100 AS val_sum
          FROM grid g LEFT JOIN actual a USING (user_id, hour_s)
          ORDER BY user_id, hour_s""",
+    "q_events_rfm" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                     FROM events),
+              per AS (SELECT user_id, max(day) AS last_day, count(*) AS freq,
+                             CAST(sum(cents) AS BIGINT) AS cents
+                      FROM ev GROUP BY 1),
+              mx AS (SELECT max(day) AS maxd FROM ev),
+              base AS (SELECT user_id,
+                              CAST(date_diff('day', last_day, maxd) AS INTEGER) AS recency_d,
+                              freq, cents
+                       FROM per CROSS JOIN mx)
+         SELECT user_id, recency_d, freq,
+                CAST(cents AS DOUBLE) / 100 AS monetary,
+                r_q, f_q, m_q,
+                r_q * 100 + f_q * 10 + m_q AS rfm
+         FROM (SELECT *,
+                 CAST(ntile(4) OVER (ORDER BY recency_d ASC, user_id ASC) AS INTEGER) AS r_q,
+                 CAST(ntile(4) OVER (ORDER BY freq DESC, user_id ASC) AS INTEGER) AS f_q,
+                 CAST(ntile(4) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER) AS m_q
+               FROM base) t
+         ORDER BY user_id""",
+    "q_llm_pmi_bigrams" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+              uni AS (SELECT w, count(*) AS c
+                      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+              tu AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM uni),
+              bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1])) AS b
+                     FROM tk WHERE len(t) >= 2),
+              bgc AS (SELECT b, count(*) AS c_ab FROM bg GROUP BY b),
+              tb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t_bi FROM bgc),
+              sc AS (SELECT bgc.b AS bigram, bgc.c_ab,
+                            CAST(floor(ln(CAST(bgc.c_ab * tu.t_uni * tu.t_uni AS DOUBLE)
+                                          / CAST(tb.t_bi * ua.c * ub.c AS DOUBLE))
+                                       * 1000000 + 0.5) AS BIGINT) AS pmi_u
+                     FROM bgc
+                     JOIN uni ua ON ua.w = string_split(bgc.b, ' ')[1]
+                     JOIN uni ub ON ub.w = string_split(bgc.b, ' ')[2]
+                     CROSS JOIN tu CROSS JOIN tb
+                     WHERE bgc.c_ab >= 5)
+         SELECT bigram, c_ab,
+                floor(CAST(pmi_u AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS pmi
+         FROM sc ORDER BY pmi DESC, bigram LIMIT 20""",
+    "q_agg_profile" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_st,
+                count(DISTINCT o_orderstatus) AS dist_st,
+                min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st,
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tp,
+                count(DISTINCT o_totalprice) AS dist_tp,
+                min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_tp,
+                max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_tp,
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_od,
+                count(DISTINCT o_orderdate) AS dist_od,
+                min(CAST(o_orderdate AS DATE)) AS min_od,
+                max(CAST(o_orderdate AS DATE)) AS max_od
+              FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderstatus' AS column_name, n_rows, null_st AS n_nulls,
+                  dist_st AS n_distinct, min_st AS min_s, max_st AS max_s FROM a
+           UNION ALL
+           SELECT 'o_totalprice', n_rows, null_tp, dist_tp,
+                  CAST(min_tp AS VARCHAR), CAST(max_tp AS VARCHAR) FROM a
+           UNION ALL
+           SELECT 'o_orderdate', n_rows, null_od, dist_od,
+                  CAST(min_od AS VARCHAR), CAST(max_od AS VARCHAR) FROM a)
+         ORDER BY column_name""",
     "q_events_anomaly" ->
       """WITH ev AS (SELECT event_id, user_id, value,
                             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

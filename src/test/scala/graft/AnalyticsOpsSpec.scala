@@ -109,6 +109,44 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(gf.map(_._3).sum == ev.length)
   }
 
+  test("rfm quartiles are balanced, in range, and compose the segment code") {
+    val rows = AnalyticsOps.queries("q_events_rfm")(spark, sf)
+      .select("user_id", "r_q", "f_q", "m_q", "rfm")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, r, f, m, c) =>
+      Seq(r, f, m).forall(q => q >= 1 && q <= 4) && c == r * 100 + f * 10 + m
+    })
+    // ntile(4) balance: quartile sizes differ by at most one
+    Seq(rows.map(_._2), rows.map(_._3), rows.map(_._4)).foreach { qs =>
+      val sizes = qs.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced quartiles: $sizes")
+    }
+  }
+
+  test("pmi top-20 is support-filtered and scores known collocations positive") {
+    val rows = AnalyticsOps.queries("q_llm_pmi_bigrams")(spark, sf)
+      .select("bigram", "c_ab", "pmi").as[(String, Long, Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_._2 >= 5))
+    // top-ranked collocations must beat independence (pmi > 0)
+    assert(rows.head._3 > 0, s"top pmi not positive: ${rows.head}")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse)
+  }
+
+  test("profile reports exact per-column stats in one pass") {
+    val p = AnalyticsOps.queries("q_agg_profile")(spark, sf)
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val o = Tables(spark, sf, "orders")
+    assert(p.keySet == Set("o_orderstatus", "o_totalprice", "o_orderdate"))
+    assert(p.values.forall(_._2 == o.count()))
+    assert(p("o_orderstatus")._4 ==
+      o.select("o_orderstatus").distinct().count())
+    assert(p.values.forall(_._3 == 0)) // fixture has no nulls
+  }
+
   test("anomaly flags exactly the events above 3x the user's exact-cents mean") {
     val flagged = AnalyticsOps.queries("q_events_anomaly")(spark, sf)
       .select("event_id").as[Long].collect().toSet
