@@ -165,6 +165,31 @@ object AnalyticsOps {
         .orderBy("user_id", "hour_s")
     }),
 
+    // Last-touch attribution (the standard conversion-credit readout):
+    // each purchase is credited to the user's latest PRECEDING
+    // non-purchase event type; purchases with no prior touch go to
+    // 'direct'. Per channel: conversions + exact-cents revenue.
+    // Ordering is the portable (epoch second, event_id) key (§2.0).
+    // Shape: ONE window shuffle on user_id (last over a preceding-rows
+    // frame with ignoreNulls — no self-join against the event history),
+    // then a hash agg on the tiny channel key.
+    "q_events_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), Det.cents(col("value"), 2).as("cents"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(col("cents")).cast("double") / 100).as("revenue"))
+        .orderBy("channel")
+    }),
+
     // RFM segmentation (the classic customer-analytics readout): per
     // user, Recency (days since last activity vs the corpus max date),
     // Frequency (event count), Monetary (exact cents sum); each scored
@@ -368,6 +393,24 @@ object AnalyticsOps {
                 CAST(coalesce(a.sum_c, 0) AS DOUBLE) / 100 AS val_sum
          FROM grid g LEFT JOIN actual a USING (user_id, hour_s)
          ORDER BY user_id, hour_s""",
+    "q_events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                     FROM events),
+              tch AS (SELECT *,
+                        last_value(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS)
+                          OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS touch
+                      FROM ev)
+         SELECT coalesce(touch, 'direct') AS channel,
+                count(*) AS n_purchases,
+                CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+         FROM tch WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY channel""",
     "q_events_rfm" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
                             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -123,6 +123,30 @@ object VectorOps {
         .orderBy("qid", "rk")
     }),
 
+    // Hard-negative mining (the contrastive-retrieval training staple:
+    // for each query, the most similar corpus items with a DIFFERENT
+    // label — near-misses that teach the boundary). Same distributed
+    // shape as cosine top-k: bounded query side broadcast, codegen'd
+    // cosine in the scan stage, WindowGroupLimit top-k — the label
+    // inequality just rides the join condition.
+    "q_llm_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("nbr").asc)
+      e.join(broadcast(q), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          col("label").as("nbr_label"),
+          CosineSimilarity.cosineSim(s, col("qv"), col("v")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nbr"), col("nbr_label"),
+          Det.r(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
+
     // Embedding-cosine near-duplicate pairs — EXACT, distributed as a
     // B×B block-grid join (the scalable form of an exact all-pairs
     // similarity join). Each vector lands in block vec_id mod B; the
@@ -363,6 +387,18 @@ object VectorOps {
                                                ORDER BY sim DESC, nbr) AS rk
                   FROM s)
          SELECT qid, rk, nbr, floor(sim * 10000 + 0.5) / 10000 AS sim
+         FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+    "q_llm_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+                  FROM e WHERE vec_id < 10),
+            s AS (SELECT q.qid, e.vec_id AS nbr, e.label AS nbr_label,
+                         list_cosine_similarity(q.qv, e.v) AS sim
+                  FROM q JOIN e ON e.label <> q.qlabel),
+            r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                               ORDER BY sim DESC, nbr) AS rk
+                  FROM s)
+         SELECT qid, rk, nbr, nbr_label, floor(sim * 10000 + 0.5) / 10000 AS sim
          FROM r WHERE rk <= 5 ORDER BY qid, rk""",
     "q_llm_cosine_dup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

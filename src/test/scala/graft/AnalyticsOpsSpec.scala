@@ -147,6 +147,30 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(p.values.forall(_._3 == 0)) // fixture has no nulls
   }
 
+  test("attribution conserves purchases and credits only non-purchase channels") {
+    val at = AnalyticsOps.queries("q_events_attribution")(spark, sf)
+      .select("channel", "n_purchases").as[(String, Long)].collect()
+    val purchases = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(at.map(_._2).sum == purchases, "purchases lost or double-credited")
+    assert(!at.map(_._1).contains("purchase"), "a purchase credited itself")
+  }
+
+  test("hard negatives never share the query's label and rank by similarity") {
+    val hn = graft.queries.VectorOps.queries("q_llm_hard_negatives")(spark, sf)
+      .select("qid", "rk", "nbr_label", "sim")
+      .as[(Long, Int, String, Double)].collect()
+    val qLabels = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("label")).as[(Long, String)].collect().toMap
+    assert(hn.nonEmpty)
+    assert(hn.forall { case (q, _, nl, _) => nl != qLabels(q) })
+    hn.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("anomaly flags exactly the events above 3x the user's exact-cents mean") {
     val flagged = AnalyticsOps.queries("q_events_anomaly")(spark, sf)
       .select("event_id").as[Long].collect().toSet
