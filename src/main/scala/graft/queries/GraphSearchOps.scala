@@ -222,6 +222,38 @@ object GraphSearchOps {
         .orderBy("d1", "d2")
     }),
 
+    // Deterministic span corruption (the T5/UL2 denoising-target prep):
+    // tokens are grouped into aligned 3-token spans; a span is masked
+    // iff its portable hash lands in 1/5 of the range — reproducible
+    // across engines, runs, and cluster sizes, no RNG. The corrupted
+    // text replaces each masked span with one <M> sentinel; the target
+    // is the masked tokens in order. Shape: pure map-only array math at
+    // the scan (transform/filter over token positions) — zero shuffles
+    // at any scale; md5 proofs of both strings keep the oracle compact.
+    "q_llm_span_mask" -> ((s, d) => {
+      val SPAN = 3
+      val RATE = 5 // 1-in-5 spans masked
+      val toks = col("toks")
+      def maskedAt(i: Column) = pmod(h32(s, concat(
+        lit("mask:"), col("doc_id").cast("string"), lit(":"),
+        floor((i - 1) / SPAN).cast("long").cast("string"))), lit(RATE)) === 0
+      val pos = sequence(lit(1), size(toks))
+      val corrupted = array_join(filter(transform(pos, i =>
+        when(!maskedAt(i), element_at(toks, i))
+          .when(pmod(i - 1, lit(SPAN)) === 0, lit("<M>"))
+          .otherwise(lit(null))), x => x.isNotNull), " ")
+      val target = array_join(filter(transform(pos, i =>
+        when(maskedAt(i), element_at(toks, i)).otherwise(lit(null))),
+        x => x.isNotNull), " ")
+      val nMasked = size(filter(pos, i => maskedAt(i)))
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          nMasked.as("n_masked"),
+          md5(corrupted).as("corrupted_md5"), md5(target).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Event-type transition matrix (the Markov-chain readout of user
     // behavior): count consecutive (from_type -> to_type) steps in each
     // user's time-ordered stream and report each step's share of its
@@ -348,6 +380,31 @@ object GraphSearchOps {
          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= $WMIN
          ORDER BY d1, d2""",
+    "q_llm_span_mask" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n
+                     FROM documents),
+              m AS (SELECT doc_id, t, n,
+                           list_transform(range(1, n + 1), i ->
+                             (('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+                                || ':' || CAST((i - 1) // 3 AS VARCHAR)), 1, 8))::BIGINT)
+                             % 5 = 0) AS mk
+                    FROM tk)
+         SELECT doc_id,
+                CAST(n AS INTEGER) AS n_tokens,
+                CAST(len(list_filter(range(1, n + 1), i -> mk[i])) AS INTEGER)
+                  AS n_masked,
+                md5(array_to_string(list_filter(list_transform(range(1, n + 1), i ->
+                      CASE WHEN NOT mk[i] THEN t[i]
+                           WHEN (i - 1) % 3 = 0 THEN '<M>'
+                           ELSE NULL END), x -> x IS NOT NULL), ' '))
+                  AS corrupted_md5,
+                md5(coalesce(array_to_string(
+                    list_filter(list_transform(range(1, n + 1), i ->
+                      CASE WHEN mk[i] THEN t[i] ELSE NULL END),
+                    x -> x IS NOT NULL), ' '), ''))
+                  AS target_md5
+         FROM m ORDER BY doc_id""",
     "q_events_transition" ->
       """WITH s AS (SELECT event_type AS from_type,
                            lead(event_type, 1) OVER (

@@ -201,9 +201,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       op: String = "",
       changeDir: Option[String] = None,
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
-      constraints: Option[Map[String, String]] = None): String =
+      constraints: Option[Map[String, String]] = None,
+      streamTxn: Option[(String, Long)] = None): String =
     entryJsonS(df.schema.json, version, dir, partitionBy, snapshot, adds,
-      stats, op, changeDir, blooms, constraints)
+      stats, op, changeDir, blooms, constraints, streamTxn)
 
   private def entryJsonS(schemaJson: String, version: Long, dir: String,
       partitionBy: Seq[String], snapshot: Boolean,
@@ -212,7 +213,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       op: String = "",
       changeDir: Option[String] = None,
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
-      constraints: Option[Map[String, String]] = None): String = {
+      constraints: Option[Map[String, String]] = None,
+      streamTxn: Option[(String, Long)] = None): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -247,6 +249,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       s""""partitionColumns":[$parts]$consJson},""" +
       s""""dir":${jstr(dir)},""" +
       changeJson +
+      streamTxn.map { case (a, b) =>
+        s""""streamTxn":{"appId":${jstr(a)},"batchId":$b},"""
+      }.getOrElse("") +
       s""""add":[$addJson],""" +
       s""""commitInfo":{"operation":"$opName","version":$version}}"""
   }
@@ -375,7 +380,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * version committed. `None` changes mean "no logical change"
     * (compact — a physical rewrite). */
   private def transactSnapshotChanges(spark: SparkSession, op: String,
-      maxRetries: Int = 20)
+      maxRetries: Int = 20, streamTxn: Option[(String, Long)] = None)
       (f: DataFrame => (DataFrame, Option[DataFrame])): Long = {
     var attempt = 0
     while (true) {
@@ -397,7 +402,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
         rel
       }
       if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
-          adds, stats, op, changeDir)))
+          adds, stats, op, changeDir, streamTxn = streamTxn)))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
       // computed on stale state. Abandon the staged dirs (never visible —
@@ -420,7 +425,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
       adds: Seq[AddFile],
       op: String = "", changeDir: Option[String] = None,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      streamTxn: Option[(String, Long)] = None)
 
   private def parseCommit(v: Long): Commit = {
     import org.json4s._
@@ -473,7 +479,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }
       case _ => Nil
     }
-    Commit(v, dir, snap, adds, op, changeDir, cons)
+    val stx = ((j \ "streamTxn" \ "appId"), (j \ "streamTxn" \ "batchId")) match {
+      case (JString(a), JInt(b)) => Some(a -> b.toLong)
+      case _ => None
+    }
+    Commit(v, dir, snap, adds, op, changeDir, cons, stx)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -661,9 +671,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * Records its logical change set for the CDC feed exactly as Delta
     * CDF does for MERGE: update rows as preimage+postimage pairs,
     * non-matching rows as inserts. */
-  def merge(spark: SparkSession, updates: DataFrame, keys: Seq[String]): Long = {
+  def merge(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
-    transactSnapshotChanges(spark, "MERGE") { current =>
+    transactSnapshotChanges(spark, "MERGE", streamTxn = streamTxn) { current =>
       if (current.isEmpty) {
         (updates, Some(updates.withColumn("_change_type", lit("insert"))))
       } else {
@@ -679,6 +690,28 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       }
     }
   }
+
+  /** Highest micro-batch id a stream writer has committed — replayed
+    * from the `streamTxn` actions in the log (the Delta `txn`
+    * idempotent-writer cursor). */
+  def lastStreamBatch(streamAppId: String): Option[Long] =
+    committedVersions().map(parseCommit).flatMap(_.streamTxn)
+      .filter(_._1 == streamAppId).map(_._2).maxOption
+
+  /** Idempotent STREAMING MERGE — the foreachBatch CDC-consumer verb
+    * ("stream DeltaLake tables from Kafka" proper: upserts, not just
+    * appends). Each commit records `streamTxn{appId, batchId}` next to
+    * its data, so a replayed micro-batch (crash + checkpoint restart,
+    * or a full re-run over the same source) sees batchId at or below
+    * the recorded high-water mark and NO-OPS — no duplicate versions,
+    * no re-merged state. Exactly Delta's txn-action pattern for
+    * streaming MERGE writers; one stream writer per appId, same as
+    * Structured Streaming's own guarantee. Returns the committed
+    * version, or None for a skipped replay. */
+  def mergeBatch(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      batchId: Long, streamAppId: String = appId): Option[Long] =
+    if (lastStreamBatch(streamAppId).exists(_ >= batchId)) None
+    else Some(merge(spark, updates, keys, Some(streamAppId -> batchId)))
 
   /** DELETE rows matching the predicate; snapshot-commit the remainder.
     * The deleted rows are recorded as the commit's change set. */

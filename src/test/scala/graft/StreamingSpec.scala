@@ -543,6 +543,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(rebuilt == state)
   }
 
+  test("streaming MERGE upserts are replay-idempotent via the streamTxn cursor") {
+    // the full deltasink CDC-consumer verb: a keyed stream of updates
+    // merged per micro-batch; a complete REPLAY of the same source from
+    // a fresh checkpoint commits nothing new (Delta txn-action pattern)
+    val topicDir = tmp("graft-merge-topic")
+    val tableDir = tmp("graft-merge-table")
+    KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 2)
+    val sink = new ExactlyOnceSink(tableDir)
+
+    def run(ckpt: String): Unit = {
+      val stream = KafkaEnvelope.decode(KafkaEnvelope.readStream(spark, topicDir, 2))
+        .select("event_id", "ts", "user_id", "event_type", "event_value")
+      val qy = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // per-batch last state per user (ordered by the portable key)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val latest = df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("user_id", "event_type", "event_value")
+          sink.mergeBatch(spark, latest, Seq("user_id"), id): Unit
+        }
+        .start()
+      qy.awaitTermination(120000)
+    }
+    run(tmp("graft-merge-ckpt1"))
+    val stateAfterFirst = sink.read(spark)
+      .select("user_id", "event_type", "event_value")
+      .as[(Long, String, Double)].collect().toSet
+    val versionsAfterFirst = sink.committedVersions()
+    assert(stateAfterFirst.nonEmpty)
+    // one row per user (MERGE semantics, not append)
+    assert(stateAfterFirst.size ==
+      stateAfterFirst.map(_._1).size, "duplicate user rows after merge")
+    assert(sink.lastStreamBatch("graft-sink").nonEmpty)
+
+    // full replay with a FRESH checkpoint: same batchIds re-arrive;
+    // every one no-ops against the recorded cursor
+    run(tmp("graft-merge-ckpt2"))
+    assert(sink.committedVersions() == versionsAfterFirst,
+      "replay committed new versions")
+    val stateAfterReplay = sink.read(spark)
+      .select("user_id", "event_type", "event_value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(stateAfterReplay == stateAfterFirst)
+  }
+
   test("malformed stream records quarantine to a dead-letter sink exactly-once") {
     // The ingestion contract's dead-letter path (SURVEY §3.1 step 2):
     // PERMISSIVE-decode each micro-batch, split good/corrupt, land both
