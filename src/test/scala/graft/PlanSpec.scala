@@ -228,6 +228,30 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_llm_span_mask is map-only: no hash exchange anywhere") {
+    // deterministic span corruption is pure per-row array math — only
+    // the determinism sort's range partitioning may exchange
+    val p = physical("q_llm_span_mask")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("q_llm_pmi_bigrams broadcasts per-term counts and plans top-k") {
+    val p = physical("q_llm_pmi_bigrams")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q_events_attribution runs exactly one window exchange") {
+    // last-touch credit = one user_id window over raw events, then a
+    // tiny channel agg — a history self-join would add more
+    val p = physical("q_events_attribution")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"expected <=2 hash exchanges (window + agg), found $n:\n" +
+      p.take(3000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that
