@@ -93,6 +93,43 @@ object TextOps {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words: _*)))
 
+  /** MinHash signature relation for a `(doc_id, text)` input: 3-shingles
+    * → portable md5-based hashes mod the Mersenne prime → sorted
+    * distinct `hs` + 32-wide `sig` (codegen'd one-pass kernel) + `sz`.
+    * Shared by q_llm_minhash_lsh and the streaming near-dup ingest flow
+    * (StreamingSpec) — the batch and incremental paths compute the
+    * IDENTICAL signature, which is what makes cross-batch candidate
+    * joins against a committed signature table sound. */
+  private[graft] def signatures(s: SparkSession, docs: DataFrame): DataFrame = {
+    val P = graft.functions.MinHashKernel.P
+    val tks = col("toks")
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), when(size(tks) >= 3,
+          array_distinct(transform(sequence(lit(0), size(tks) - 3),
+            i => concat_ws(" ", element_at(tks, i + 1),
+              element_at(tks, i + 2), element_at(tks, i + 3)))))
+        .otherwise(array(col("text"))).as("shs"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("shs"), sh => h32(s, sh) % P)))
+          .as("hs"))
+      .select(col("doc_id"), col("hs"),
+        graft.functions.MinHashSig.minhashSig(s, col("hs"), 32).as("sig"),
+        size(col("hs")).as("sz"))
+  }
+
+  /** 8 bands × 4 rows over `sig`: band key = base-31 polynomial combine
+    * of the 4 member slots — pure integer math (< P·31³ ≈ 2^46),
+    * portable. */
+  private[graft] def bandKeys: Column = {
+    def slot(i: Int) = element_at(col("sig"), i + 1)
+    array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        (0 until 4).map(r => slot(b * 4 + r))
+          .reduce((acc, x) => acc * 31 + x).as("bkey"))
+    }: _*)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // Exact dedup on normalized text hash: one shuffle on the hash, then
     // keep-min representative. md5 exists in both engines → oracle-able.
@@ -328,30 +365,9 @@ object TextOps {
     // `toks` is materialized in its own projection so split() is
     // evaluated once per row, not once per lambda reference.
     "q_llm_minhash_lsh" -> ((s, d) => {
-      val P = graft.functions.MinHashKernel.P
-      val tks = col("toks")
-      val docSig = t(s, d, "documents")
-        .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), when(size(tks) >= 3,
-            array_distinct(transform(sequence(lit(0), size(tks) - 3),
-              i => concat_ws(" ", element_at(tks, i + 1),
-                element_at(tks, i + 2), element_at(tks, i + 3)))))
-          .otherwise(array(col("text"))).as("shs"))
-        .select(col("doc_id"),
-          array_sort(array_distinct(transform(col("shs"), sh => h32(s, sh) % P)))
-            .as("hs"))
-        .select(col("doc_id"), col("hs"),
-          graft.functions.MinHashSig.minhashSig(s, col("hs"), 32).as("sig"),
-          size(col("hs")).as("sz"))
-        .persist()
-      // 8 bands × 4 rows: band key = base-31 polynomial combine of the 4
-      // member slots — pure integer math (< P·31³ ≈ 2^46), portable.
-      def slot(i: Int) = element_at(col("sig"), i + 1)
-      val bands = array((0 until 8).map { b =>
-        struct(lit(b).as("band"),
-          (0 until 4).map(r => slot(b * 4 + r))
-            .reduce((acc, x) => acc * 31 + x).as("bkey"))
-      }: _*)
+      val docSig = signatures(s,
+        t(s, d, "documents").select(col("doc_id"), col("text"))).persist()
+      val bands = bandKeys
       // Bucket members collected per (band,bkey); in-bucket i<j pair
       // expansion via indexed transforms. Degenerate mega-buckets (the
       // stop-shingle equivalent: one boilerplate band key shared by a

@@ -593,6 +593,96 @@ class StreamingSpec extends SparkSpecBase {
     assert(stateAfterReplay == stateAfterFirst)
   }
 
+  test("streaming NEAR-dup ingest: MinHash-LSH dedup against the committed corpus") {
+    // The incremental form of q_llm_minhash_lsh — what a training-data
+    // platform actually runs at ingest: each micro-batch signatures its
+    // docs with the IDENTICAL portable MinHash kernel the batch query
+    // uses, candidate-joins against the committed signature table on
+    // (band, bkey), verifies exact hashed-shingle Jaccard >= 0.5, drops
+    // near-dups (conservative greedy within the batch: any doc matching
+    // a smaller-id batch doc or ANY committed doc), and appends the
+    // survivors' signatures exactly-once. The invariant that matters:
+    // the committed corpus stays near-dup-free forever, at per-batch
+    // cost proportional to the batch + its candidates, never a corpus
+    // rescan.
+    val streamDir = tmp("graft-nd-stream")
+    val tableDir = tmp("graft-nd-table")
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    (0 until 4).foreach { k =>
+      val part = tmp(s"graft-nd-part$k")
+      docs.filter(pmod(col("doc_id"), lit(4)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = Files.list(Paths.get(part)).iterator()
+      val f = scala.jdk.CollectionConverters.IteratorHasAsScala(src).asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(f, Paths.get(streamDir, f"chunk-$k%02d.parquet"))
+    }
+    val sink = new ExactlyOnceSink(tableDir)
+    def hinterIn(s: org.apache.spark.sql.SparkSession)(
+        a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.SortedIntersectSize.sortedIntersectSize(s, a, b)
+    val hinter = hinterIn(spark) _
+    val qy = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+      .writeStream.option("checkpointLocation", tmp("graft-nd-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // foreachBatch hands a CLONED session — kernel functions must
+        // resolve against it, not the outer one
+        val bs = df.sparkSession
+        val hinter = hinterIn(bs) _
+        val bands = graft.queries.TextOps.signatures(bs, df)
+          .select(col("doc_id"), col("hs"), col("sz"),
+            explode(graft.queries.TextOps.bandKeys).as("bk"))
+          .select(col("doc_id"), col("hs"), col("sz"),
+            col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          .persist()
+        def verified(cand: org.apache.spark.sql.DataFrame) = cand
+          .filter(hinter(col("hs_a"), col("hs_b")) * 3 >= col("sz_a") + col("sz_b"))
+          .select(col("da")).distinct()
+        val inBatch = verified(bands.alias("a").join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id").as("da"), col("a.hs").as("hs_a"),
+            col("a.sz").as("sz_a"), col("b.hs").as("hs_b"), col("b.sz").as("sz_b"))
+          .distinct())
+        val committed = sink.read(bs)
+        val vsCommitted =
+          if (committed.isEmpty) bs.emptyDataFrame.withColumn("da", lit(0L)).limit(0).select("da")
+          else verified(bands.alias("a").join(
+            committed.select(col("band"), col("bkey"),
+              col("hs").as("hs_b"), col("sz").as("sz_b")),
+            Seq("band", "bkey"))
+            .select(col("doc_id").as("da"), col("hs").as("hs_a"),
+              col("sz").as("sz_a"), col("hs_b"), col("sz_b"))
+            .distinct())
+        val dropped = inBatch.union(vsCommitted).distinct()
+        val survivors = bands.join(dropped,
+          bands("doc_id") === dropped("da"), "left_anti")
+          .select("doc_id", "band", "bkey", "hs", "sz")
+        sink.process(survivors, id)
+        bands.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    qy.awaitTermination(180000)
+
+    val table = sink.read(spark)
+    val nCommitted = table.select("doc_id").distinct().count()
+    assert(nCommitted > 0 && nCommitted < docs.count(),
+      s"ingest dedup dropped nothing ($nCommitted of ${docs.count()})")
+    // THE invariant: the committed corpus has no verified near-dup pair
+    val a = table.select(col("band"), col("bkey"), col("doc_id").as("d1"),
+      col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val b = table.select(col("band"), col("bkey"), col("doc_id").as("d2"),
+      col("hs").as("hs_b"), col("sz").as("sz_b"))
+    val residual = a.join(b, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .filter(hinter(col("hs_a"), col("hs_b")) * 3 >= col("sz_a") + col("sz_b"))
+      .count()
+    assert(residual == 0, s"$residual near-dup pairs survived ingest")
+  }
+
   test("malformed stream records quarantine to a dead-letter sink exactly-once") {
     // The ingestion contract's dead-letter path (SURVEY §3.1 step 2):
     // PERMISSIVE-decode each micro-batch, split good/corrupt, land both
