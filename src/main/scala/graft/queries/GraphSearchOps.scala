@@ -254,6 +254,27 @@ object GraphSearchOps {
         .orderBy("doc_id")
     }),
 
+    // Path mining (order-2): top-10 three-step event-type paths across
+    // all user streams — the "how do users actually move" readout one
+    // order above q_events_transition's Markov matrix. Same portable
+    // ordering key; two leads in ONE window pass (both offsets share
+    // the frame, so Spark plans a single Window over one shuffle), then
+    // a hash agg on the tiny path key and a top-k.
+    "q_events_path3" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(concat_ws(" > ", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
     // Event-type transition matrix (the Markov-chain readout of user
     // behavior): count consecutive (from_type -> to_type) steps in each
     // user's time-ordered stream and report each step's share of its
@@ -405,6 +426,17 @@ object GraphSearchOps {
                     x -> x IS NOT NULL), ' '), ''))
                   AS target_md5
          FROM m ORDER BY doc_id""",
+    "q_events_path3" ->
+      """WITH s AS (SELECT event_type AS t1,
+                           lead(event_type, 1) OVER w AS t2,
+                           lead(event_type, 2) OVER w AS t3
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                          event_id))
+         SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path, count(*) AS n
+         FROM s WHERE t3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
     "q_events_transition" ->
       """WITH s AS (SELECT event_type AS from_type,
                            lead(event_type, 1) OVER (

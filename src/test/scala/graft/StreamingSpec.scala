@@ -593,6 +593,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(stateAfterReplay == stateAfterFirst)
   }
 
+  test("envelope topic preserves the per-partition ordered-log contract") {
+    // the Kafka semantics downstream code relies on: per partition,
+    // offsets are dense from 0, never duplicated, and arrive in
+    // non-decreasing order across commit versions
+    val topicDir = tmp("graft-ord-topic")
+    val tableDir = tmp("graft-ord-table")
+    KafkaEnvelope.writeTopic(spark, sf, topicDir, nPartitions = 3)
+    val sink = new ExactlyOnceSink(tableDir)
+    val qy = KafkaEnvelope.readStream(spark, topicDir, 1)
+      .writeStream.option("checkpointLocation", tmp("graft-ord-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.process(df.select("topic", "partition", "offset", "key"), id))
+      .start()
+    qy.awaitTermination(120000)
+    val rows = sink.read(spark)
+      .select("partition", "offset", "batch")
+      .as[(Int, Long, Int)].collect()
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val offs = rs.map(_._2).sorted
+      assert(offs.toSeq == (0L until offs.length).toSeq,
+        s"partition $p offsets not dense from 0")
+      assert(rs.map(_._2).distinct.length == rs.length,
+        s"partition $p delivered an offset twice")
+      // commit-version order never rewinds an offset
+      val byBatch = rs.sortBy(r => (r._3, r._2)).map(_._2)
+      assert(byBatch.toSeq == byBatch.sorted.toSeq,
+        s"partition $p offsets rewound across batches")
+    }
+  }
+
   test("streaming NEAR-dup ingest: MinHash-LSH dedup against the committed corpus") {
     // The incremental form of q_llm_minhash_lsh — what a training-data
     // platform actually runs at ingest: each micro-batch signatures its
