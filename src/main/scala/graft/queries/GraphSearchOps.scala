@@ -254,6 +254,30 @@ object GraphSearchOps {
         .orderBy("doc_id")
     }),
 
+    // Rolling distinct actives (the DAU/WAU readout): per calendar day,
+    // the trailing-7-day DISTINCT user count. Distinct-over-window
+    // doesn't decompose into daily sums, so the relational form is the
+    // bucket-explosion idiom: dedupe to (user, day) first (the only
+    // full-volume shuffle), then explode each active day into the <= 7
+    // report days it covers and count distinct per day — work scales
+    // with distinct (user, day) x 7, never raw events x days. Report
+    // days clipped to the observed range so every row is a full window.
+    "q_events_wau" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      ud.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("day"),
+            least(date_add(col("day"), 6), col("hi")))).as("report_day"),
+          col("lo"))
+        .filter(col("report_day") >= date_add(col("lo"), 6))
+        .groupBy("report_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("report_day")
+    }),
+
     // Path mining (order-2): top-10 three-step event-type paths across
     // all user streams — the "how do users actually move" readout one
     // order above q_events_transition's Markov matrix. Same portable
@@ -426,6 +450,17 @@ object GraphSearchOps {
                     x -> x IS NOT NULL), ' '), ''))
                   AS target_md5
          FROM m ORDER BY doc_id""",
+    "q_events_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+              b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+              o AS (SELECT unnest(range(0, 7)) AS o),
+              x AS (SELECT ud.user_id,
+                           CAST(ud.day + o.o * INTERVAL 1 DAY AS DATE) AS report_day
+                    FROM ud CROSS JOIN o CROSS JOIN b
+                    WHERE ud.day + o.o * INTERVAL 1 DAY <= b.hi
+                      AND ud.day + o.o * INTERVAL 1 DAY >= b.lo + INTERVAL 6 DAY)
+         SELECT report_day, count(DISTINCT user_id) AS wau
+         FROM x GROUP BY 1 ORDER BY report_day""",
     "q_events_path3" ->
       """WITH s AS (SELECT event_type AS t1,
                            lead(event_type, 1) OVER w AS t2,
