@@ -213,46 +213,60 @@ object VectorOps {
     }),
 
     // IVF-probed ANN with a trained coarse quantizer: label centroids
-    // seed one deterministic Lloyd refinement round (assign every
-    // vector to its nearest seed centroid — a map-only pass against the
-    // broadcast centroid table — then recompute centroids over the new
-    // buckets), which tightens buckets beyond what the raw labels give
-    // (measured recall 0.30 → see VectorOpsSpec info line). Each query
-    // probes its 2 nearest trained centroids and searches only those
-    // buckets. The 100 TB shape: candidate scan shrinks ~K/nprobe ×,
-    // bucket assignment is an equality join, and more Lloyd rounds are
-    // the same two stages repeated. no-oracle (recall vs exact top-k
-    // asserted in VectorOpsSpec).
+    // seed THREE deterministic Lloyd refinement rounds (assign every
+    // vector to its nearest centroid — a map-only pass against the
+    // broadcast K-row centroid table — then recompute centroids over
+    // the new buckets), then each query probes its 4 nearest trained
+    // centroids and exact-verifies only those buckets. Parameters are
+    // measured, not guessed: on the driver corpus (near-isotropic,
+    // top-5 neighbors at cos 0.26–0.49) probe=2 gives mean recall
+    // ~0.45 and probe=4 ~0.68 vs exact top-5 (asserted ≥ 0.6 in
+    // VectorOpsSpec; in the planted-near-neighbor regime recall is ~1.0
+    // — see the planted-corpus test). The 100 TB shape: the candidate
+    // scan shrinks ~K/nprobe ×, bucket assignment is an equality join,
+    // each Lloyd round is the same two bounded stages repeated (and at
+    // real scale the quantizer trains on a sample, not the full
+    // corpus). no-oracle (recall vs exact top-k asserted in
+    // VectorOpsSpec).
     "q_llm_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      // seed centroids reassembled to arrays (sorted by position)
-      val seedArr = centroids(s, d)
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
-      // one Lloyd round: nearest-seed assignment (ties -> lower label)
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("slabel").asc)
-      val assigned = e.drop("label")
-        .crossJoin(broadcast(seedArr.select(col("label").as("slabel"), col("cv"))))
-        .select(col("vec_id"), col("v"), col("slabel"),
-          CosineSimilarity.cosineSim(s, col("v"), col("cv")).as("csim"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("slabel").as("bucket"))
-      // NOT persisted although two consumers read it (centroid recompute
-      // + probe join): A/B-profiled slower with a cache at sf0.1 (the
-      // assignment is a map-only broadcast+window pass — recompute beats
-      // materialization), and at 100 TB caching the full assigned corpus
-      // is exactly what an IVF build must avoid.
-      // recompute centroids over the refined buckets (relational, one
+      val LloydRounds = 3
+      val NProbe = 4
+      // nearest-centroid assignment (ties -> lower bucket id):
+      // broadcast the K-row centroid table, window per vec_id
+      def assign(cents: DataFrame): DataFrame = {
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("bucket").asc)
+        e.drop("label")
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("bucket"),
+            CosineSimilarity.cosineSim(s, col("v"), col("cv")).as("csim"))
+          .withColumn("rk", row_number().over(wAssign))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("v"), col("bucket"))
+      }
+      // centroid recompute over the refined buckets (relational, one
       // shuffle on (bucket, pos))
-      val trained = assigned
+      def recompute(assigned: DataFrame): DataFrame = assigned
         .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("bucket", "pos").agg(avg(col("x")).as("c"))
         .groupBy("bucket")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("cv"))
+      // seed centroids = label means, reassembled to arrays
+      val seeds = centroids(s, d)
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .select(col("label").as("bucket"), col("cv"))
+      val trained = (1 to LloydRounds).foldLeft(seeds)((c, _) => recompute(assign(c)))
+      // final data-side assignment against the trained quantizer. NOT
+      // persisted although the probe join re-reads it: A/B-profiled
+      // slower with a cache at sf0.1 (assignment is a map-only
+      // broadcast+window pass — recompute beats materialization), and
+      // at 100 TB caching the fully assigned corpus is exactly what an
+      // IVF build must avoid.
+      val assigned = assign(trained)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val wProbe = Window.partitionBy("qid")
@@ -261,7 +275,7 @@ object VectorOps {
         .select(col("qid"), col("qv"), col("bucket"),
           CosineSimilarity.cosineSim(s, col("qv"), col("cv")).as("csim"))
         .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 2)
+        .filter(col("pr") <= NProbe)
         .select(col("qid"), col("qv"), col("bucket"))
       val wTop = Window.partitionBy("qid")
         .orderBy(col("sim").desc, col("nbr").asc)
@@ -286,15 +300,17 @@ object VectorOps {
     // rows, and each query probes the Hamming ≤ 2 ball of its own
     // signature in every table (137 masks × 10 tables = 1370 probe
     // keys) — an equality join on (table, bucket), never a corpus scan.
-    // Measured candidate fraction per query ≈ 2% of the corpus
-    // (asserted in VectorOpsSpec) vs 14% for the round-2 single-table
-    // shape, at equal-or-better recall; the per-table selectivity
-    // 137/2^16 is corpus-size-independent. This synthetic corpus is
-    // near-isotropic (top-5 neighbors sit at cos ≈ 0.5, i.e. LSH
-    // hardness ρ ≈ 0.6) — the measured recall/candidate frontier here
-    // is the worst case; clustered production embeddings separate far
-    // better at the same parameters. no-oracle (recall + determinism +
-    // candidate-fraction tests in VectorOpsSpec).
+    // Measured candidate fraction per query ≈ 2.2% of the corpus
+    // (asserted ≤ 2.5% in VectorOpsSpec) vs 14% for the round-2
+    // single-table shape; the per-table selectivity 137/2^16 is
+    // corpus-size-independent. Recall is graded in two regimes
+    // (measured, VectorOpsSpec): ~1.0 with planted true neighbors at
+    // cos 0.85 (the retrieval regime ANN is for), ~0.2 on the raw
+    // near-isotropic driver corpus whose "neighbors" sit at cos
+    // 0.26–0.49 over a 0.125-σ background — there sign-LSH ρ ≈ 0.74
+    // makes any ≤2.5%-candidate schedule top out near that floor (the
+    // full analysis lives on the worst-case test). no-oracle (recall +
+    // determinism + candidate-fraction tests in VectorOpsSpec).
     "q_llm_ann_lsh" -> ((s, d) => {
       val cand = annLshCandidates(s, d)
       val wTop = Window.partitionBy("qid")
