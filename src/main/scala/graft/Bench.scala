@@ -49,12 +49,17 @@ object Bench {
       }
     sweep(spark)
     // Pass 1 — serial, per-query latency: clean numbers comparable to a
-    // single-stream baseline. Each query is timed SPARK_GRAFT_BENCH_RUNS
-    // times (default 2) and the minimum reported: single-run numbers
-    // swing 10-20% with background machine load, which drowns real
-    // round-over-round deltas; min-of-N is the standard steady-state
-    // latency estimator. serial_value sums the minima.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // single-stream baseline. This pass COMPLETES before the concurrent
+    // pass starts (phases never interleave; with one job in flight the
+    // FAIR scheduler degenerates to FIFO, so pass 2's scheduler config
+    // cannot touch these numbers). Each query is timed
+    // SPARK_GRAFT_BENCH_RUNS times (default 3) and the MEDIAN reported:
+    // round 6→7 showed identical code swinging >2x per query in both
+    // directions under min-of-2 (one lucky run defines the number, one
+    // GC pause poisons serial_first) — the median of 3 is robust to a
+    // single outlier run in either direction. serial_value sums the
+    // medians.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
         val q0 = System.nanoTime()
@@ -65,9 +70,14 @@ object Bench {
       }
       name -> ts
     }
-    val results = timings.map { case (n, ts) => n -> ts.min }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val results = timings.map { case (n, ts) => n -> median(ts) }
     // Two serial estimators, labeled: serial_value = sum of per-query
-    // min-of-N (steady-state latency, low run-to-run variance) and
+    // median-of-N (steady-state latency, robust to outlier runs) and
     // serial_first = sum of per-query FIRST runs (a measured
     // single-stream pass — the like-for-like number against any
     // single-run baseline). Round 3's 37.3 s was a serial_first-style
@@ -76,7 +86,8 @@ object Bench {
     val serialFirst = timings.map(_._2.head).sum
     // Pass 2 — concurrent throughput: the whole suite through a small
     // pool with the FAIR scheduler, overlapping per-query scheduling
-    // gaps the way a multi-tenant cluster does.
+    // gaps the way a multi-tenant cluster does. Starts only after the
+    // serial phase fully drains.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)

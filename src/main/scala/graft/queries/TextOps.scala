@@ -164,6 +164,55 @@ object TextOps {
             .as("n_vowel_start"))
         .orderBy("doc_id")),
 
+    // BPE vocabulary learning (Sennrich et al. '16): the tokenizer-train
+    // half that q_llm_token_count's fixed regex families don't cover.
+    // Five unrolled top-pair merge rounds over the word-frequency table;
+    // each round = one bounded shuffle (adjacent-pair counts keyed by
+    // symbol pair), a TakeOrderedAndProject top-1 (count DESC, pair ASC
+    // — deterministic tie-break), and a map-only merge applied via
+    // substring replace on a separator-wrapped symbol string. The
+    // wrapping (each symbol enclosed in \u0001 separators) makes one `replace` call
+    // per word apply the merge with EXACT left-to-right non-overlapping
+    // BPE semantics in both engines (Spark StringReplace and DuckDB
+    // replace scan identically), because every token carries its own
+    // delimiters — consecutive merges like "a a a a" -> "aa aa" work and
+    // mid-token false matches are impossible. 100 TB shape: the corpus
+    // is touched ONCE (word-frequency shuffle); every merge round runs
+    // on the bounded vocab table (|distinct words|), and the winning
+    // pair is a 1-row broadcast. Oracle: DuckDB recursive CTE over the
+    // same representation (verified equal to an independent imperative
+    // BPE implementation).
+    "q_llm_bpe_vocab" -> ((s, d) => {
+      val SEP = "\u0001"
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      var cur = words.select(col("cnt"),
+        regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("seq"))
+      val rounds = (1 to 5).map { r =>
+        val toks = cur.select(col("cnt"),
+          split(trim(col("seq"), SEP), SEP + SEP).as("t"))
+        val top = toks
+          .select(col("cnt"), explode(zip_with(col("t"),
+            slice(col("t"), lit(2), size(col("t"))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("z"))
+          .filter(col("z.b").isNotNull)
+          .groupBy(col("z.a").as("a"), col("z.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1)
+        cur = cur.crossJoin(broadcast(top))
+          .select(col("cnt"),
+            replace(col("seq"),
+              concat(lit(SEP), col("a"), lit(SEP + SEP), col("b"), lit(SEP)),
+              concat(lit(SEP), col("a"), col("b"), lit(SEP))).as("seq"))
+        top.select(lit(r).as("rnd"), col("a").as("tok_a"), col("b").as("tok_b"),
+          concat(col("a"), col("b")).as("merged"), col("c").as("cnt"))
+      }
+      rounds.reduce((a, b) => a.unionByName(b)).orderBy("rnd")
+    }),
+
     "q_llm_quality" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val nTok = size(toks)
@@ -589,6 +638,44 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_llm_minhash_lsh" -> minhashLshOracle,
     "q_llm_simhash" -> simhashOracle,
+    // Recursive-CTE BPE twin: same chr(1)-wrapped symbol representation,
+    // same replace() merge (both engines scan left-to-right,
+    // non-overlapping), same (count DESC, pair ASC) tie-break. Verified
+    // equal to an independent imperative BPE implementation on this
+    // corpus before being adopted as the oracle.
+    "q_llm_bpe_vocab" ->
+      """WITH RECURSIVE
+            words AS (
+              SELECT w AS word, count(*)::BIGINT AS cnt
+              FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY w),
+            init AS (
+              SELECT cnt, regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS seq
+              FROM words),
+            bpe AS (
+              SELECT 0 AS rnd, cnt, seq,
+                     CAST(NULL AS VARCHAR) AS ma, CAST(NULL AS VARCHAR) AS mb,
+                     CAST(NULL AS BIGINT) AS mcnt
+              FROM init
+              UNION ALL
+              (WITH cur AS (SELECT * FROM bpe),
+                    toks AS (SELECT cnt, string_split(trim(seq, chr(1)), chr(1) || chr(1)) AS t
+                             FROM cur),
+                    zipped AS (SELECT cnt, unnest(list_zip(t, t[2:])) AS z FROM toks),
+                    pairs AS (SELECT z[1] AS a, z[2] AS b, sum(cnt)::BIGINT AS c
+                              FROM zipped WHERE z[2] IS NOT NULL
+                              GROUP BY 1, 2),
+                    top AS (SELECT a, b, c FROM pairs ORDER BY c DESC, a, b LIMIT 1)
+               SELECT cur.rnd + 1, cur.cnt,
+                      replace(cur.seq, chr(1) || top.a || chr(1) || chr(1) || top.b || chr(1),
+                              chr(1) || top.a || top.b || chr(1)),
+                      top.a, top.b, top.c
+               FROM cur, top
+               WHERE cur.rnd < 5))
+         SELECT rnd, any_value(ma) AS tok_a, any_value(mb) AS tok_b,
+                any_value(ma) || any_value(mb) AS merged, any_value(mcnt) AS cnt
+         FROM bpe WHERE rnd >= 1 GROUP BY rnd ORDER BY rnd""",
     // Oracle = brute-force all-pairs at sf0.01 (the prefix filter is
     // exact, so the filtered join must reproduce it bit-for-bit); the
     // integer 3·|∩| >= |a|+|b| threshold avoids double boundaries.

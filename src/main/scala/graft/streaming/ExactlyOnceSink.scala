@@ -214,7 +214,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       changeDir: Option[String] = None,
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
       constraints: Option[Map[String, String]] = None,
-      streamTxn: Option[(String, Long)] = None): String = {
+      streamTxn: Option[(String, Long)] = None,
+      restoreDirs: Seq[String] = Nil): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -248,6 +249,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       s""""metaData":{"schemaString":$schemaJson,""" +
       s""""partitionColumns":[$parts]$consJson},""" +
       s""""dir":${jstr(dir)},""" +
+      (if (restoreDirs.isEmpty) ""
+       else s""""restoreDirs":[${restoreDirs.map(jstr).mkString(",")}],""") +
       changeJson +
       streamTxn.map { case (a, b) =>
         s""""streamTxn":{"appId":${jstr(a)},"batchId":$b},"""
@@ -426,7 +429,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       adds: Seq[AddFile],
       op: String = "", changeDir: Option[String] = None,
       constraints: Option[Map[String, String]] = None,
-      streamTxn: Option[(String, Long)] = None)
+      streamTxn: Option[(String, Long)] = None,
+      restoreDirs: Seq[String] = Nil) {
+    /** Data dirs this commit makes visible: its own for ordinary
+      * commits, the re-pointed source dirs for a RESTORE. */
+    def dataDirs: Seq[String] =
+      if (restoreDirs.nonEmpty) restoreDirs else Seq(dir)
+  }
 
   private def parseCommit(v: Long): Commit = {
     import org.json4s._
@@ -483,7 +492,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       case (JString(a), JInt(b)) => Some(a -> b.toLong)
       case _ => None
     }
-    Commit(v, dir, snap, adds, op, changeDir, cons, stx)
+    val restoreDirs = (j \ "restoreDirs") match {
+      case JArray(items) => items.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -511,9 +524,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     val commits = visibleCommits(versionAsOf).filter(_.adds.nonEmpty)
     if (commits.isEmpty) return spark.emptyDataFrame
     commits.map { c =>
-      spark.read
-        .option("mergeSchema", mergeSchema.toString)
-        .parquet(dataDir.resolve(c.dir).toString)
+      // a RESTORE commit re-points at its source commits' dirs (one
+      // read per source dir keeps hive partition-column discovery
+      // working exactly as it did for the original commit)
+      c.dataDirs.map(d => spark.read
+          .option("mergeSchema", mergeSchema.toString)
+          .parquet(dataDir.resolve(d).toString))
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         .withColumn("batch", lit(c.version).cast("int"))
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
@@ -805,6 +822,64 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     v
   }
 
+  /** RESTORE TABLE TO VERSION `toVersion` (the Delta RESTORE analog):
+    * a METADATA-ONLY snapshot commit that re-points the live file set
+    * at exactly the data dirs visible at `toVersion` — no data files
+    * are rewritten or copied; the add actions (with their original
+    * per-file stats and blooms, so readSkipping/readLookup keep
+    * pruning) are lifted from the source commits into the new commit.
+    * History stays linear: the restore is just the next version, time
+    * travel to any pre-restore version still works, and a restore of a
+    * restore flattens transitively (dataDirs). The commit records the
+    * LOGICAL diff (rows deleted since `toVersion` as `insert`, rows
+    * added since as `delete`) as its CDC change set, so incremental
+    * consumers follow the rollback instead of going silently stale.
+    * Runs through the OCC claim loop — a concurrent commit invalidates
+    * the computed diff, so re-read and recompute. Returns the committed
+    * version. */
+  def restore(spark: SparkSession, toVersion: Long, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(isCommitted(toVersion), s"restore: version $toVersion is not committed")
+    val src = visibleCommits(Some(toVersion)).filter(_.adds.nonEmpty)
+    require(src.nonEmpty, s"restore: no data visible at version $toVersion")
+    val dirs = src.flatMap(_.dataDirs).distinct
+    // re-pointed add actions: paths become data/-relative; stats and
+    // blooms carry over verbatim (restore cannot change them)
+    val adds = src.flatMap { c =>
+      c.adds.map(a =>
+        if (c.restoreDirs.nonEmpty) a else a.copy(path = s"${c.dir}/${a.path}"))
+    }
+    val stats = adds.map(a => a.path ->
+      a.stats.map { case (cn, (lo, hi)) => cn -> (lo.orNull, hi.orNull) }).toMap
+    val blooms = adds.filter(_.bloom.nonEmpty).map(a => a.path -> a.bloom).toMap
+    val target = read(spark, Some(toVersion)).drop("batch")
+    var attempt = 0
+    while (true) {
+      val expected = nextVersion()
+      val current = liveData(spark)
+      // logical diff current -> target (multiset semantics): what a CDC
+      // consumer must apply to follow the rollback
+      val changes = target.exceptAll(current).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          current.exceptAll(target).withColumn("_change_type", lit("delete")))
+      val uuid = java.util.UUID.randomUUID().toString
+      val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
+      stage(changes, chStaging, Nil, check = false)
+      val changeRel = s"changes/$uuid"
+      Files.createDirectories(dataDir.resolve("changes"))
+      Files.move(chStaging, dataDir.resolve(changeRel), StandardCopyOption.ATOMIC_MOVE)
+      if (claim(expected, entryJsonS(
+          target.schema.json, expected, "", Nil, snapshot = true,
+          adds.map(a => Paths.get(a.path)), stats, "RESTORE",
+          Some(changeRel), blooms, restoreDirs = dirs)))
+        return expected
+      attempt += 1
+      if (attempt > maxRetries)
+        sys.error(s"restore: gave up after $maxRetries conflicts")
+    }
+    -1L // unreachable
+  }
+
   /** Compact the live state (many small append batches → one snapshot);
     * semantically a no-op, physically the Delta OPTIMIZE analog — so it
     * records NO change rows and readChanges skips it. With `clusterBy`,
@@ -834,9 +909,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       else commits.filter(_.snapshot).lastOption
         .map(sc => commits.filter(_.version >= sc.version)).getOrElse(commits)
     // change dirs of ANY committed version stay referenced even past a
-    // snapshot boundary: the CDC feed reads history, not live state
+    // snapshot boundary: the CDC feed reads history, not live state.
+    // dataDirs (not dir) so a RESTORE commit keeps every source dir it
+    // re-points at alive — vacuum after restore preserves restored data.
     val referenced: Set[String] =
-      visible.map(_.dir).toSet ++ commits.flatMap(_.changeDir)
+      visible.flatMap(_.dataDirs).toSet ++ commits.flatMap(_.changeDir)
     def purge(p: Path): Unit =
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     var removed = 0

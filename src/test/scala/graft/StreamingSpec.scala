@@ -893,6 +893,100 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("checkpoint restart: a NEW query resumes transformWithState state exactly-once") {
+    // The deploy-restart path a real Kafka->Delta job exercises on every
+    // release: stop the StreamingQuery, start a NEW query object from the
+    // SAME checkpoint, and both the RocksDB keyed state (running totals)
+    // and the committed source offsets must carry over — no lost state,
+    // no double-counted events.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = tmp("graft-tws-restart")
+      val input = MemoryStream[StatefulOps.Ev](11, spark, None)
+      def ev(u: Long, min: Int, v: Double) =
+        StatefulOps.Ev(u, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), v)
+      // the memory sink refuses checkpoint recovery by design; a real
+      // deployment restarts through foreachBatch (or a file sink), so
+      // collect updates per micro-batch on the driver
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, StatefulOps.UserTotal)]()
+      def start() =
+        StatefulOps.runningTotals(input.toDS()).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.UserTotal], id: Long) =>
+            df.collect().foreach(r => got.add(id -> r)))
+          .start()
+      val q1 = start()
+      input.addData(ev(1, 0, 1.0), ev(1, 1, 2.0), ev(2, 0, 5.0))
+      q1.processAllAvailable()
+      q1.stop() // deploy boundary: the query object is gone for good
+      input.addData(ev(1, 2, 4.0), ev(2, 3, 1.5)) // arrives while down
+      val q2 = start() // NEW StreamingQuery, same checkpoint
+      q2.processAllAvailable()
+      q2.stop()
+      import scala.jdk.CollectionConverters._
+      val byBatch = got.asScala.toSeq.groupBy(_._1)
+      // totals CONTINUE from the restored state: user 1 = 2 events before
+      // the restart + 1 after (not 1: state survived; not 4: batch 0 was
+      // not re-processed), user 2 = 1 + 1.
+      val resumed = byBatch.filterKeys(_ >= 1).values.flatten.map(_._2)
+        .groupBy(_.user_id).map { case (u, r) => u -> r.last }
+      assert(resumed(1L).n_events == 3 && resumed(1L).value_sum == 7.0,
+        got.asScala.mkString(", "))
+      assert(resumed(2L).n_events == 2 && resumed(2L).value_sum == 6.5,
+        got.asScala.mkString(", "))
+      // exactly-once across the restart: batch 0's updates were emitted
+      // once (no replay), and the restarted query emitted exactly one
+      // update per touched user
+      assert(byBatch(0L).length == 2, s"batch 0 replayed: ${byBatch(0L)}")
+      assert(byBatch.filterKeys(_ >= 1).values.flatten.size == 2,
+        s"post-restart emissions: $byBatch")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("RESTORE rolls the live table back to a prior version, metadata-only") {
+    val tableDir = tmp("graft-restore")
+    val sink = new ExactlyOnceSink(tableDir)
+    def df(r: Range) = r.map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+    assert(sink.commitAppend(df(1 to 10)) == 0L)
+    assert(sink.commitAppend(df(11 to 15)) == 1L)
+    assert(sink.commitAppend(df(16 to 18)) == 2L)
+    val filesBefore = Files.list(Paths.get(tableDir, "data", "files")).count()
+    val rv = sink.restore(spark, 0L)
+    assert(rv == 3L)
+    // live state == the version-0 snapshot
+    assert(sink.read(spark).select("id").as[Long].collect().sorted.toSeq
+      == (1L to 10L))
+    // metadata-only: the restore staged NO new data dir (the re-pointed
+    // add actions reference version 0's existing files)
+    val filesAfter = Files.list(Paths.get(tableDir, "data", "files")).count()
+    assert(filesAfter == filesBefore, s"restore wrote data dirs: $filesBefore -> $filesAfter")
+    // history stays linear and dense; pre-restore time travel intact
+    assert(sink.committedVersions() == Seq(0L, 1L, 2L, 3L))
+    assert(sink.read(spark, versionAsOf = Some(2L)).count() == 18)
+    assert(sink.read(spark, versionAsOf = Some(1L)).count() == 15)
+    // the restore commit records the rollback as logical CDC deletes
+    val ch = sink.readChanges(spark, 2L, 3L)
+    assert(ch.count() == 8)
+    assert(ch.select("_change_type").distinct().as[String].collect().toSeq
+      == Seq("delete"))
+    assert(ch.select("id").as[Long].collect().sorted.toSeq == (11L to 18L))
+    // a CDC consumer following the feed alone lands on the restored state
+    assert(sink.stateFromChanges(spark, Seq("id"))
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
+    // vacuum without history keeps every file the restore re-pointed at
+    // and reclaims the rolled-back appends' dirs
+    val removed = sink.vacuum(retainHistory = false)
+    assert(removed == 2, s"vacuum removed $removed dirs")
+    assert(sink.read(spark).select("id").as[Long].collect().sorted.toSeq
+      == (1L to 10L))
+    // the re-pointed add actions kept their file stats: skipping prunes
+    assert(sink.readSkipping(spark, "id", 100.0, 200.0).isEmpty)
+  }
+
   test("stream-stream interval join matches within the time bound") {
     // Two watermarked streams joined on key with an event-time interval
     // condition — the streaming enrichment shape (click joined to the

@@ -108,4 +108,19 @@ class TextOpsSpec extends SparkSpecBase {
         s"hash collision across different texts: ${g.keys}")
     }
   }
+
+  test("BPE vocab: 5 deterministic merges with non-increasing counts") {
+    val rows = q("q_llm_bpe_vocab").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 5)) // one merge per round
+    // each learned token is the concatenation of the merged pair
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    // a BPE merge count can never exceed an earlier round's winner (any
+    // new pair containing the merged token occurs at most that often)
+    val cnts = rows.map(_.getLong(4)).toSeq
+    assert(cnts == cnts.sorted.reverse, s"counts not non-increasing: $cnts")
+    // deterministic tie-breaks -> identical plan output across runs
+    val again = q("q_llm_bpe_vocab").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
