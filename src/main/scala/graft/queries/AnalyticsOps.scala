@@ -299,6 +299,43 @@ object AnalyticsOps {
         .orderBy("column_name")
     }),
 
+    // HLL twin of q_agg_profile — the 100 TB form of the profiling
+    // pass. Exact per-column count_distinct is the one primitive in the
+    // profile that gets expensive at scale: Catalyst plans N distinct
+    // aggregates as an Expand (N copies of every input row) plus a
+    // shuffle keyed by each column's full value domain. The HLL++
+    // sketch version is a plain one-row aggregate — map-side combined,
+    // no Expand, fixed-size state per column — at the standard ~2%
+    // relative error. Same output shape as the exact profile.
+    // Approximate ⇒ declared no-oracle; OperatorSpec asserts each
+    // sketched count within 10% of the exact profile's.
+    "q_agg_profile_approx" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val row = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_st"),
+        approx_count_distinct(col("o_orderstatus")).as("dist_st"),
+        min(col("o_orderstatus")).as("min_st"),
+        max(col("o_orderstatus")).as("max_st"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_tp"),
+        approx_count_distinct(col("o_totalprice")).as("dist_tp"),
+        min(Det.cents(col("o_totalprice"), 2)).as("min_tp"),
+        max(Det.cents(col("o_totalprice"), 2)).as("max_tp"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_od"),
+        approx_count_distinct(col("o_orderdate")).as("dist_od"),
+        min(to_date(col("o_orderdate"))).as("min_od"),
+        max(to_date(col("o_orderdate"))).as("max_od"))
+      row.select(col("n_rows"), expr(
+        """stack(3,
+             'o_orderstatus', null_st, dist_st, min_st, max_st,
+             'o_totalprice',  null_tp, dist_tp, cast(min_tp as string), cast(max_tp as string),
+             'o_orderdate',   null_od, dist_od, cast(min_od as string), cast(max_od as string)
+           ) as (column_name, n_nulls, n_distinct, min_s, max_s)"""))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy("column_name")
+    }),
+
     // Anomaly flagging with integer-exact math: events whose value
     // exceeds 3x their user's mean. The comparison is pure integer
     // arithmetic (cents * count > 3 * cents_sum) — no FP mean, so the

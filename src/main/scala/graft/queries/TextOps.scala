@@ -130,6 +130,57 @@ object TextOps {
     }: _*)
   }
 
+  /** Separator wrapping each BPE symbol (see q_llm_bpe_vocab). */
+  private val BpeSep = "\u0001"
+
+  /** Shared BPE trainer (q_llm_bpe_vocab / q_llm_bpe_encode): five
+    * unrolled top-pair merge rounds over the word-frequency table; each
+    * round = one bounded shuffle (adjacent-pair counts keyed by symbol
+    * pair), a TakeOrderedAndProject top-1 (count DESC, pair ASC —
+    * deterministic tie-break), and a map-only merge applied via
+    * substring replace on a separator-wrapped symbol string. The
+    * wrapping (every symbol enclosed in its own \u0001 pair) makes one
+    * `replace` call per word apply the merge with EXACT left-to-right
+    * non-overlapping BPE semantics in both engines (Spark StringReplace
+    * and DuckDB replace scan identically): consecutive merges like
+    * "a a a a" -> "aa aa" work and mid-token false matches are
+    * impossible. 100 TB shape: the corpus is touched ONCE (the
+    * word-frequency shuffle); every merge round runs on the bounded
+    * vocab table (|distinct words|), and the winning pair is a 1-row
+    * broadcast. Returns (per-round merge rows, final (word, cnt, seq)
+    * vocab after all merges). */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val SEP = BpeSep
+    val words = t(s, d, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var cur = words.select(col("word"), col("cnt"),
+      regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("seq"))
+    val rounds = (1 to 5).map { r =>
+      val toks = cur.select(col("cnt"),
+        split(trim(col("seq"), SEP), SEP + SEP).as("t"))
+      val top = toks
+        .select(col("cnt"), explode(zip_with(col("t"),
+          slice(col("t"), lit(2), size(col("t"))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("z"))
+        .filter(col("z.b").isNotNull)
+        .groupBy(col("z.a").as("a"), col("z.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      cur = cur.crossJoin(broadcast(top))
+        .select(col("word"), col("cnt"),
+          replace(col("seq"),
+            concat(lit(SEP), col("a"), lit(SEP + SEP), col("b"), lit(SEP)),
+            concat(lit(SEP), col("a"), col("b"), lit(SEP))).as("seq"))
+      top.select(lit(r).as("rnd"), col("a").as("tok_a"), col("b").as("tok_b"),
+        concat(col("a"), col("b")).as("merged"), col("c").as("cnt"))
+    }
+    (rounds, cur)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // Exact dedup on normalized text hash: one shuffle on the hash, then
     // keep-min representative. md5 exists in both engines → oracle-able.
@@ -165,52 +216,36 @@ object TextOps {
         .orderBy("doc_id")),
 
     // BPE vocabulary learning (Sennrich et al. '16): the tokenizer-train
-    // half that q_llm_token_count's fixed regex families don't cover.
-    // Five unrolled top-pair merge rounds over the word-frequency table;
-    // each round = one bounded shuffle (adjacent-pair counts keyed by
-    // symbol pair), a TakeOrderedAndProject top-1 (count DESC, pair ASC
-    // — deterministic tie-break), and a map-only merge applied via
-    // substring replace on a separator-wrapped symbol string. The
-    // wrapping (each symbol enclosed in \u0001 separators) makes one `replace` call
-    // per word apply the merge with EXACT left-to-right non-overlapping
-    // BPE semantics in both engines (Spark StringReplace and DuckDB
-    // replace scan identically), because every token carries its own
-    // delimiters — consecutive merges like "a a a a" -> "aa aa" work and
-    // mid-token false matches are impossible. 100 TB shape: the corpus
-    // is touched ONCE (word-frequency shuffle); every merge round runs
-    // on the bounded vocab table (|distinct words|), and the winning
-    // pair is a 1-row broadcast. Oracle: DuckDB recursive CTE over the
-    // same representation (verified equal to an independent imperative
-    // BPE implementation).
-    "q_llm_bpe_vocab" -> ((s, d) => {
-      val SEP = "\u0001"
-      val words = t(s, d, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+    // half that q_llm_token_count's fixed regex families don't cover —
+    // the five learned merges from the shared bpeLearn trainer (see its
+    // scaladoc for the merge-semantics and 100 TB design). Oracle:
+    // DuckDB recursive CTE over the same representation (verified equal
+    // to an independent imperative BPE implementation).
+    "q_llm_bpe_vocab" -> ((s, d) =>
+      bpeLearn(s, d)._1.reduce((a, b) => a.unionByName(b)).orderBy("rnd")),
+
+    // BPE ENCODE — the apply half of the tokenizer: segment the corpus
+    // with the learned merge table and report per-document BPE token
+    // counts (the length budget every packing/curation stage keys on).
+    // 100 TB shape: training touches only the bounded vocab table
+    // (bpeLearn); encoding joins each document's word occurrences to
+    // the merged vocab — the per-word segmentation — via a BROADCAST of
+    // the bounded (word, n_tok) relation, then sums per document:
+    // map-only over the corpus plus one doc-keyed agg shuffle, no
+    // corpus-sized join state. Oracle: the vocab recursive CTE extended
+    // to carry word spellings, joined back to per-doc occurrences.
+    "q_llm_bpe_encode" -> ((s, d) => {
+      val vocab = bpeLearn(s, d)._2 // (word, cnt, seq) after all 5 merges
+        .select(col("word"),
+          size(split(trim(col("seq"), BpeSep), BpeSep + BpeSep)).as("n_tok"))
+      val docWords = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
         .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-      var cur = words.select(col("cnt"),
-        regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("seq"))
-      val rounds = (1 to 5).map { r =>
-        val toks = cur.select(col("cnt"),
-          split(trim(col("seq"), SEP), SEP + SEP).as("t"))
-        val top = toks
-          .select(col("cnt"), explode(zip_with(col("t"),
-            slice(col("t"), lit(2), size(col("t"))),
-            (a, b) => struct(a.as("a"), b.as("b")))).as("z"))
-          .filter(col("z.b").isNotNull)
-          .groupBy(col("z.a").as("a"), col("z.b").as("b"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("a").asc, col("b").asc)
-          .limit(1)
-        cur = cur.crossJoin(broadcast(top))
-          .select(col("cnt"),
-            replace(col("seq"),
-              concat(lit(SEP), col("a"), lit(SEP + SEP), col("b"), lit(SEP)),
-              concat(lit(SEP), col("a"), col("b"), lit(SEP))).as("seq"))
-        top.select(lit(r).as("rnd"), col("a").as("tok_a"), col("b").as("tok_b"),
-          concat(col("a"), col("b")).as("merged"), col("c").as("cnt"))
-      }
-      rounds.reduce((a, b) => a.unionByName(b)).orderBy("rnd")
+      docWords.join(broadcast(vocab), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
     }),
 
     "q_llm_quality" -> ((s, d) => {
@@ -676,6 +711,46 @@ object TextOps {
          SELECT rnd, any_value(ma) AS tok_a, any_value(mb) AS tok_b,
                 any_value(ma) || any_value(mb) AS merged, any_value(mcnt) AS cnt
          FROM bpe WHERE rnd >= 1 GROUP BY rnd ORDER BY rnd""",
+    // Encode twin: the same recursive trainer carrying word spellings;
+    // rnd=5 rows are the merged vocab, joined back to per-document word
+    // occurrences (unnest keeps multiplicity).
+    "q_llm_bpe_encode" ->
+      """WITH RECURSIVE
+            words AS (
+              SELECT w AS word, count(*)::BIGINT AS cnt
+              FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY w),
+            init AS (
+              SELECT word, cnt, regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g') AS seq
+              FROM words),
+            bpe AS (
+              SELECT 0 AS rnd, word, cnt, seq FROM init
+              UNION ALL
+              (WITH cur AS (SELECT * FROM bpe),
+                    toks AS (SELECT cnt, string_split(trim(seq, chr(1)), chr(1) || chr(1)) AS t
+                             FROM cur),
+                    zipped AS (SELECT cnt, unnest(list_zip(t, t[2:])) AS z FROM toks),
+                    pairs AS (SELECT z[1] AS a, z[2] AS b, sum(cnt)::BIGINT AS c
+                              FROM zipped WHERE z[2] IS NOT NULL
+                              GROUP BY 1, 2),
+                    top AS (SELECT a, b FROM pairs ORDER BY c DESC, a, b LIMIT 1)
+               SELECT cur.rnd + 1, cur.word, cur.cnt,
+                      replace(cur.seq, chr(1) || top.a || chr(1) || chr(1) || top.b || chr(1),
+                              chr(1) || top.a || top.b || chr(1))
+               FROM cur, top
+               WHERE cur.rnd < 5)),
+            vocab AS (
+              SELECT word,
+                     len(string_split(trim(seq, chr(1)), chr(1) || chr(1)))::BIGINT AS n_tok
+              FROM bpe WHERE rnd = 5),
+            docw AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+              FROM documents)
+         SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tok)::BIGINT AS n_bpe_tokens
+         FROM (SELECT doc_id, word FROM docw WHERE word <> '') d
+         JOIN vocab USING (word)
+         GROUP BY doc_id ORDER BY doc_id""",
     // Oracle = brute-force all-pairs at sf0.01 (the prefix filter is
     // exact, so the filtered join must reproduce it bit-for-bit); the
     // integer 3·|∩| >= |a|+|b| threshold avoids double boundaries.

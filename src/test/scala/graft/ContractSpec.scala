@@ -26,12 +26,12 @@ class ContractSpec extends AnyFunSuite {
     assert(undeclared.isEmpty, s"shipped but not declared: $undeclared")
   }
 
-  test("every oracle key has a matching query; no-oracle set is exactly the declared four") {
+  test("every oracle key has a matching query; no-oracle set is exactly the declared five") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_hll", "q_agg_approx_pct",
-      "q_llm_ann_ivf", "q_llm_ann_lsh"),
+      "q_agg_profile_approx", "q_llm_ann_ivf", "q_llm_ann_lsh"),
       s"unexpected no-oracle set: $noOracle")
   }
 }

@@ -22,6 +22,23 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("approx profile matches the exact profile within 10% on distincts") {
+    val exact = q("q_agg_profile")
+      .select("column_name", "n_distinct", "n_nulls", "min_s", "max_s")
+      .as[(String, Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    val approx = q("q_agg_profile_approx")
+      .select("column_name", "n_distinct", "n_nulls", "min_s", "max_s")
+      .as[(String, Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (_, eDist, eNulls, eMin, eMax)) =>
+      val (_, aDist, aNulls, aMin, aMax) = approx(k)
+      // only the distinct count is sketched; everything else is exact
+      assert(math.abs(aDist - eDist).toDouble / math.max(eDist, 1L) <= 0.10,
+        s"$k: approx distinct $aDist exact $eDist")
+      assert(aNulls == eNulls && aMin == eMin && aMax == eMax, k)
+    }
+  }
+
   test("as-of join: every matched purchase precedes its click") {
     val ev = Tables(spark, sf, "events")
       .select(col("event_id"), col("ts"), col("event_type"))

@@ -123,4 +123,24 @@ class TextOpsSpec extends SparkSpecBase {
     val again = q("q_llm_bpe_vocab").collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("BPE encode: per-doc token counts sit between word and char counts") {
+    val enc = q("q_llm_bpe_encode")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val chars = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))
+          .as("nw"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("nc"))
+      .as[(Long, Int, Int)].collect()
+    assert(enc.keySet == chars.map(_._1).toSet)
+    chars.foreach { case (d, nw, nc) =>
+      val (nWords, nTok) = enc(d)
+      assert(nWords == nw, s"doc $d word count $nWords != $nw")
+      // every word is >= 1 token; 5 merges can only shrink char-level
+      assert(nTok >= nWords && nTok <= nc, s"doc $d: $nTok not in [$nWords, $nc]")
+    }
+    // the merges actually compress: corpus-wide tokens < corpus chars
+    assert(enc.values.map(_._2).sum < chars.map(_._3.toLong).sum)
+  }
 }
