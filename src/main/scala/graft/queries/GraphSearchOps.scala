@@ -324,6 +324,31 @@ object GraphSearchOps {
         .select(col("from_type"), col("to_type"), col("n"),
           Det.r(col("n").cast("double") / col("tot"), 4).as("p"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Per-node triangle counts on the near-dup graph — the clustering-
+    // coefficient readout that separates "hub of a tight duplicate
+    // clique" from "chain of pairwise-similar docs" when picking
+    // cluster canonicals. Edges are the blocked Jaccard>=0.5 pairs,
+    // already canonical (d1 < d2), so each triangle a<b<c is emitted
+    // exactly once by the wedge join (a,b)⋈(b,c) closed by (a,c) —
+    // two equi-joins, no enumeration of non-triangle pairs beyond
+    // wedges. Wedge count is Σ_b in(b)·out(b) under the id orientation;
+    // at 100 TB the standard refinement is degree ordering (orient
+    // hub-last), which bounds wedges by arboricity — same plan shape,
+    // different orientation key. Node counts via one map-only explode
+    // of each triangle's 3 corners + a bounded agg.
+    "q_graph_triangles" -> ((s, d) => {
+      val e = TextOps.jaccardPairs(s, d).select(col("d1"), col("d2"))
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.d2") === col("e2.d1"))
+        .join(e.alias("e3"), col("e3.d1") === col("e1.d1")
+          && col("e3.d2") === col("e2.d2"))
+        .select(col("e1.d1").as("a"), col("e1.d2").as("b"),
+          col("e2.d2").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy("doc_id")
     })
   )
 
@@ -487,6 +512,23 @@ object GraphSearchOps {
          SELECT c.from_type, c.to_type, c.n,
                 floor(CAST(c.n AS DOUBLE) / t.tot * 10000 + 0.5) / 10000 AS p
          FROM c JOIN tot t USING (from_type)
-         ORDER BY from_type, to_type"""
+         ORDER BY from_type, to_type""",
+    "q_graph_triangles" ->
+      """WITH d AS (SELECT doc_id, source,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents),
+              p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                    FROM d a JOIN d b
+                      ON a.source = b.source AND a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))) >= 0.5),
+              tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+                      FROM p e1
+                      JOIN p e2 ON e2.d1 = e1.d2
+                      JOIN p e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+         SELECT doc_id, count(*) AS n_tri
+         FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -228,7 +228,23 @@ object RelationalCore {
           Det.r2(coalesce(col("purchase_value"), lit(0.0)))
             .as("purchase_value"))
         .orderBy("click_id")
-    })
+    }),
+
+    // Salted skew join (SURVEY §2.3 q_join_skew): the explicit hot-key
+    // mitigation — every left row gets a deterministic salt, the small
+    // right side is replicated once per salt, and the join key becomes
+    // (key, salt), spreading any hot key's rows across `buckets` tasks
+    // instead of one straggler. Semantically identical to the plain
+    // equi-join (each left row matches exactly the replica carrying its
+    // salt), which is exactly what the oracle checks: the plain
+    // lineitem⋈supplier SQL. At 100 TB this is the fact⋈dim shape where
+    // |dim|×buckets ≪ the hot key's row mass. See operators/SkewJoin.
+    "q_join_skew" -> ((s, d) =>
+      graft.operators.SkewJoin
+        .salted(t(s, d, "lineitem"), t(s, d, "supplier"),
+          "l_suppkey", "s_suppkey", buckets = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,6 +352,10 @@ object RelationalCore {
          SELECT event_id AS click_id, user_id,
                 COALESCE(pid, -1) AS purchase_id,
                 floor(COALESCE(pval, 0.0) * 100 + 0.5) / 100 AS purchase_value
-         FROM w WHERE kind = 1 ORDER BY click_id"""
+         FROM w WHERE kind = 1 ORDER BY click_id""",
+    "q_join_skew" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber"""
   )
 }

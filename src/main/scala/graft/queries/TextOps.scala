@@ -610,7 +610,78 @@ object TextOps {
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       votes.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
-    })
+    }),
+
+    // Directed containment join (quote/subset detection): d_sub is
+    // "mostly contained in" d_sup when |A∩B|/|A| >= 0.8 — the asymmetric
+    // modality Jaccard misses (a short doc pasted into a long one has
+    // LOW Jaccard but HIGH containment). Blocked by `source` like the
+    // Jaccard join; the container side is required to be at least as
+    // large (that's the quote-detection direction, and it halves the
+    // candidate space). Threshold math is all-integer (5·|∩| >= 4·|A|);
+    // |∩| via the codegen'd sorted-merge intersect over per-doc hashed
+    // sorted token arrays. At 100 TB the blocking key generalizes to a
+    // prefix filter under a global token order exactly as
+    // q_llm_jaccard_global does for the symmetric case.
+    "q_llm_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
+      val a = docs.alias("a")
+      val b = docs.alias("b")
+      val inter = graft.functions.SortedIntersectSize
+        .sortedIntersectSize(s, col("a.hs"), col("b.hs"))
+      val sa = size(col("a.toks")); val sb = size(col("b.toks"))
+      a.join(b, col("a.source") === col("b.source")
+          && col("a.doc_id") =!= col("b.doc_id")
+          && sa >= 5 && sb >= sa
+          && inter * 5 >= sa * 4)
+        .select(col("a.doc_id").as("d_sub"), col("b.doc_id").as("d_sup"),
+          Det.r(inter.cast("double") / sa, 4).as("containment"))
+        .orderBy("d_sub", "d_sup")
+    }),
+
+    // Per-document unigram entropy + type-token ratio — the
+    // information-density quality signals (low entropy = repetitive
+    // boilerplate; TTR = lexical diversity). Two bounded shuffles
+    // (doc_id,tok → doc_id). Entropy in integer micro-nats exactly like
+    // the BM25 idf: per-term c·ln(c) is floored to int units and summed
+    // as integers, so partial-agg order can't move the rounded result;
+    // H = (n·⌊ln n·1e6⌋ − Σ⌊c·ln c·1e6⌋) / (n·1e6).
+    "q_llm_entropy" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("types"),
+          sum(floor(col("c") * log(col("c").cast("double")) * 1e6 + lit(0.5)))
+            .as("clogc_u"))
+        .select(col("doc_id"), col("n"), col("types"),
+          Det.r((floor(log(col("n").cast("double")) * 1e6 + lit(0.5)) * col("n")
+              - col("clogc_u")).cast("double") / (col("n") * lit(1e6)), 4)
+            .as("entropy"),
+          Det.r(col("types").cast("double") / col("n"), 4).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted index build (the retrieval-side artifact BM25 assumes):
+    // term → document frequency + capped sorted posting list. df is
+    // computed over ALL postings before the cap, and the 20-doc cap is
+    // deterministic (sorted ascending doc_id) and mirrored in the
+    // oracle. One shuffle on term; the postings cap is what bounds
+    // per-group memory at 100 TB (real indexes page long posting lists;
+    // df stays exact over ALL postings regardless of the cap).
+    "q_llm_inverted_index" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+              x => x.cast("string"))).as("postings"))
+        .orderBy("term"))
   )
 
   /** DuckDB twin of the full MinHash-LSH pipeline, generated from the
@@ -926,6 +997,48 @@ object TextOps {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
-         ORDER BY d1, d2"""
+         ORDER BY d1, d2""",
+    "q_llm_containment" ->
+      """WITH d AS (SELECT doc_id, source,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents)
+         SELECT a.doc_id AS d_sub, b.doc_id AS d_sup,
+                floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(a.toks) * 10000 + 0.5) / 10000 AS containment
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+         WHERE len(a.toks) >= 5 AND len(b.toks) >= len(a.toks)
+           AND len(list_intersect(a.toks, b.toks)) * 5 >= len(a.toks) * 4
+         ORDER BY d_sub, d_sup""",
+    "q_llm_entropy" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY doc_id, tok),
+              agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                             count(*) AS types,
+                             CAST(sum(floor(c * ln(c) * 1e6 + 0.5)) AS BIGINT)
+                               AS clogc_u
+                      FROM tf GROUP BY doc_id)
+         SELECT doc_id, n, types,
+                floor((floor(ln(n) * 1e6 + 0.5) * n - clogc_u)
+                      / (n * 1e6) * 10000 + 0.5) / 10000 AS entropy,
+                floor(CAST(types AS DOUBLE) / n * 10000 + 0.5) / 10000 AS ttr
+         FROM agg ORDER BY doc_id""",
+    "q_llm_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(list_distinct(string_split(text, ' '))) AS term
+                      FROM documents),
+              ranked AS (SELECT term, doc_id,
+                                row_number() OVER (PARTITION BY term
+                                                   ORDER BY doc_id) AS rn,
+                                count(*) OVER (PARTITION BY term) AS df
+                         FROM tok)
+         SELECT term, df,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                  AS postings
+         FROM ranked
+         WHERE rn <= 20
+         GROUP BY term, df
+         ORDER BY term"""
   )
 }

@@ -358,6 +358,40 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
+    // Sparse random projection 64→8 dims (Achlioptas/JL): out_j =
+    // Σ_i x_i·sign(i,j) with a ±1 sign matrix derived from the portable
+    // md5 hash of "j_i" — no stored projection matrix, both engines
+    // re-derive the identical signs. The JL lemma says pairwise
+    // distances survive within ε with k = O(log n / ε²) output dims;
+    // this is the cheap front-end that makes downstream clustering /
+    // dedup distance math 8× narrower. Strictly map-only — no shuffle,
+    // no fitted state — so at 100 TB it's a free pass over the scan
+    // (PlanSpec asserts the no-Exchange plan). Coordinates are floored
+    // to integer micro-units per element and summed as longs, so the
+    // result is bit-identical across engines and partition orders.
+    "q_llm_rp_reduce" -> ((s, d) => {
+      val dim = 64; val k = 8
+      def sgn(j: Int, i: Int): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_${i}".getBytes("UTF-8"))
+        val hex = md.take(4).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }
+      val signs = array((1 to k).map(j =>
+        array((1 to dim).map(i => lit(sgn(j, i))): _*)): _*)
+      val proj = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + lit(0.5))).as("xu"))
+        .withColumn("proj", transform(sequence(lit(1), lit(k)), j =>
+          aggregate(zip_with(col("xu"), element_at(signs, j),
+            (x, sg) => x * sg), lit(0L), (a, v) => a + v)))
+      proj.select(col("vec_id") +: (1 to k).map(j =>
+          Det.r(element_at(col("proj"), j).cast("double") / 1e6, 4)
+            .as(s"r$j")): _*)
+        .orderBy("vec_id")
+    }),
+
     // Multimodal record assembly: text ⋈ embedding → nested struct
     // (the typed "sample" record of a training pipeline), then flattened
     // scalar probes for the oracle.
@@ -483,6 +517,27 @@ object VectorOps {
       """SELECT doc_id, length(text) AS n_bytes,
                 length(text) % 640 AS width,
                 (n_chars * 7) % 480 AS height
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_llm_rp_reduce" -> {
+      val rCols = (1 to 8).map(j =>
+        s"floor(CAST(max(CASE WHEN j = $j THEN su END) AS DOUBLE) / 1e6" +
+          s" * 10000 + 0.5) / 10000 AS r$j").mkString(",\n                ")
+      s"""WITH x AS (SELECT vec_id, i,
+                            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+                                 AS BIGINT) AS xu
+                     FROM embeddings, generate_series(1, 64) AS t(i)),
+               sg AS (SELECT j, i,
+                             CASE WHEN (('0x' || substr(md5(CAST(j AS VARCHAR)
+                                        || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)
+                                  % 2 = 0
+                                  THEN 1 ELSE -1 END AS s
+                      FROM generate_series(1, 8) AS a(j),
+                           generate_series(1, 64) AS b(i)),
+               p AS (SELECT vec_id, j, CAST(sum(xu * s) AS BIGINT) AS su
+                     FROM x JOIN sg USING (i) GROUP BY vec_id, j)
+         SELECT vec_id,
+                $rCols
+         FROM p GROUP BY vec_id ORDER BY vec_id"""
+    }
   )
 }

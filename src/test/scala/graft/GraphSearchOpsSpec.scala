@@ -121,4 +121,21 @@ class GraphSearchOpsSpec extends SparkSpecBase {
       assert(math.abs(s - 1.0) <= 0.001 * rows.length, s"$ft sums to $s")
     }
   }
+
+  test("triangle counts match a brute-force closure of the pair graph") {
+    val pairs = q("q_llm_jaccard_pairs")
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val eset = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val cnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- pairs; c <- nodes if c > b && eset((a, c)) && eset((b, c))) {
+      cnt(a) += 1; cnt(b) += 1; cnt(c) += 1
+    }
+    val got = q("q_graph_triangles").as[(Long, Long)].collect().toMap
+    assert(got == cnt.toMap,
+      s"got ${got.size} nodes with triangles, expected ${cnt.size}")
+    info(s"triangles at sf0.001: ${cnt.values.sum / 3} over ${cnt.size} nodes")
+    // each triangle contributes exactly 3 corner credits
+    assert(cnt.values.sum % 3 == 0)
+  }
 }

@@ -158,4 +158,22 @@ class OperatorSpec extends SparkSpecBase {
     assert(grand == detail)
     assert(grand == Tables(spark, sf, "customer").count())
   }
+
+  test("salted skew join is row-identical to the plain equi-join") {
+    val plain = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+    val salted = q("q_join_skew")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("rp_reduce: deterministic and distance-correlated") {
+    val a = q("q_llm_rp_reduce").collect()
+    val b = q("q_llm_rp_reduce").collect()
+    assert(a.sameElements(b)) // fixed md5 sign matrix — no run-to-run drift
+    assert(a.length == Tables(spark, sf, "embeddings").count())
+  }
 }

@@ -205,6 +205,14 @@ class PlanSpec extends SparkSpecBase {
     assert(n == 2, s"expected 2 hash exchanges, found $n:\n" + p.take(3000))
   }
 
+  test("q_llm_rp_reduce is map-only: no hash exchange anywhere") {
+    // random projection is a pure per-row fold over the embedding array
+    // with a literal sign matrix — the only exchange allowed is the
+    // determinism sort's range partitioning
+    val p = physical("q_llm_rp_reduce")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
   test("q_llm_chunk is map-only: no hash exchange anywhere") {
     // windowed segmentation is generate+project at the scan — the only
     // exchange allowed is the determinism sort's range partitioning

@@ -143,4 +143,69 @@ class TextOpsSpec extends SparkSpecBase {
     // the merges actually compress: corpus-wide tokens < corpus chars
     assert(enc.values.map(_._2).sum < chars.map(_._3.toLong).sum)
   }
+
+  test("containment: pair set matches a brute-force array_intersect scan") {
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = d.alias("a"); val b = d.alias("b")
+    val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+    val sa = size(col("a.toks")); val sb = size(col("b.toks"))
+    val expect = a.join(b, col("a.source") === col("b.source")
+        && col("a.doc_id") =!= col("b.doc_id")
+        && sa >= 5 && sb >= sa && inter * 5 >= sa * 4)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = q("q_llm_containment").select("d_sub", "d_sup")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missing ${(expect -- got).take(5)}, extra ${(got -- expect).take(5)}")
+    info(s"containment pairs at sf0.001: ${got.size}")
+    // every reported pair genuinely clears the 0.8 containment bar
+    assert(q("q_llm_containment")
+      .filter(col("containment") < 0.8 - 1e-9).count() == 0)
+  }
+
+  test("entropy: bounds hold and a hand-computed doc matches") {
+    val rows = q("q_llm_entropy")
+      .select("doc_id", "n", "types", "entropy", "ttr")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, types, h, ttr) =>
+      // 0 <= H <= ln(types) (uniform maximizes; +1e-4 covers the 4-decimal
+      // half-up display rounding landing just above the exact bound)
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 1e-4, s"doc $id H=$h")
+      assert(ttr > 0 && ttr <= 1.0 + 1e-9, s"doc $id ttr=$ttr")
+      assert(types <= n)
+    }
+    val (id0, text) = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().head
+    val toks = text.split(" ")
+    val n = toks.length.toDouble
+    val hTrue = math.log(n) -
+      toks.groupBy(identity).values.map(g => g.size * math.log(g.size.toDouble)).sum / n
+    val got = rows.find(_._1 == id0).get._4
+    assert(math.abs(got - hTrue) < 1e-3, s"doc $id0: $got vs $hTrue")
+  }
+
+  test("inverted index: 20-cap, sorted postings, true df") {
+    val rows = q("q_llm_inverted_index")
+      .select("term", "df", "postings").as[(String, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(df >= 1, s"$term df=$df")
+      assert(ids.length == math.min(df, 20L), s"$term postings=${ids.length}")
+      assert(ids.sorted.sameElements(ids), s"$term postings unsorted")
+    }
+    // recompute df + capped postings from the raw corpus for every term
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    rows.foreach { case (term, df, postings) =>
+      val truth = docs.filter(_._2.split(" ").toSet.contains(term))
+        .map(_._1).sorted
+      assert(truth.length.toLong == df, s"$term df $df != ${truth.length}")
+      assert(postings == truth.take(20).mkString(","), s"$term postings")
+    }
+  }
 }
