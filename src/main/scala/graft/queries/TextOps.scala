@@ -575,6 +575,52 @@ object TextOps {
         .withColumn("n_norm_chars", length(col("norm")))
         .orderBy("doc_id")),
 
+    // Leakage-safe train/val split: q_llm_split hashes each doc
+    // independently, which lets two near-duplicates straddle the split —
+    // the classic eval-contamination bug (the val set "novel" doc has a
+    // 0.9-Jaccard twin in train). Fix: hash the CLUSTER, not the doc —
+    // every member of a near-dup component (same CC closure as
+    // q_llm_dup_groups) gets its canonical's portable-hash split, so a
+    // cluster lands wholly in train or wholly in val. Cost over plain
+    // split = the dedup clustering the pipeline already runs; the split
+    // itself stays a map over (doc_id, canonical).
+    "q_llm_split_safe" -> ((s, d) => {
+      val (pairRel, docsHandle) = jaccardPairsWithHandle(s, d)
+      val edges = pairRel.select(col("d1").as("src"), col("d2").as("dst"))
+      val ids = t(s, d, "documents").select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.run(ids, edges)
+      docsHandle.unpersist(blocking = false)
+      labels.select(col("id").as("doc_id"), col("label").as("canonical"))
+        .withColumn("split",
+          when(h32(s, col("canonical").cast("string")) % 10 < 8, "train")
+            .otherwise("val"))
+        .orderBy("doc_id")
+    }),
+
+    // Length-bucketed batch assembly (padding-efficiency prep): docs
+    // bucketed to the next multiple of 16 tokens, shuffled within the
+    // bucket by portable hash (deterministic "random" composition), and
+    // grouped into fixed-size batches of 8 — the structure that turns
+    // ragged documents into near-rectangular tensors (per-doc pad waste
+    // = bucket − n_tok is the metric this minimizes vs unsorted
+    // batching). One bounded shuffle on the bucket key; at real scale
+    // the window becomes the per-shard sequential fold q_llm_pack uses
+    // (bucket ⋅ shard partitioning), same assignment semantics.
+    "q_llm_length_buckets" -> ((s, d) => {
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket", expr("((n_tok + 15) div 16) * 16"))
+        .withColumn("h", h32(s, col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr("CAST((rn - 1) div 8 AS BIGINT)"))
+        .select(col("doc_id"), col("n_tok"), col("bucket"), col("batch_id"),
+          (col("bucket") - col("n_tok")).as("pad"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level n-gram counts: top-20 bigrams with a total tie-break
     // order. Bigrams generated per row (map-only), one shuffle on the
     // bigram key, TakeOrdered for the top-k — no global sort.
@@ -998,6 +1044,48 @@ object TextOps {
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
          ORDER BY d1, d2""",
+    "q_llm_split_safe" ->
+      """WITH RECURSIVE
+            d AS (SELECT doc_id, source,
+                         list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                      WHERE e.b <> r.a),
+            canon AS (SELECT dd.doc_id,
+                             LEAST(dd.doc_id, COALESCE(min(r.b), dd.doc_id))
+                               AS canonical
+                      FROM documents dd LEFT JOIN reach r ON r.a = dd.doc_id
+                      GROUP BY dd.doc_id)
+         SELECT doc_id, canonical,
+                CASE WHEN (('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 8))::BIGINT)
+                          % 10 < 8
+                     THEN 'train' ELSE 'val' END AS split
+         FROM canon ORDER BY doc_id""",
+    "q_llm_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+              b AS (SELECT doc_id, n_tok, ((n_tok + 15) // 16) * 16 AS bucket,
+                           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                             AS h
+                    FROM t),
+              r AS (SELECT doc_id, n_tok, bucket,
+                           row_number() OVER (PARTITION BY bucket
+                                              ORDER BY h, doc_id) AS rn
+                    FROM b)
+         SELECT doc_id, n_tok, bucket,
+                CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+                bucket - n_tok AS pad
+         FROM r ORDER BY doc_id""",
     "q_llm_containment" ->
       """WITH d AS (SELECT doc_id, source,
                            list_distinct(string_split(text, ' ')) AS toks

@@ -144,6 +144,39 @@ class TextOpsSpec extends SparkSpecBase {
     assert(enc.values.map(_._2).sum < chars.map(_._3.toLong).sum)
   }
 
+  test("leakage-safe split: near-dup pairs never straddle train/val") {
+    val split = q("q_llm_split_safe").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val pairs = q("q_llm_jaccard_pairs")
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+    // 8-of-10 hash buckets go to train: train must be the majority side
+    val tr = split.values.count(_ == "train")
+    assert(tr * 2 > split.size, s"train side $tr of ${split.size}")
+  }
+
+  test("length buckets: 16-aligned covers, dense batches of <= 8 per bucket") {
+    val rows = q("q_llm_length_buckets")
+      .select("doc_id", "n_tok", "bucket", "batch_id", "pad")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, b, _, pad) =>
+      assert(b >= n && b - n < 16 && b % 16 == 0, s"doc $id bucket $b n=$n")
+      assert(pad == b - n, s"doc $id pad")
+    }
+    rows.groupBy(_._3).foreach { case (b, g) =>
+      val ids = g.map(_._4).distinct.sorted.toSeq
+      assert(ids == (0L until ids.size).toSeq, s"bucket $b batch ids $ids")
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      ids.foreach(i => assert(sizes(i) <= 8))
+      // every batch except possibly the last is full
+      ids.dropRight(1).foreach(i => assert(sizes(i) == 8, s"bucket $b batch $i"))
+    }
+  }
+
   test("containment: pair set matches a brute-force array_intersect scan") {
     val d = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("source"),
