@@ -42,9 +42,15 @@ object Bench {
     // Untimed warm-up pass at the smallest SF: compiles every query's
     // whole-stage-codegen classes and JITs the hot loops, so the timed
     // pass measures steady-state engine throughput, not JVM warm-up.
+    // Debug subset (comma-separated names): time a few queries without
+    // paying for the whole suite — local tuning loop only, the driver
+    // never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benched.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     sweep(spark)
@@ -60,7 +66,7 @@ object Bench {
     // single outlier run in either direction. serial_value sums the
     // medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timings = benched.map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
         val q0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -92,7 +98,7 @@ object Bench {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (_, fn) =>
+    val futures = benched.map { case (_, fn) =>
       scala.concurrent.Future {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       }

@@ -132,15 +132,19 @@ object GraphSearchOps {
     // state. At 100 TB the edge list is the already-blocked near-dup
     // graph (sublinear in the corpus), not corpus².
     "q_llm_pagerank" -> ((s, d) => {
-      val pairs = TextOps.jaccardPairs(s, d).select("d1", "d2")
+      val (pairRel, docsHandle) = TextOps.jaccardPairsWithHandle(s, d)
+      val pairs = pairRel.select("d1", "d2")
       // symmetrize in ONE pass over the expensive pair join (a union of
       // two selects would evaluate it twice) — map-only explode of each
-      // pair into both directions
+      // pair into both directions. Eager localCheckpoint: every rank
+      // round re-reads this relation, and truncating lineage here lets
+      // the tokenized-docs cache be dropped now rather than leak.
       val edges = pairs.select(explode(array(
           struct(col("d1").as("src"), col("d2").as("dst")),
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persist()
+        .localCheckpoint(true)
+      docsHandle.unpersist(blocking = false)
       val nn = edges.select(col("src")).distinct()
         .agg(count(lit(1)).as("n"))
       val node = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -330,24 +334,48 @@ object GraphSearchOps {
     // coefficient readout that separates "hub of a tight duplicate
     // clique" from "chain of pairwise-similar docs" when picking
     // cluster canonicals. Edges are the blocked Jaccard>=0.5 pairs,
-    // already canonical (d1 < d2), so each triangle a<b<c is emitted
-    // exactly once by the wedge join (a,b)⋈(b,c) closed by (a,c) —
-    // two equi-joins, no enumeration of non-triangle pairs beyond
-    // wedges. Wedge count is Σ_b in(b)·out(b) under the id orientation;
-    // at 100 TB the standard refinement is degree ordering (orient
-    // hub-last), which bounds wedges by arboricity — same plan shape,
-    // different orientation key. Node counts via one map-only explode
-    // of each triangle's 3 corners + a bounded agg.
+    // canonical (d1 < d2).
+    //
+    // Near-dup graphs are CLIQUEY (templated doc groups), so triangle
+    // ENUMERATION explodes: at sf0.1 the 445k-edge graph holds ~28M
+    // triangles, and the wedge-join form shuffled 30M wedge rows and
+    // exploded 84M corner rows (18.7 s). Instead: adjacency-intersect
+    // counting — n_tri(v) = ½ Σ_{u∈N(v)} |N(v)∩N(u)| — which never
+    // materializes a triangle. One shuffle builds sorted neighbor
+    // arrays, the per-edge |N(v)∩N(u)| is the codegen'd sorted-merge
+    // intersect kernel (primitive long compares, no row amplification),
+    // and the adjacency relation is broadcast to both probes (node
+    // count ≪ edge count — at 100 TB it shuffle-joins instead, same
+    // shape). The edge list is materialized ONCE (eager localCheckpoint)
+    // so the two probes don't re-run the blocked similarity join, and
+    // lineage truncation lets the tokenized-docs cache drop immediately
+    // instead of leaking into later queries' storage memory. Hub nodes
+    // bound per-group arrays by max near-dup cluster size; at 100 TB a
+    // degree cap (drop boilerplate mega-hubs, as MinHash banding caps
+    // mega-buckets) bounds both the array and the intersect work.
     "q_graph_triangles" -> ((s, d) => {
-      val e = TextOps.jaccardPairs(s, d).select(col("d1"), col("d2"))
-      val tri = e.alias("e1")
-        .join(e.alias("e2"), col("e1.d2") === col("e2.d1"))
-        .join(e.alias("e3"), col("e3.d1") === col("e1.d1")
-          && col("e3.d2") === col("e2.d2"))
-        .select(col("e1.d1").as("a"), col("e1.d2").as("b"),
-          col("e2.d2").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      val (pairRel, docsHandle) = TextOps.jaccardPairsWithHandle(s, d)
+      val e = pairRel.select(col("d1"), col("d2")).localCheckpoint(true)
+      docsHandle.unpersist(blocking = false)
+      // symmetrize in one map-only pass, then sorted adjacency per node
+      val sym = e.select(explode(array(
+          struct(col("d1").as("v"), col("d2").as("w")),
+          struct(col("d2").as("v"), col("d1").as("w")))).as("p"))
+        .select(col("p.v").as("v"), col("p.w").as("w"))
+      val adj = sym.groupBy("v")
+        .agg(array_sort(collect_list(col("w"))).as("nbrs"))
+      val common = graft.functions.SortedIntersectSize
+        .sortedIntersectSize(s, col("n1"), col("n2"))
+      // each triangle {v,a,b} is seen from v via BOTH incident edges
+      // (v,a) and (v,b), hence the ÷2
+      sym
+        .join(broadcast(adj.select(col("v").as("v1"), col("nbrs").as("n1"))),
+          col("v") === col("v1"))
+        .join(broadcast(adj.select(col("v").as("v2"), col("nbrs").as("n2"))),
+          col("w") === col("v2"))
+        .select(col("v").as("doc_id"), common.as("c"))
+        .groupBy("doc_id").agg((sum(col("c")) / 2).cast("long").as("n_tri"))
+        .filter(col("n_tri") > 0)
         .orderBy("doc_id")
     })
   )

@@ -68,7 +68,7 @@ object TextOps {
     * unpersist it instead of leaking it into later queries' storage
     * memory (round-2 verdict: un-unpersisted handles inflated every
     * query benched after the similarity joins 4-16x). */
-  private def jaccardPairsWithHandle(
+  private[queries] def jaccardPairsWithHandle(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
@@ -669,6 +669,12 @@ object TextOps {
     // sorted token arrays. At 100 TB the blocking key generalizes to a
     // prefix filter under a global token order exactly as
     // q_llm_jaccard_global does for the symmetric case.
+    // Collision assumption (same as jaccardPairs, TextOps.scala:55-58):
+    // |∩| is computed over xxhash64'd tokens while the oracle intersects
+    // exact strings; a 64-bit cross-pair collision (~|a|·|b|/2^64) could
+    // inflate |∩| — and the asymmetric divide-by-|A| makes SHORT docs
+    // the sensitive side — but at any realistic doc size the false-pair
+    // probability is ≲1e-15 and the oracle hash-verifies it stays zero.
     "q_llm_containment" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
@@ -715,19 +721,29 @@ object TextOps {
     // term → document frequency + capped sorted posting list. df is
     // computed over ALL postings before the cap, and the 20-doc cap is
     // deterministic (sorted ascending doc_id) and mirrored in the
-    // oracle. One shuffle on term; the postings cap is what bounds
-    // per-group memory at 100 TB (real indexes page long posting lists;
-    // df stays exact over ALL postings regardless of the cap).
-    "q_llm_inverted_index" -> ((s, d) =>
+    // oracle. One shuffle on term. The cap is applied BEFORE any
+    // collection — row_number over the (spillable) sort-based window
+    // keeps the first 20 postings per term, so a stopword term with
+    // postings in most of the corpus never materializes an unbounded
+    // in-memory array (collect_list-then-slice would); df rides the
+    // same window exchange as an unbounded count, staying exact over
+    // ALL postings regardless of the cap.
+    "q_llm_inverted_index" -> ((s, d) => {
+      val wOrd = Window.partitionBy("term").orderBy("doc_id")
+      val wAll = Window.partitionBy("term")
       t(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("term"))
-        .groupBy("term")
-        .agg(count(lit(1)).as("df"),
-          concat_ws(",",
-            transform(slice(array_sort(collect_list(col("doc_id"))), 1, 20),
-              x => x.cast("string"))).as("postings"))
-        .orderBy("term"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("df", count(lit(1)).over(wAll))
+        .filter(col("rn") <= 20)
+        .groupBy("term", "df")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings"))
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy("term")
+    })
   )
 
   /** DuckDB twin of the full MinHash-LSH pipeline, generated from the
