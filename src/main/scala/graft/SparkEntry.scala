@@ -32,7 +32,8 @@ object SparkEntry {
       ExtendedOps.queries ++
       PipelineOps.queries ++
       AnalyticsOps.queries ++
-      GraphSearchOps.queries
+      GraphSearchOps.queries ++
+      CorpusStatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +49,6 @@ object SparkEntry {
       ExtendedOps.oracles ++
       PipelineOps.oracles ++
       AnalyticsOps.oracles ++
-      GraphSearchOps.oracles
+      GraphSearchOps.oracles ++
+      CorpusStatsOps.oracles
 }

@@ -377,6 +377,24 @@ object GraphSearchOps {
         .groupBy("doc_id").agg((sum(col("c")) / 2).cast("long").as("n_tri"))
         .filter(col("n_tri") > 0)
         .orderBy("doc_id")
+    }),
+
+    // Degree distribution of the near-dup graph — the health readout a
+    // dedup run is tuned against (a fat tail = boilerplate mega-clusters
+    // that should have been caught upstream; the MinHash mega-bucket cap
+    // and the triangle-count hub cap are both sized from exactly this
+    // histogram). One map-only corner explode of the canonical pair
+    // list + two bounded hash aggs (doc_id, then degree); the edge list
+    // is materialized once and the tokenized-docs cache dropped, same
+    // discipline as q_graph_triangles.
+    "q_graph_degree" -> ((s, d) => {
+      val (pairRel, docsHandle) = TextOps.jaccardPairsWithHandle(s, d)
+      val e = pairRel.select(col("d1"), col("d2")).localCheckpoint(true)
+      docsHandle.unpersist(blocking = false)
+      e.select(explode(array(col("d1"), col("d2"))).as("doc"))
+        .groupBy("doc").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
     })
   )
 
@@ -460,6 +478,22 @@ object GraphSearchOps {
                 CAST(r3.pr AS BIGINT) AS pr_u
          FROM node JOIN r3 ON r3.doc = node.doc
          ORDER BY doc_id""",
+    "q_graph_degree" ->
+      """WITH d AS (SELECT doc_id, source,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents),
+              p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+                    FROM d a JOIN d b
+                      ON a.source = b.source AND a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))) >= 0.5),
+              deg AS (SELECT doc, count(*) AS degree
+                      FROM (SELECT d1 AS doc FROM p
+                            UNION ALL SELECT d2 FROM p)
+                      GROUP BY doc)
+         SELECT degree, count(*) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree""",
     "q_llm_winnow_dup" ->
       s"""WITH g AS (SELECT doc_id,
                             list_transform(range(1, length(text) - ${WK - 2}),

@@ -104,6 +104,52 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM quality scoring — the order-sensitive upgrade of
+    // q_llm_unigram_logprob (the actual CCNet/KenLM filter shape): score
+    // every doc by its mean log P(w_i | w_{i-1}) under the corpus' own
+    // add-one-smoothed bigram model, P = (c(w_{i-1} w_i) + 1) /
+    // (c(w_{i-1}) + V). Unigram scoring can't see scrambled word order;
+    // bigram perplexity is what separates fluent text from token soup
+    // with the same vocabulary. Shape: map-only bigram generation (no
+    // self-join), one count shuffle on the bigram key, then the scoring
+    // pass shuffle-joins occurrences to bigram counts (the bigram table
+    // is NOT broadcastable at 100 TB — superlinear in vocab; the join
+    // key is well-distributed) while context counts and V ride
+    // broadcasts (vocab-sized after min-count pruning). Per-token
+    // log-probs fixed-point-scaled to integer micros and summed exactly
+    // (same portability rule as unigram/BM25/entropy). Docs with < 2
+    // tokens have no bigram positions and drop out (mirrored in oracle).
+    "q_llm_bigram_logprob" -> ((s, d) => {
+      val tk = col("t")
+      val pos = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1),
+            i => struct(element_at(tk, i).as("prev"),
+              concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))
+                .as("bg"))))
+          .otherwise(array().cast("array<struct<prev:string,bg:string>>")))
+          .as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.bg").as("bg"))
+      val c2 = pos.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = pos.groupBy("prev").agg(count(lit(1)).as("c1"))
+      val v = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      pos.join(c2, "bg")
+        .join(broadcast(c1), "prev")
+        .crossJoin(broadcast(v))
+        .withColumn("lp_u",
+          floor(log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+            * 1e6 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Det.r(col("s").cast("double") / 1e6 / col("n_bigrams"), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental cross-corpus dedup (the per-ingest-batch form of exact
     // dedup): treat doc_id % 4 == 0 as the incoming batch and the rest as
     // the committed corpus; emit only batch docs whose normalized text
@@ -300,6 +346,26 @@ object PipelineOps {
          SELECT doc_id, count(*) AS n_tokens,
                 floor(CAST(sum(lp_u) AS DOUBLE) / 1000000 / count(*) * 10000 + 0.5)
                   / 10000 AS avg_logprob
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+              pos AS (SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i+1] AS bg
+                      FROM tk, unnest(range(1, len(t))) AS u(i)
+                      WHERE len(t) >= 2),
+              c2 AS (SELECT bg, count(*) AS c2 FROM pos GROUP BY bg),
+              c1 AS (SELECT prev, count(*) AS c1 FROM pos GROUP BY prev),
+              v AS (SELECT count(DISTINCT term) AS v
+                    FROM (SELECT unnest(string_split(text, ' ')) AS term
+                          FROM documents)),
+              lp AS (SELECT doc_id,
+                            CAST(floor(ln((c2 + 1.0) / (c1 + v)) * 1000000
+                                       + 0.5) AS BIGINT) AS lp_u
+                     FROM pos JOIN c2 USING (bg) JOIN c1 USING (prev)
+                     CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                floor(CAST(sum(lp_u) AS DOUBLE) / 1000000 / count(*) * 10000
+                      + 0.5) / 10000 AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "q_llm_cross_dedup" ->
       """WITH h AS (SELECT doc_id, source, md5(trim(lower(text))) AS h FROM documents)
