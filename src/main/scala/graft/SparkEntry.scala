@@ -33,7 +33,8 @@ object SparkEntry {
       PipelineOps.queries ++
       AnalyticsOps.queries ++
       GraphSearchOps.queries ++
-      CorpusStatsOps.queries
+      CorpusStatsOps.queries ++
+      QualityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -50,5 +51,6 @@ object SparkEntry {
       PipelineOps.oracles ++
       AnalyticsOps.oracles ++
       GraphSearchOps.oracles ++
-      CorpusStatsOps.oracles
+      CorpusStatsOps.oracles ++
+      QualityOps.oracles
 }
