@@ -34,7 +34,8 @@ object SparkEntry {
       AnalyticsOps.queries ++
       GraphSearchOps.queries ++
       CorpusStatsOps.queries ++
-      QualityOps.queries
+      QualityOps.queries ++
+      MiningOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -52,5 +53,6 @@ object SparkEntry {
       AnalyticsOps.oracles ++
       GraphSearchOps.oracles ++
       CorpusStatsOps.oracles ++
-      QualityOps.oracles
+      QualityOps.oracles ++
+      MiningOps.oracles
 }

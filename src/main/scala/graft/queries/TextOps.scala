@@ -641,22 +641,9 @@ object TextOps {
     // hash, weighted bit-vote per position, sign → bit. Pure relational:
     // explode → tf → 32 conditional sums — one shuffle on doc_id.
     // Oracle-backed: the identical bit arithmetic runs in DuckDB.
-    "q_llm_simhash" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", h32(s, col("term")))
-      val bitVotes = (0 until 32).map { b =>
-        sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(lit(1L))
-          * lit(2L) - lit(1L))).as(s"s$b")
-      }
-      val votes = tf.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-      val sim = (0 until 32).map { b =>
-        when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      votes.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
-    }),
+    // Shared signature relation: MiningOps.q_llm_simhash_dup blocks its
+    // Hamming-distance join on the same sig.
+    "q_llm_simhash" -> ((s, d) => simhashSig(s, d).orderBy("doc_id")),
 
     // Directed containment join (quote/subset detection): d_sub is
     // "mostly contained in" d_sup when |A∩B|/|A| >= 0.8 — the asymmetric
@@ -790,18 +777,42 @@ object TextOps {
        FROM j WHERE jac >= 0.5 ORDER BY d1, d2"""
   }
 
-  /** DuckDB twin of the SimHash bit-vote computation. */
-  private def simhashOracle: String = {
+  /** The (doc_id, simhash) signature relation, un-ordered — shared by
+    * q_llm_simhash and MiningOps's banded Hamming-distance dedup. */
+  private[queries] def simhashSig(s: SparkSession, d: String): DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h32(s, col("term")))
+    val bitVotes = (0 until 32).map { b =>
+      sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(lit(1L))
+        * lit(2L) - lit(1L))).as(s"s$b")
+    }
+    val votes = tf.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 32).map { b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash bit-vote computation as a DuckDB CTE body ending in a `sig`
+    * relation (doc_id, simhash) — composed by simhashOracle and by
+    * MiningOps's q_llm_simhash_dup oracle. */
+  private[queries] def simhashSigSql: String = {
     val sums = (0 until 32).map(b =>
       s"sum(cnt * (((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(", ")
     val bits = (0 until 32).map(b =>
       s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
           h AS (SELECT doc_id, cnt, ${h32Sql("term")} AS h FROM tf),
-          v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-       SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+          v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+          sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v)"""
   }
+
+  /** DuckDB twin of the SimHash bit-vote computation. */
+  private def simhashOracle: String =
+    s"WITH $simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
   val oracles: Map[String, String] = Map(
     "q_llm_minhash_lsh" -> minhashLshOracle,

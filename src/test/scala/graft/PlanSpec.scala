@@ -260,6 +260,50 @@ class PlanSpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("q_agg_corr computes all ten moments in a single scan pass") {
+    // the whole correlation matrix must ride ONE aggregate over lineitem
+    // (sibling moment sums) — a per-pair formulation would re-scan 100 TB
+    // three times; no join anywhere
+    val p = physical("q_agg_corr")
+    assert(!p.contains("Join"), p.take(3000))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, found $scans:\n" + p.take(3000))
+  }
+
+  test("q_llm_keyword_topk plans a rank-limit window (WindowGroupLimit)") {
+    // the per-doc top-3 must push the limit into the window operator so
+    // no partition ever buffers a doc's full vocabulary
+    val p = physical("q_llm_keyword_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("q_llm_simhash_dup joins band buckets by equality, never all-pairs") {
+    // pigeonhole banding only helps if the (band, value) key reaches the
+    // join as its equality key — a BNLJ/cartesian would be the quadratic
+    // plan the banding exists to avoid
+    val p = physical("q_llm_simhash_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_llm_dedup_funnel reads the corpus exactly once") {
+    // all four cardinalities are sibling distinct-aggs over ONE scan
+    // (Spark expands multi-distinct in a single pass) — four separate
+    // count-distinct scans would read 100 TB four times
+    val p = physical("q_llm_dedup_funnel")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, found $scans:\n" + p.take(3000))
+    assert(p.contains("Expand"), p.take(3000))
+  }
+
+  test("q_llm_prefix_dedup is one map-side-combined shuffle") {
+    // groupBy on the md5 prefix key: partial agg before the exchange,
+    // exactly one hash exchange (plus the determinism sort's range)
+    val p = physical("q_llm_prefix_dedup")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 hash exchange, found $n:\n" + p.take(3000))
+  }
+
   test("no declared query plans a CartesianProduct (global audit)") {
     // crossJoin shapes must come out as BroadcastNestedLoopJoin (bounded
     // broadcast side), never a shuffled CartesianProduct — the plan that
