@@ -30,15 +30,21 @@ object Tables {
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4.x rejects
-      // outright (PARQUET_TYPE_ILLEGAL) unless read as a raw long. Read
-      // ns-as-long, then truncate to µs explicitly — same observable
-      // semantics DuckDB applies at µs granularity, and deterministic.
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark 4.x only
+      // reads as a raw long under the legacy flag) in some fixture drops
+      // and plain timestamp[us] in others. Adapt on observed type so both
+      // generations load to the same TimestampType column: ns-long →
+      // truncate to µs; timestamp/timestamp_ntz → cast (session tz is
+      // pinned UTC, so NTZ→TZ is value-preserving and matches DuckDB).
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every fixture table as a temp view, for spark.sql-backed
