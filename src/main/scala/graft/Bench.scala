@@ -36,6 +36,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
+      // UTC pinned in EVERY entry point (not just Verify/tests): the events
+      // loader's NTZ→TimestampType cast is value-preserving only under UTC,
+      // so an unpinned bench on a non-UTC host would time queries over
+      // shifted timestamps that diverge from the verified results.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

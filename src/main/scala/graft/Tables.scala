@@ -36,12 +36,26 @@ object Tables {
       // generations load to the same TimestampType column: ns-long →
       // truncate to µs; timestamp/timestamp_ntz → cast (session tz is
       // pinned UTC, so NTZ→TZ is value-preserving and matches DuckDB).
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{col, expr, max, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case LongType =>
+          // A raw int64 ts is ambiguous: TIMESTAMP(NANOS) surfaces as
+          // LongType under the legacy flag, but a fixture could equally
+          // ship epoch-µs longs — and dividing those by 1000 would
+          // silently corrupt every timestamp. Disambiguate by magnitude
+          // once per load (the load is memoized, so this one-column scan
+          // runs once per session): ns epochs for 2001–2200 are ~1e18,
+          // µs are ~1e15 — three orders apart, no plausible overlap.
+          val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+          if (maxTs >= 3e16) // ≥ ~1971 in ns; any sane ns fixture passes
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else if (maxTs >= 3e13) // ≥ ~1971 in µs
+            raw.withColumn("ts", timestamp_micros(col("ts")))
+          else
+            sys.error(s"events.ts int64 max=$maxTs matches neither a ns nor a µs epoch range")
         case TimestampType => raw
         case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
       }

@@ -266,28 +266,50 @@ object AnalyticsOps {
     // Table profiling (the engine-utility DESCRIBE/summarize pass a
     // data platform runs before anything else): per column — null
     // count, exact distinct count, lexicographic/numeric min and max,
-    // all in ONE scan. The per-column stats are computed as a single
-    // aggregate row (count_if + count_distinct + min/max — map-side
-    // combined) and unpivoted to one row per column with stack();
-    // values surface as strings under portable renderings (dates as
-    // ISO strings, money as exact cents). At 100 TB this is one pass
-    // + an Expand for the distinct counts — no per-column rescans.
+    // all in ONE scan, unpivoted to one row per column; values surface
+    // as strings under portable renderings (dates as ISO strings,
+    // money as exact cents).
+    //
+    // Shape note (round-11 rewrite): the obvious single-agg form
+    // (count_if + count_distinct + min/max in one .agg) plans min/max
+    // over the STRING column into the same aggregate as the
+    // count_distinct Expand — and a string aggregation buffer is not
+    // UnsafeRow-mutable, so Catalyst demotes the whole chain to
+    // SortAggregate: every expanded row (4x the table) gets fully
+    // sorted by a mixed (double, string, timestamp, gid) key. That
+    // sort is the scale killer (4.1 s at sf0.1; unbounded at 100 TB).
+    // Rewritten as a manual two-level distinct: stack() one tagged row
+    // per profiled column, hash-aggregate on (gid, value) — count
+    // buffer only, so it stays HashAggregate with map-side combine —
+    // then fold the ~|distinct| survivors with conditional aggregates
+    // in a KEYLESS aggregate (no grouping ⇒ no sort requirement even
+    // for the string min/max). Distinct counts are exact (group-then-
+    // count), null counts ride the null group's cnt, and min/max over
+    // distinct values equals min/max over all values.
     "q_agg_profile" -> ((s, d) => {
       val o = t(s, d, "orders")
-      val row = o.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_st"),
-        countDistinct(col("o_orderstatus")).as("dist_st"),
-        min(col("o_orderstatus")).as("min_st"),
-        max(col("o_orderstatus")).as("max_st"),
-        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_tp"),
-        countDistinct(col("o_totalprice")).as("dist_tp"),
-        min(Det.cents(col("o_totalprice"), 2)).as("min_tp"),
-        max(Det.cents(col("o_totalprice"), 2)).as("max_tp"),
-        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_od"),
-        countDistinct(col("o_orderdate")).as("dist_od"),
-        min(to_date(col("o_orderdate"))).as("min_od"),
-        max(to_date(col("o_orderdate"))).as("max_od"))
+      val expanded = o.select(expr(
+        """stack(3,
+             0, o_orderstatus, cast(null as double), cast(null as timestamp_ntz),
+             1, cast(null as string), o_totalprice, cast(null as timestamp_ntz),
+             2, cast(null as string), cast(null as double), o_orderdate
+           ) as (gid, st, tp, od)"""))
+      val lvl1 = expanded.groupBy("gid", "st", "tp", "od")
+        .agg(count(lit(1)).as("cnt"))
+      val row = lvl1.agg(
+        sum(when(col("gid") === 0, col("cnt"))).as("n_rows"),
+        coalesce(sum(when(col("gid") === 0 && col("st").isNull, col("cnt"))), lit(0L)).as("null_st"),
+        count(when(col("gid") === 0, col("st"))).as("dist_st"),
+        min(when(col("gid") === 0, col("st"))).as("min_st"),
+        max(when(col("gid") === 0, col("st"))).as("max_st"),
+        coalesce(sum(when(col("gid") === 1 && col("tp").isNull, col("cnt"))), lit(0L)).as("null_tp"),
+        count(when(col("gid") === 1, col("tp"))).as("dist_tp"),
+        min(when(col("gid") === 1, Det.cents(col("tp"), 2))).as("min_tp"),
+        max(when(col("gid") === 1, Det.cents(col("tp"), 2))).as("max_tp"),
+        coalesce(sum(when(col("gid") === 2 && col("od").isNull, col("cnt"))), lit(0L)).as("null_od"),
+        count(when(col("gid") === 2, col("od"))).as("dist_od"),
+        min(when(col("gid") === 2, to_date(col("od")))).as("min_od"),
+        max(when(col("gid") === 2, to_date(col("od")))).as("max_od"))
       row.select(col("n_rows"), expr(
         """stack(3,
              'o_orderstatus', null_st, dist_st, min_st, max_st,
