@@ -35,7 +35,8 @@ object SparkEntry {
       GraphSearchOps.queries ++
       CorpusStatsOps.queries ++
       QualityOps.queries ++
-      MiningOps.queries
+      MiningOps.queries ++
+      SinkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -54,5 +55,6 @@ object SparkEntry {
       GraphSearchOps.oracles ++
       CorpusStatsOps.oracles ++
       QualityOps.oracles ++
-      MiningOps.oracles
+      MiningOps.oracles ++
+      SinkOps.oracles
 }

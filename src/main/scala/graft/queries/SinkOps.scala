@@ -1,0 +1,107 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+import graft.streaming.ExactlyOnceSink
+
+/** SURVEY.md §2.1 read-path bench twin for the z-order clustered sink
+  * (snk_delta row): q_sink_zorder_skip commits the events table through
+  * `commitAppend(clusterBy = user_id, value)` once per (JVM, sfDir), then
+  * answers a two-column range query through the conjunctive stat-skipped
+  * read ([[ExactlyOnceSink.readSkippingAll]]).
+  *
+  * Why this is a query and not just a StreamingSpec test: the z-order +
+  * skipping machinery existed since round 7 but was never MEASURED under
+  * the bench, so its cost/benefit at sf0.1 was a claim, not a number
+  * (VERDICT r10 #5). As a declared query it gets a per-round latency line
+  * AND a DuckDB oracle — skipping is conservative (a file is dropped only
+  * when its [min,max] provably misses the range) and the real predicate is
+  * re-applied after pruning, so the result is exactly the full-scan
+  * answer and hash-checks against `events` directly.
+  *
+  * 100 TB shape: the table build is one-time write amplification (sketch
+  * pass + range shuffle); every subsequent two-column range query touches
+  * only the files whose Morton range intersects the predicate box —
+  * that's the product of the per-column survival fractions, the whole
+  * point of z-ordering over single-column sort (SinkOpsSpec asserts the
+  * conjunction prunes strictly harder than either column alone).
+  */
+object SinkOps {
+
+  /** Predicate box (mirrored verbatim in the oracle): users 4-9 x a
+    * mid-range value band — ~140 matching rows at EVERY fixture SF
+    * (0.14% of rows at sf0.1), so the query is non-empty from sf0.001's
+    * 15-user domain up while staying selective where pruning matters. */
+  private val UserLo = 4.0
+  private val UserHi = 9.0
+  private val ValLo = 50.0
+  private val ValHi = 200.0
+
+  /** One clustered committed table per (JVM, sfDir), built lazily under
+    * java.io.tmpdir and reused across the bench's warm-up + timed runs.
+    * A marker file records the fixture row count, so a driver-side
+    * fixture refresh (different count) forces a rebuild instead of
+    * silently serving stale data; same-count same-seed fixtures reuse.
+    * Synchronized: the bench's concurrent pass must not race two builds
+    * of the same table (commitAppend itself is multi-writer safe, but a
+    * double build would duplicate rows). */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusteredEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    new ExactlyOnceSink(built.computeIfAbsent(d, _ => synchronized {
+      val ev = Tables(s, d, "events")
+      // Content fingerprint, not just row count: a driver-side fixture
+      // refresh can keep the cardinality while changing the data, and a
+      // stale clustered table would then silently fail the oracle. One
+      // cheap aggregate pass (count + id-sum + cent-exact value sum)
+      // pins the content well enough.
+      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
+        sum(floor(col("value") * 100 + 0.5))).head()
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-zorder-${new java.io.File(d).getName}")
+      val marker = dir.resolve("_graft_built")
+      val want = s"$d fp=${fp.mkString(",")} clusterBy=user_id,value files=16"
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker)) == want
+      if (!fresh) {
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+        Files.createDirectories(dir)
+        val sink = new ExactlyOnceSink(dir.toString)
+        sink.commitAppend(ev, clusterBy = Seq("user_id", "value"),
+          clusterFiles = 16)
+        Files.write(marker, want.getBytes)
+      }
+      dir.toString
+    }))
+
+  val queries: Map[String, QueryFn] = Map(
+    // Two-column range aggregate over the clustered committed table: file
+    // pruning via footer stats on BOTH z-ordered columns, then the exact
+    // predicate, then the usual deterministic money aggregate.
+    "q_sink_zorder_skip" -> ((s, d) => {
+      val sink = clusteredEvents(s, d)
+      sink.readSkippingAll(s,
+          Seq(("user_id", UserLo, UserHi), ("value", ValLo, ValHi)))
+        .filter(col("user_id").between(UserLo, UserHi) &&
+          col("value").between(ValLo, ValHi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sink_zorder_skip" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          WHERE user_id BETWEEN $UserLo AND $UserHi
+            AND value BETWEEN $ValLo AND $ValHi
+          GROUP BY event_type ORDER BY event_type"""
+  )
+}

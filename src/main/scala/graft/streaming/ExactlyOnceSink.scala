@@ -632,6 +632,33 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       case _ => true
     }
 
+  /** Conjunctive multi-column stat skipping: a file survives only if its
+    * recorded [min,max] intersects EVERY (column, lower, upper) range —
+    * the read-side payoff of a z-order clustered write, where footer
+    * stats are tight on all clustered columns at once, so a conjunction
+    * prunes to (roughly) the product of the per-column survival
+    * fractions. Same conservatism as the single-column form: a missing
+    * or non-numeric stat keeps the file for that conjunct. */
+  def readSkippingAll(spark: SparkSession,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    def intersects(st: Option[(Option[String], Option[String])],
+        lower: Double, upper: Double): Boolean = st match {
+      case Some((Some(lo), Some(hi))) =>
+        try { !(hi.toDouble < lower || lo.toDouble > upper) }
+        catch { case _: NumberFormatException => true }
+      case _ => true
+    }
+    val files = visibleCommits(None).flatMap { c =>
+      c.adds.collect {
+        case a if preds.forall { case (col, lo, hi) =>
+          intersects(a.stats.get(col), lo, hi)
+        } => dataDir.resolve(c.dir).resolve(a.path).toString
+      }
+    }
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
   /** Bloom-pruned point lookup: keep only files whose recorded bloom
     * filter might contain `value` on `column` (plus files with no bloom —
     * skipping stays conservative). The k probe positions recompute the

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.ExactlyOnceSink
+
+/** q_sink_zorder_skip (SURVEY §2.1): the z-order clustered sink's
+  * two-column stat skipping, measured and asserted — the conjunctive
+  * prune must (a) lose no rows, (b) skip files, (c) prune at least as
+  * hard as either single-column prune (the z-order payoff: footer stats
+  * tight on BOTH clustered columns at once). */
+class SinkOpsSpec extends SparkSpecBase {
+
+  test("conjunctive two-column skipping: lossless, and prunes harder than either column") {
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft-zorder-spec").toString
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(events, clusterBy = Seq("user_id", "value"),
+      clusterFiles = 16)
+
+    val total = sink.read(spark).inputFiles.toSet
+    assert(total.size >= 8, s"expected a multi-file clustered table, got ${total.size}")
+
+    // A tight box in both dimensions (sf0.001: users 0-14, value 0-327).
+    val (uLo, uHi) = (2.0, 5.0)
+    val (vLo, vHi) = (30.0, 90.0)
+    val byUser = sink.readSkippingAll(spark, Seq(("user_id", uLo, uHi))).inputFiles.toSet
+    val byValue = sink.readSkippingAll(spark, Seq(("value", vLo, vHi))).inputFiles.toSet
+    val both = sink.readSkippingAll(spark,
+      Seq(("user_id", uLo, uHi), ("value", vLo, vHi))).inputFiles.toSet
+
+    // conjunction = intersection of the per-column survivor sets
+    assert(both == (byUser intersect byValue))
+    // each column's stats prune on their own (z-order kept both tight)
+    assert(byUser.size < total.size, "user_id stats pruned nothing")
+    assert(byValue.size < total.size, "value stats pruned nothing")
+    // and the conjunction prunes at least as hard as the best single column
+    assert(both.size <= math.min(byUser.size, byValue.size))
+
+    // lossless: pruned scan + exact predicate == full scan + exact predicate
+    val pred = col("user_id").between(uLo, uHi) && col("value").between(vLo, vHi)
+    val viaSkip = sink.readSkippingAll(spark,
+        Seq(("user_id", uLo, uHi), ("value", vLo, vHi)))
+      .filter(pred).agg(count(lit(1)), sum("value")).head()
+    val viaFull = events.filter(pred).agg(count(lit(1)), sum("value")).head()
+    assert(viaSkip == viaFull)
+    assert(viaFull.getLong(0) > 0, "test box matched no rows — not probative")
+  }
+
+  test("q_sink_zorder_skip matches the direct events aggregate") {
+    val direct = Tables(spark, sf, "events")
+      .filter(col("user_id").between(4, 9) && col("value").between(50, 200))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.sumMoney(col("value")).as("val_sum"))
+      .orderBy("event_type")
+    assert(q("q_sink_zorder_skip").collect().toSeq == direct.collect().toSeq)
+  }
+}
