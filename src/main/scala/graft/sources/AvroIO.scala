@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileStream}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.AvroKeyInputFormat
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file IO against the PUBLIC Apache Avro Java API.
+  *
+  * The `spark-avro` connector (which would provide `format("avro")`) is
+  * absent from the offline image, but the core Avro jars Spark itself
+  * depends on — avro, avro-mapred 1.12.1 — ARE on the classpath
+  * (/opt/spark/jars), so the fifth io_formats row (SURVEY §2.1) is
+  * closed with a real Avro OCF path rather than a substitute encoding:
+  *
+  *  - write: one Avro object-container file per partition, written
+  *    through the Hadoop FileSystem API (so the same code targets HDFS/
+  *    object stores on a cluster), snappy-compressed, schema derived
+  *    from the DataFrame schema (timestamp-micros / date logical types,
+  *    nullable fields as union(null, T) — the standard Avro mapping, the
+  *    same one spark-avro uses).
+  *  - read: `AvroKeyInputFormat` via `newAPIHadoopFile` — Avro OCFs are
+  *    internally sync-marked, so the input format BLOCK-SPLITS large
+  *    files across tasks; a 100 TB Avro dataset reads with full scan
+  *    parallelism, exactly like the connector. Records convert straight
+  *    to Rows of the declared schema (the engine never runtime-infers
+  *    schemas, SURVEY §1.2 — but `readSchemaOf` can recover the
+  *    StructType from a file header when the caller wants it).
+  */
+object AvroIO {
+
+  // ---------------------------------------------------------------- schema
+
+  /** Spark StructType → Avro record schema (nullable = union(null, T)). */
+  def toAvroSchema(st: StructType, name: String = "row"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = toAvroType(f.dataType, s"${name}_${f.name}")
+      val t = if (f.nullable) Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), base)) else base
+      new Schema.Field(f.name, t, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.toSeq.asJava)
+  }
+
+  private def toAvroType(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(elem, containsNull) =>
+      val e = toAvroType(elem, s"${name}_item")
+      Schema.createArray(if (containsNull) Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), e)) else e)
+    case st: StructType => toAvroSchema(st, name)
+    case other => throw new IllegalArgumentException(
+      s"avro: unsupported Spark type $other")
+  }
+
+  /** Avro record schema → Spark StructType (unwraps union(null, T)). */
+  def toStructType(s: Schema): StructType =
+    StructType(s.getFields.asScala.map { f =>
+      val (t, nullable) = unwrap(f.schema())
+      StructField(f.name(), toSparkType(t), nullable)
+    }.toSeq)
+
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"avro: only union(null, T) supported, got $s")
+      (nonNull.head, true)
+    } else (s, false)
+
+  private def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType else IntegerType
+    case Schema.Type.LONG =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]) TimestampType
+      else LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.ARRAY =>
+      val (e, n) = unwrap(s.getElementType)
+      ArrayType(toSparkType(e), n)
+    case Schema.Type.RECORD => toStructType(s)
+    case other => throw new IllegalArgumentException(s"avro: unsupported type $other")
+  }
+
+  // ----------------------------------------------------------------- write
+
+  /** Distributed write: each partition streams its rows into one snappy
+    * OCF under `path` via the Hadoop FileSystem API. Returns row count. */
+  def write(df: DataFrame, path: String): Long = {
+    val schemaJson = toAvroSchema(df.schema).toString
+    val sparkSchema = df.schema
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val p = new org.apache.hadoop.fs.Path(path, f"part-$i%05d.avro")
+      val fs = p.getFileSystem(new Configuration())
+      val out = fs.create(p, true)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(CodecFactory.snappyCodec())
+      w.create(schema, out)
+      var written = 0L
+      try rows.foreach { r => w.append(rowToRecord(r, sparkSchema, schema)); written += 1 }
+      finally w.close()
+      Iterator.single(written)
+    }.sum().toLong
+  }
+
+  private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType))
+    }
+    rec
+  }
+
+  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (ts: java.sql.Timestamp, TimestampType) =>
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    case (ts: java.time.Instant, TimestampType) =>
+      ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
+    case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+    case (s: collection.Seq[_], ArrayType(et, _)) =>
+      s.map(e => if (e == null) null else toAvroValue(e, et)).asJava
+    case (r: Row, st: StructType) =>
+      rowToRecord(r, st, toAvroSchema(st)) // nested: schema re-derived (cheap, rare)
+    case (x: Short, _) => x.toInt
+    case (x: Byte, _) => x.toInt
+    case (x, _) => x
+  }
+
+  // ------------------------------------------------------------------ read
+
+  /** StructType recovered from one file's OCF header (driver-side, reads
+    * only the header block). */
+  def readSchemaOf(spark: SparkSession, path: String): StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".avro"))
+          .minBy(_.getName)
+      else p
+    val in = fs.open(first)
+    try {
+      val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      try toStructType(s.getSchema) finally s.close()
+    } finally in.close()
+  }
+
+  /** Splittable distributed read: AvroKeyInputFormat block-splits each
+    * OCF on its sync markers, so scan parallelism tracks input size (not
+    * file count) — the property that matters at 100 TB. Rows are built
+    * against the DECLARED schema; the on-disk reader schema is resolved
+    * per Avro schema-resolution rules. */
+  def read(spark: SparkSession, path: String,
+      schema: StructType = null): DataFrame = {
+    val st = Option(schema).getOrElse(readSchemaOf(spark, path))
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("avro.schema.input.key", toAvroSchema(st).toString)
+    val glob = new org.apache.hadoop.fs.Path(path)
+    val fs = glob.getFileSystem(conf)
+    val target =
+      if (fs.getFileStatus(glob).isDirectory) s"$path/*.avro" else path
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      target,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      conf)
+    // convert IMMEDIATELY inside the iterator: the input format reuses
+    // the AvroKey holder across records
+    val rows = rdd.map { case (k, _) => recordToRow(k.datum(), st) }
+    spark.createDataFrame(rows, st)
+  }
+
+  private def recordToRow(rec: GenericRecord, st: StructType): Row =
+    Row.fromSeq(st.fields.toSeq.map { f =>
+      fromAvroValue(rec.get(f.name), f.dataType)
+    })
+
+  private def fromAvroValue(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else (v, dt) match {
+      case (s: CharSequence, StringType) => s.toString
+      case (us: java.lang.Long, TimestampType) =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case (days: java.lang.Integer, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+      case (b: ByteBuffer, BinaryType) =>
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+      case (l: java.util.Collection[_], ArrayType(et, _)) =>
+        l.asScala.toSeq.map(e => fromAvroValue(e, et))
+      case (r: GenericRecord, nested: StructType) => recordToRow(r, nested)
+      case (x, _) => x
+    }
+}
