@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{ExactlyOnceSink, KafkaEnvelope}
+
+/** Ingest-throughput bench for the reference's actual category — a
+  * Kafka→Delta streaming daemon (reference README.md:2 "Stream DeltaLake
+  * tables from Kafka"). The declared-query bench (graft.Bench) measures
+  * the analytics surface; this main measures the INGEST surface: envelope
+  * topic → readStream → JSON decode → exactly-once committed sink, end to
+  * end, and prints one JSON line with records/s.
+  *
+  * Protocol: the sf events fixture is written out as a partitioned
+  * envelope topic (untimed — that's the producer's cost, not the
+  * daemon's), then consumed with Trigger.AvailableNow through the same
+  * decode + ExactlyOnceSink.process pipeline StreamingSpec verifies for
+  * exactly-once/replay semantics. Micro-batch granularity comes from
+  * maxFilesPerTrigger over the topic's file chunks, so the run pays real
+  * per-batch commit costs (staging, stats, log claim), not one giant
+  * batch. Timed wall-clock covers stream start → awaitTermination; rps =
+  * rows / wall. The public single-node category ballpark is O(10⁴–10⁵)
+  * records/s/core (SURVEY §6) — compare against rps/core = rps / cpus.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val topicDir = Files.createTempDirectory("graft-ingest-topic").toString
+    val tableDir = Files.createTempDirectory("graft-ingest-table").toString
+    val ckptDir = Files.createTempDirectory("graft-ingest-ckpt").toString
+
+    // Producer side (untimed): envelope topic from the fixture, volume-
+    // scaled `scale`× (disjoint event_id ranges — the throughput subject
+    // is the daemon, and at sf0.1 a single fixture copy finishes before
+    // stream start-up stops dominating the wall clock). Each partition's
+    // log splits into enough chunks that maxFilesPerTrigger yields
+    // ~`batches` real micro-batches with per-batch commit costs.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_INGEST_SCALE", "10").toInt
+    val ev0 = Tables(spark, sfDir, "events")
+    val maxId = ev0.agg(org.apache.spark.sql.functions.max("event_id"))
+      .head().getLong(0) + 1
+    val ev = (0 until scale).map { k =>
+      ev0.withColumn("event_id",
+        org.apache.spark.sql.functions.col("event_id") + (k * maxId))
+    }.reduce(_.unionByName(_))
+    KafkaEnvelope.writeTopicFrom(ev, topicDir, nPartitions = 8,
+      chunksPerPartition = math.max(1, batches * 2 / 8))
+    val chunks = new java.io.File(topicDir).listFiles()
+      .count(f => f.getName.endsWith(".json"))
+    val perTrigger = math.max(1, chunks / batches)
+
+    val sink = new ExactlyOnceSink(tableDir, appId = "graft-ingest-bench")
+    val stream = KafkaEnvelope.decode(
+        KafkaEnvelope.readStream(spark, topicDir, perTrigger))
+      .select("event_id", "ts", "user_id", "event_type", "event_value")
+
+    val t0 = System.nanoTime()
+    val qy = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))
+      .start()
+    qy.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val rows = sink.read(spark).count()
+    val expected = ev0.count() * scale
+    require(rows == expected, s"ingest lost rows: $rows != $expected")
+    val rps = rows / wall
+    val nCores = cpus.toInt
+    println(
+      f"""{"metric":"ingest_rps","value":${rps}%.0f,"unit":"records/sec","rows":$rows,"wall_s":$wall%.2f,"batches":${sink.committedVersions().size},"cpus":$nCores,"rps_per_core":${rps / nCores}%.0f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

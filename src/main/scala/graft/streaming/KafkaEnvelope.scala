@@ -42,11 +42,20 @@ object KafkaEnvelope {
     * "topic". Partition = user_id % nPartitions, offset = position within
     * partition in event-time order — a faithful per-partition-ordered log. */
   def writeTopic(spark: SparkSession, sfDir: String, outDir: String,
-      nPartitions: Int = 4): Unit = {
+      nPartitions: Int = 4): Unit =
+    writeTopicFrom(graft.Tables(spark, sfDir, "events"), outDir, nPartitions)
+
+  /** DataFrame-input form (IngestBench scales the fixture before
+    * producing). `chunksPerPartition` splits each partition's log into
+    * that many files — the file-stream analog of a broker handing out
+    * bounded fetches, giving `maxFilesPerTrigger` real micro-batch
+    * granularity to work with. */
+  def writeTopicFrom(ev: org.apache.spark.sql.DataFrame, outDir: String,
+      nPartitions: Int = 4, chunksPerPartition: Int = 1): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val ev = graft.Tables(spark, sfDir, "events")
     val w = Window.partitionBy("partition").orderBy("ts", "event_id")
-    ev.withColumn("partition", (col("user_id") % nPartitions).cast("int"))
+    val base = ev
+      .withColumn("partition", (col("user_id") % nPartitions).cast("int"))
       .withColumn("offset", row_number().over(w).cast("long") - 1)
       .select(
         lit("events").as("topic"),
@@ -57,8 +66,13 @@ object KafkaEnvelope {
           col("event_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))).as("value"))
-      .repartition(col("partition"))
+    // one writer task per (partition, offset-contiguous chunk) → one file
+    // per chunk, rows offset-ordered within it
+    base
+      .withColumn("chunk", (col("offset") % chunksPerPartition).cast("int"))
+      .repartition(nPartitions * chunksPerPartition, col("partition"), col("chunk"))
       .sortWithinPartitions("partition", "offset")
+      .drop("chunk")
       .write.mode("overwrite").json(outDir)
   }
 
