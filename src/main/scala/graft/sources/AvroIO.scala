@@ -136,7 +136,9 @@ object AvroIO {
 
   private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (ts: java.sql.Timestamp, TimestampType) =>
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      // floorDiv so pre-1970 values (negative millis, positive nanos)
+      // stay exact: micros = whole seconds + in-second micros
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     case (ts: java.time.Instant, TimestampType) =>
       ts.getEpochSecond * 1000000L + ts.getNano / 1000L
     case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt

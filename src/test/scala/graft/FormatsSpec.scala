@@ -65,6 +65,61 @@ class FormatsSpec extends SparkSpecBase {
     assert(back.filter(col("maybe_null").isNull).count() > 0)
   }
 
+  test("avro read block-splits one large container file") {
+    import graft.sources.AvroIO
+    // one writer partition -> ONE container file; a reader that can only
+    // parallelize per-file would scan it in a single task. OCF sync
+    // markers + AvroKeyInputFormat must split it by byte ranges instead.
+    val src = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .coalesce(1)
+    val dir = s"${tmp("graft-avro-split")}/t"
+    AvroIO.write(src, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 1)
+
+    val old = spark.sparkContext.hadoopConfiguration
+      .get("mapreduce.input.fileinputformat.split.maxsize")
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.input.fileinputformat.split.maxsize", "4096")
+    try {
+      val back = AvroIO.read(spark, dir, src.schema)
+      assert(back.rdd.getNumPartitions > 1,
+        s"one 4 KB-max-split file read as ${back.rdd.getNumPartitions} partition(s) — not splittable")
+      assert(back.count() == src.count())
+      assert(back.agg(sum("event_id")).head().getLong(0) ==
+        src.agg(sum("event_id")).head().getLong(0))
+    } finally {
+      if (old == null)
+        spark.sparkContext.hadoopConfiguration
+          .unset("mapreduce.input.fileinputformat.split.maxsize")
+      else spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.input.fileinputformat.split.maxsize", old)
+    }
+  }
+
+  test("avro roundtrips pre-1970 timestamps exactly") {
+    import graft.sources.AvroIO
+    import java.sql.Timestamp
+    val rows = Seq(
+      Timestamp.valueOf("1969-07-20 20:17:40.123456"),
+      Timestamp.valueOf("1900-01-01 00:00:00.000001"),
+      Timestamp.valueOf("2026-08-13 12:34:56.654321"))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map {
+        case (t, i) => org.apache.spark.sql.Row(i.toLong, t)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+    val dir = s"${tmp("graft-avro-neg")}/t"
+    AvroIO.write(src, dir)
+    val back = AvroIO.read(spark, dir).orderBy("id")
+      .collect().map(_.getTimestamp(1)).toSeq
+    assert(back == rows, s"pre-1970 drift: $back")
+  }
+
   test("text format roundtrips raw lines") {
     val dir = s"${tmp("graft-text")}/t"
     val src = Tables(spark, sf, "documents")
