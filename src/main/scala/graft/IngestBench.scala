@@ -48,8 +48,9 @@ object IngestBench {
     // ~`batches` real micro-batches with per-batch commit costs.
     val scale = sys.env.getOrElse("SPARK_GRAFT_INGEST_SCALE", "10").toInt
     val ev0 = Tables(spark, sfDir, "events")
-    val maxId = ev0.agg(org.apache.spark.sql.functions.max("event_id"))
-      .head().getLong(0) + 1
+    val maxIdRow = ev0.agg(org.apache.spark.sql.functions.max("event_id")).head()
+    require(!maxIdRow.isNullAt(0), s"events fixture at $sfDir is empty")
+    val maxId = maxIdRow.getLong(0) + 1
     val ev = (0 until scale).map { k =>
       ev0.withColumn("event_id",
         org.apache.spark.sql.functions.col("event_id") + (k * maxId))
@@ -58,7 +59,7 @@ object IngestBench {
       chunksPerPartition = math.max(1, batches * 2 / 8))
     val chunks = new java.io.File(topicDir).listFiles()
       .count(f => f.getName.endsWith(".json"))
-    val perTrigger = math.max(1, chunks / batches)
+    val perTrigger = math.max(1, (chunks + batches - 1) / batches)
 
     val sink = new ExactlyOnceSink(tableDir, appId = "graft-ingest-bench")
     val stream = KafkaEnvelope.decode(
@@ -82,5 +83,13 @@ object IngestBench {
     println(
       f"""{"metric":"ingest_rps","value":${rps}%.0f,"unit":"records/sec","rows":$rows,"wall_s":$wall%.2f,"batches":${sink.committedVersions().size},"cpus":$nCores,"rps_per_core":${rps / nCores}%.0f,"sf":"$sfDir"}""")
     spark.stop()
+    // reclaim the scale×-sized topic/table/checkpoint before exit —
+    // repeated runs would otherwise accumulate GBs in java.io.tmpdir
+    import scala.jdk.CollectionConverters._
+    Seq(topicDir, tableDir, ckptDir).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
   }
 }

@@ -49,7 +49,10 @@ object Tables {
           // once per load (the load is memoized, so this one-column scan
           // runs once per session): ns epochs for 2001–2200 are ~1e18,
           // µs are ~1e15 — three orders apart, no plausible overlap.
-          val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+          val maxRow = raw.agg(max(col("ts"))).head()
+          if (maxRow.isNullAt(0))
+            sys.error("events.ts int64 column is empty or all-null — cannot infer ns vs µs")
+          val maxTs = maxRow.getLong(0)
           if (maxTs >= 3e16) // ≥ ~1971 in ns; any sane ns fixture passes
             raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           else if (maxTs >= 3e13) // ≥ ~1971 in µs

@@ -63,19 +63,31 @@ object SinkOps {
         s"graft-zorder-${new java.io.File(d).getName}")
       val marker = dir.resolve("_graft_built")
       val want = s"$d fp=${fp.mkString(",")} clusterBy=user_id,value files=16"
-      val fresh = Files.exists(marker) &&
-        new String(Files.readAllBytes(marker)) == want
-      if (!fresh) {
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // The in-JVM locks above don't cover a second JVM (sbt test while a
+      // bench main runs): take an exclusive cross-process flock for the
+      // check-and-build so one process's delete-walk can never interleave
+      // with another's read of a half-built table.
+      Files.createDirectories(dir.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.getParent.resolve(s".${dir.getFileName}.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)) == want
+        if (!fresh) {
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          Files.createDirectories(dir)
+          val sink = new ExactlyOnceSink(dir.toString)
+          sink.commitAppend(ev, clusterBy = Seq("user_id", "value"),
+            clusterFiles = 16)
+          Files.write(marker, want.getBytes)
         }
-        Files.createDirectories(dir)
-        val sink = new ExactlyOnceSink(dir.toString)
-        sink.commitAppend(ev, clusterBy = Seq("user_id", "value"),
-          clusterFiles = 16)
-        Files.write(marker, want.getBytes)
-      }
+      } finally { lock.release(); lockCh.close() }
       dir.toString
     }))
 
@@ -85,8 +97,16 @@ object SinkOps {
     // predicate, then the usual deterministic money aggregate.
     "q_sink_zorder_skip" -> ((s, d) => {
       val sink = clusteredEvents(s, d)
-      sink.readSkippingAll(s,
-          Seq(("user_id", UserLo, UserHi), ("value", ValLo, ValHi)))
+      val pruned = sink.readSkippingAll(s,
+        Seq(("user_id", UserLo, UserHi), ("value", ValLo, ValHi)))
+      // all-files-pruned returns a schemaless emptyDataFrame; substitute
+      // a zero-row relation WITH the events schema so the query still
+      // answers (empty) instead of failing analysis — a regenerated
+      // fixture whose domain misses the box entirely must mean an empty
+      // oracle result, not a crash
+      val src = if (pruned.columns.isEmpty)
+        graft.Tables(s, d, "events").filter(lit(false)) else pruned
+      src
         .filter(col("user_id").between(UserLo, UserHi) &&
           col("value").between(ValLo, ValHi))
         .groupBy(col("event_type"))

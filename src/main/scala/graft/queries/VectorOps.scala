@@ -213,17 +213,18 @@ object VectorOps {
     }),
 
     // IVF-probed ANN with a trained coarse quantizer: label centroids
-    // seed FOUR deterministic Lloyd refinement rounds (assign every
+    // seed THREE deterministic Lloyd refinement rounds (assign every
     // vector to its nearest centroid — a map-only pass against the
     // broadcast K-row centroid table — then recompute centroids over
     // the new buckets), then each query probes its 6 nearest trained
     // centroids and exact-verifies only those buckets. Parameters are
     // measured, not guessed: on the driver corpus (near-isotropic,
-    // top-5 neighbors at cos 0.26–0.49) probe=2 gives mean recall
-    // ~0.45, probe=4 ~0.68, and probe=6 with the extra Lloyd round
+    // top-5 neighbors at cos 0.26–0.49), with the 3-round quantizer
+    // probe=2 gives mean recall ~0.45, probe=4 ~0.68, and probe=6
     // ~0.88 vs exact top-5 (asserted ≥ 0.75 in VectorOpsSpec; in the
     // planted-near-neighbor regime recall is ~1.0 — see the
-    // planted-corpus test). Probe-6 of the fixture's K=10 buckets reads
+    // planted-corpus test). The probe count is what bought 0.68 →
+    // 0.88; the round count stayed at 3 throughout. Probe-6 of the fixture's K=10 buckets reads
     // a large corpus FRACTION only because K is tiny here: nprobe is
     // the tuning knob against K≈√n at real scale, where 6 probes of
     // thousands of buckets stays ≪1% of the corpus. The 100 TB shape:

@@ -112,29 +112,59 @@ object AvroIO {
     val sparkSchema = df.schema
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val p = new org.apache.hadoop.fs.Path(path, f"part-$i%05d.avro")
-      val fs = p.getFileSystem(new Configuration())
-      val out = fs.create(p, true)
+      // stage under an attempt-unique name, rename into place when the
+      // stream is closed: a retried or speculative task never interleaves
+      // bytes with another attempt — the last completed rename wins whole
+      val fin = new org.apache.hadoop.fs.Path(path, f"part-$i%05d.avro")
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        f".part-$i%05d-${java.util.UUID.randomUUID()}.avro.tmp")
+      val fs = fin.getFileSystem(new Configuration())
+      val out = fs.create(tmp, true)
       val w = new org.apache.avro.file.DataFileWriter(
         new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(CodecFactory.snappyCodec())
       w.create(schema, out)
       var written = 0L
-      try rows.foreach { r => w.append(rowToRecord(r, sparkSchema, schema)); written += 1 }
-      finally w.close()
+      var closed = false
+      try {
+        rows.foreach { r => w.append(rowToRecord(r, sparkSchema, schema)); written += 1 }
+        w.close(); closed = true
+        fs.delete(fin, false)
+        if (!fs.rename(tmp, fin))
+          sys.error(s"avro: rename $tmp -> $fin failed")
+      } finally {
+        // failure path: release the stream BEFORE deleting the tmp file
+        // (an open-for-write lease can block the delete on HDFS)
+        if (!closed) { try w.close() catch { case _: Throwable => () } }
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+      }
       Iterator.single(written)
     }.sum().toLong
   }
 
+  /** Non-null branch of a possibly-union schema — the schema values are
+    * actually written against. */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
   private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     st.fields.zipWithIndex.foreach { case (f, i) =>
-      rec.put(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType))
+      rec.put(f.name,
+        if (row.isNullAt(i)) null
+        // thread the WRITER's field schema down: a nested record must be
+        // built against the exact (named) schema instance the union
+        // declares — re-deriving one under a different record name makes
+        // GenericData.resolveUnion miss the branch
+        else toAvroValue(row.get(i), f.dataType,
+          nonNull(schema.getField(f.name).schema())))
     }
     rec
   }
 
-  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+  private def toAvroValue(v: Any, dt: DataType, schema: Schema): Any = (v, dt) match {
     case (ts: java.sql.Timestamp, TimestampType) =>
       // floorDiv so pre-1970 values (negative millis, positive nanos)
       // stay exact: micros = whole seconds + in-second micros
@@ -145,9 +175,9 @@ object AvroIO {
     case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
     case (s: collection.Seq[_], ArrayType(et, _)) =>
-      s.map(e => if (e == null) null else toAvroValue(e, et)).asJava
-    case (r: Row, st: StructType) =>
-      rowToRecord(r, st, toAvroSchema(st)) // nested: schema re-derived (cheap, rare)
+      val elem = nonNull(schema.getElementType)
+      s.map(e => if (e == null) null else toAvroValue(e, et, elem)).asJava
+    case (r: Row, st: StructType) => rowToRecord(r, st, schema)
     case (x: Short, _) => x.toInt
     case (x: Byte, _) => x.toInt
     case (x, _) => x
@@ -182,6 +212,11 @@ object AvroIO {
     val st = Option(schema).getOrElse(readSchemaOf(spark, path))
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("avro.schema.input.key", toAvroSchema(st).toString)
+    // pin the GENERIC data model: the input format otherwise defaults to
+    // ReflectData, which tries to resolve record/array elements to Java
+    // classes and NPEs on arrays of generic records
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      conf, classOf[GenericData])
     val glob = new org.apache.hadoop.fs.Path(path)
     val fs = glob.getFileSystem(conf)
     val target =

@@ -614,12 +614,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * applying by the caller — this is file pruning, not filtering. */
   def readSkipping(spark: SparkSession, column: String,
       lower: Double, upper: Double): DataFrame =
-    readSkippingWith(spark, column) {
-      case Some((Some(lo), Some(hi))) =>
-        try { !(hi.toDouble < lower || lo.toDouble > upper) }
-        catch { case _: NumberFormatException => true } // non-numeric: keep
-      case _ => true // no stats recorded → cannot skip
-    }
+    readSkippingAll(spark, Seq((column, lower, upper)))
 
   /** String-range variant: prunes files by LEXICOGRAPHIC [min,max] —
     * the order string parquet footer stats are recorded in, so a
@@ -637,8 +632,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * the read-side payoff of a z-order clustered write, where footer
     * stats are tight on all clustered columns at once, so a conjunction
     * prunes to (roughly) the product of the per-column survival
-    * fractions. Same conservatism as the single-column form: a missing
-    * or non-numeric stat keeps the file for that conjunct. */
+    * fractions. A missing or non-numeric stat keeps the file for that
+    * conjunct (conservative); the single-column numeric readSkipping is
+    * the 1-predicate case of this. */
   def readSkippingAll(spark: SparkSession,
       preds: Seq[(String, Double, Double)]): DataFrame = {
     def intersects(st: Option[(Option[String], Option[String])],

@@ -47,9 +47,20 @@ object KafkaEnvelope {
 
   /** DataFrame-input form (IngestBench scales the fixture before
     * producing). `chunksPerPartition` splits each partition's log into
-    * that many files — the file-stream analog of a broker handing out
-    * bounded fetches, giving `maxFilesPerTrigger` real micro-batch
-    * granularity to work with. */
+    * that many OFFSET-CONTIGUOUS files — the file-stream analog of a
+    * broker handing out bounded fetches, giving `maxFilesPerTrigger`
+    * real micro-batch granularity to work with. Chunks are contiguous
+    * (offset div chunkSize, never a modulo stripe) and the writer
+    * range-partitions on (chunk, partition) so part-file NAMES sort
+    * CHUNK-major — the file-stream source lists files in name order, so
+    * a chunked topic replays each partition's offsets in order across
+    * micro-batches (chunk k of a partition always lands in an earlier-
+    * or-equal batch than chunk k+1), which is the Kafka per-partition-
+    * ordering contract this source emulates. Chunk-major (not
+    * partition-major) so each micro-batch spans ALL partitions — a
+    * broker fetch returns a slice of every subscribed partition, and a
+    * partition-major layout would serialize the partitions through the
+    * trigger, idling the executor cores. */
   def writeTopicFrom(ev: org.apache.spark.sql.DataFrame, outDir: String,
       nPartitions: Int = 4, chunksPerPartition: Int = 1): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -66,11 +77,13 @@ object KafkaEnvelope {
           col("event_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))).as("value"))
-    // one writer task per (partition, offset-contiguous chunk) → one file
-    // per chunk, rows offset-ordered within it
+    val partLen = Window.partitionBy("partition")
     base
-      .withColumn("chunk", (col("offset") % chunksPerPartition).cast("int"))
-      .repartition(nPartitions * chunksPerPartition, col("partition"), col("chunk"))
+      .withColumn("chunk", (col("offset") /
+        ceil(count(lit(1)).over(partLen) / lit(chunksPerPartition)))
+        .cast("int"))
+      .repartitionByRange(nPartitions * chunksPerPartition,
+        col("chunk"), col("partition"))
       .sortWithinPartitions("partition", "offset")
       .drop("chunk")
       .write.mode("overwrite").json(outDir)

@@ -97,6 +97,27 @@ class FormatsSpec extends SparkSpecBase {
     }
   }
 
+  test("avro roundtrips nullable nested structs and arrays of structs") {
+    import graft.sources.AvroIO
+    // Row-built DataFrames declare every field nullable, so each nested
+    // record sits inside union(null, record) — the case where the record
+    // must be built against the union's exact named schema branch
+    val src = Tables(spark, sf, "events")
+      .select(col("event_id"),
+        struct(col("user_id"), col("event_type")).as("who"),
+        array(struct(col("value").as("v"), col("event_type").as("t")))
+          .as("tags"),
+        when(col("value") > 100,
+          struct(col("value").as("big"))).as("maybe_struct"))
+      .orderBy("event_id")
+    val dir = s"${tmp("graft-avro-nested")}/t"
+    AvroIO.write(src, dir)
+    val back = AvroIO.read(spark, dir).orderBy("event_id")
+    assert(back.collect().map(_.toString).toSeq ==
+      src.collect().map(_.toString).toSeq, "nested avro rows differ")
+    assert(back.filter(col("maybe_struct").isNull).count() > 0)
+  }
+
   test("avro roundtrips pre-1970 timestamps exactly") {
     import graft.sources.AvroIO
     import java.sql.Timestamp

