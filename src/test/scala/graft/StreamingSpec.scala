@@ -83,6 +83,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(committed.select("h").distinct().count() == expected)
   }
 
+  test("chunked topic replays per-partition offsets in order across micro-batches") {
+    // the Kafka contract the envelope emulates: chunk k of a partition
+    // must land in an earlier-or-equal micro-batch than chunk k+1, so a
+    // consumer never sees a partition's offsets go backwards between
+    // triggers (KafkaEnvelope.writeTopicFrom chunk-major file naming)
+    val topicDir = tmp("graft-chunked-topic")
+    KafkaEnvelope.writeTopicFrom(Tables(spark, sf, "events"), topicDir,
+      nPartitions = 4, chunksPerPartition = 3)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+    val qy = KafkaEnvelope.readStream(spark, topicDir, maxFilesPerTrigger = 2)
+      .writeStream
+      .option("checkpointLocation", tmp("graft-chunked-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.groupBy("partition")
+          .agg(min("offset").as("lo"), max("offset").as("hi"))
+          .collect().foreach(r => seen.synchronized {
+            seen += ((id, r.getInt(0), r.getLong(1), r.getLong(2)))
+          }): Unit)
+      .start()
+    qy.awaitTermination(120000)
+    assert(seen.map(_._1).distinct.size > 1, "expected multiple micro-batches")
+    // per partition, ordered by batch id: each batch's min offset must
+    // follow the previous batch's max (no offset ever goes backwards)
+    seen.groupBy(_._2).foreach { case (p, rows) =>
+      val byBatch = rows.sortBy(_._1)
+      byBatch.zip(byBatch.drop(1)).foreach {
+        case ((b1, _, _, hi1), (b2, _, lo2, _)) =>
+          assert(lo2 > hi1,
+            s"partition $p: batch $b2 starts at offset $lo2 <= batch $b1's max $hi1")
+      }
+      // and the union of batches is the gap-free log 0..n
+      val offsets = byBatch.flatMap { case (_, _, lo, hi) => Seq(lo, hi) }
+      assert(offsets.head == 0L, s"partition $p log does not start at 0")
+    }
+  }
+
   test("sink replay of an already-committed batch is a no-op (exactly-once)") {
     val tableDir = tmp("graft-replay")
     val sink = new ExactlyOnceSink(tableDir)
