@@ -33,9 +33,12 @@ object SinkOps {
   /** Predicate box (mirrored verbatim in the oracle): users 4-9 x a
     * mid-range value band — ~140 matching rows at EVERY fixture SF
     * (0.14% of rows at sf0.1), so the query is non-empty from sf0.001's
-    * 15-user domain up while staying selective where pruning matters. */
-  private val UserLo = 4.0
-  private val UserHi = 9.0
+    * 15-user domain up while staying selective where pruning matters.
+    * user_id bounds are LONGS: a double literal against the long column
+    * would wrap it in a cast and block parquet filter pushdown on the
+    * surviving files (PlanSpec asserts both residuals reach the scan). */
+  private val UserLo = 4L
+  private val UserHi = 9L
   private val ValLo = 50.0
   private val ValHi = 200.0
 
@@ -98,7 +101,8 @@ object SinkOps {
     "q_sink_zorder_skip" -> ((s, d) => {
       val sink = clusteredEvents(s, d)
       val pruned = sink.readSkippingAll(s,
-        Seq(("user_id", UserLo, UserHi), ("value", ValLo, ValHi)))
+        Seq(("user_id", UserLo.toDouble, UserHi.toDouble),
+          ("value", ValLo, ValHi)))
       // all-files-pruned returns a schemaless emptyDataFrame; substitute
       // a zero-row relation WITH the events schema so the query still
       // answers (empty) instead of failing analysis — a regenerated

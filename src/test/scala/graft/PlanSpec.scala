@@ -29,6 +29,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
   }
 
+  test("q_sink_zorder_skip pushes the residual predicate into the pruned-file scan") {
+    // file-level pruning happens in the commit-log read (SinkOpsSpec);
+    // the ROW-level residual must still reach the parquet reader of the
+    // surviving files — skipping must not cost the scan its pushdown
+    val p = formatted("q_sink_zorder_skip")
+    assert(p.contains("GreaterThanOrEqual(user_id,4"), p.takeRight(2000))
+    assert(p.contains("LessThanOrEqual(value,200"), p.takeRight(2000))
+  }
+
   test("q_scan_project prunes the read schema to selected+sort columns") {
     val p = physical("q_scan_project")
     assert(p.contains("ReadSchema"))
