@@ -924,8 +924,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * (after which time travel before that snapshot is gone, exactly as
     * Delta's VACUUM breaks time travel past the retention window).
     * Returns the number of directories removed. Never touches dirs a
-    * visible commit references, so readers are unaffected. */
-  def vacuum(retainHistory: Boolean = true): Int = {
+    * visible commit references, so readers are unaffected.
+    *
+    * `minAgeMs` is the Delta retention guard, and it is NOT optional
+    * safety theater: an OCC writer moves its data into `data/files/…`
+    * BEFORE winning the version claim, so a freshly-moved dir is
+    * momentarily unreferenced by any commit. A vacuum racing that window
+    * without an age floor would purge data whose claim then succeeds —
+    * a committed version pointing at deleted files. Dirs younger than
+    * `minAgeMs` are skipped (default 1 h; pass 0 only when no writer can
+    * be in flight, as the single-threaded tests do). */
+  def vacuum(retainHistory: Boolean = true, minAgeMs: Long = 3600000L): Int = {
     val commits = committedVersions().map(parseCommit)
     val visible =
       if (retainHistory) commits
@@ -937,12 +946,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     // re-points at alive — vacuum after restore preserves restored data.
     val referenced: Set[String] =
       visible.flatMap(_.dataDirs).toSet ++ commits.flatMap(_.changeDir)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     def purge(p: Path): Unit =
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     var removed = 0
     // abandoned staging dirs (crashed or lost-race writers)
     Files.list(Paths.get(tableDir)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(".staging-"))
+      .filter(oldEnough)
       .foreach { p => purge(p); removed += 1 }
     // unreferenced data dirs
     val roots = Seq(dataDir, dataDir.resolve("files"), dataDir.resolve("changes"))
@@ -951,6 +964,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       Files.list(root).iterator().asScala
         .filter(p => Files.isDirectory(p) &&
           !Set("files", "changes").contains(p.getFileName.toString))
+        .filter(oldEnough)
         .foreach { p =>
           val rel = dataDir.relativize(p).toString.replace("\\", "/")
           if (!referenced.contains(rel)) { purge(p); removed += 1 }

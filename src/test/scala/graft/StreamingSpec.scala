@@ -272,12 +272,12 @@ class StreamingSpec extends SparkSpecBase {
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("junk.parquet"), "junk")
     val before = sink.read(spark).select("id").as[Long].collect().toSet
-    assert(sink.vacuum() == 2) // staging + orphan, nothing referenced
+    assert(sink.vacuum(minAgeMs = 0) == 2) // staging + orphan, nothing referenced
     assert(!Files.exists(orphan) && !Files.exists(Paths.get(tableDir, ".staging-dead")))
     assert(sink.read(spark).select("id").as[Long].collect().toSet == before)
     // compact, then vacuum without history: pre-snapshot dirs reclaimed
     sink.compact(spark)
-    assert(sink.vacuum(retainHistory = false) == 2) // batch=0 + the append dir
+    assert(sink.vacuum(retainHistory = false, minAgeMs = 0) == 2) // batch=0 + the append dir
     assert(sink.read(spark).select("id").as[Long].collect().toSet == before)
   }
 
@@ -358,7 +358,7 @@ class StreamingSpec extends SparkSpecBase {
     sink.compact(spark)
     assert(sink.readChanges(spark, dv).count() == 0)
     // change dirs survive history-dropping vacuum: the feed reads history
-    assert(sink.vacuum(retainHistory = false) >= 0)
+    assert(sink.vacuum(retainHistory = false, minAgeMs = 0) >= 0)
     assert(sink.readChanges(spark, mv - 1, dv).count() == 4) // 3 merge + 1 delete rows
     // an opaque snapshot (arbitrary transform, unknowable change set)
     // in range must fail loudly, never silently drop changes
@@ -1016,7 +1016,7 @@ class StreamingSpec extends SparkSpecBase {
       .select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
     // vacuum without history keeps every file the restore re-pointed at
     // and reclaims the rolled-back appends' dirs
-    val removed = sink.vacuum(retainHistory = false)
+    val removed = sink.vacuum(retainHistory = false, minAgeMs = 0)
     assert(removed == 2, s"vacuum removed $removed dirs")
     assert(sink.read(spark).select("id").as[Long].collect().sorted.toSeq
       == (1L to 10L))
