@@ -62,8 +62,14 @@ object SinkOps {
       // pins the content well enough.
       val fp = ev.agg(count(lit(1)), sum(col("event_id")),
         sum(floor(col("value") * 100 + 0.5))).head()
+      // Key the on-disk dir by basename PLUS a hash of the full fixture
+      // path: two fixtures sharing a basename (/a/sf0.1 vs /b/sf0.1) must
+      // not alias one cached table, or the second build would silently
+      // serve the first fixture's readers stale data.
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-zorder-${new java.io.File(d).getName}")
+        s"graft-zorder-${new java.io.File(d).getName}-$pathTag")
       val marker = dir.resolve("_graft_built")
       val want = s"$d fp=${fp.mkString(",")} clusterBy=user_id,value files=16"
       // The in-JVM locks above don't cover a second JVM (sbt test while a

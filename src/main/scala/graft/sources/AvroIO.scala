@@ -191,10 +191,14 @@ object AvroIO {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val first =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".avro"))
-          .minBy(_.getName)
-      else p
+      if (fs.getFileStatus(p).isDirectory) {
+        val avros =
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".avro"))
+        // minBy on an empty listing throws an opaque UnsupportedOperation-
+        // Exception; an empty/not-yet-written dataset deserves a clear one
+        require(avros.nonEmpty, s"avro: no .avro files under $path")
+        avros.minBy(_.getName)
+      } else p
     val in = fs.open(first)
     try {
       val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())

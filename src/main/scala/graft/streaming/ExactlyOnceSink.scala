@@ -351,6 +351,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     val target = dataDir.resolve(dir)
     Files.createDirectories(target.getParent)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    touchNow(target)
     var v = nextVersion()
     while (!claim(v, entryJson(df, v, dir, partitionBy, snapshot = false,
         adds, stats, blooms = blooms))) {
@@ -396,12 +397,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
+      touchNow(dataDir.resolve(dir))
       val changeDir = changes.map { ch =>
         val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
         stage(ch, chStaging, Nil, check = false)
         val rel = s"changes/$uuid"
         Files.createDirectories(dataDir.resolve("changes"))
         Files.move(chStaging, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+        touchNow(dataDir.resolve(rel))
         rel
       }
       if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
@@ -933,7 +936,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * without an age floor would purge data whose claim then succeeds —
     * a committed version pointing at deleted files. Dirs younger than
     * `minAgeMs` are skipped (default 1 h; pass 0 only when no writer can
-    * be in flight, as the single-threaded tests do). */
+    * be in flight, as the single-threaded tests do).
+    *
+    * The age clock starts at MOVE time, not staging-write time: a rename
+    * preserves the source mtime, so each writer re-stamps the moved dir
+    * ([[touchNow]]) the moment it lands under `data/`. The residual
+    * exposure is therefore only the post-move claim loop (version probe +
+    * OCC retries), not the potentially-long fileStats/fileBlooms phase —
+    * a writer must stall >minAgeMs BETWEEN the move and the claim for the
+    * race to reopen. */
+  /** Re-stamp a just-moved dir's mtime to now: ATOMIC_MOVE preserves the
+    * staging mtime, which would start vacuum's retention clock at
+    * staging-write completion instead of at the move — shrinking the
+    * guard window by however long stats/bloom collection took. */
+  private def touchNow(p: Path): Unit =
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+
   def vacuum(retainHistory: Boolean = true, minAgeMs: Long = 3600000L): Int = {
     val commits = committedVersions().map(parseCommit)
     val visible =

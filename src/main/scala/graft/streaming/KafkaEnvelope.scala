@@ -52,11 +52,16 @@ object KafkaEnvelope {
     * real micro-batch granularity to work with. Chunks are contiguous
     * (offset div chunkSize, never a modulo stripe) and the writer
     * range-partitions on (chunk, partition) so part-file NAMES sort
-    * CHUNK-major — the file-stream source lists files in name order, so
-    * a chunked topic replays each partition's offsets in order across
-    * micro-batches (chunk k of a partition always lands in an earlier-
-    * or-equal batch than chunk k+1), which is the Kafka per-partition-
-    * ordering contract this source emulates. Chunk-major (not
+    * CHUNK-major. Spark's FileStreamSource orders candidate files by
+    * MODIFICATION TIME (name only breaks ms-level ties), and concurrent
+    * write tasks finish in arbitrary order — so after the write we stamp
+    * each part file's mtime monotonically in name order, making the
+    * mtime sort and the chunk-major name sort agree deterministically.
+    * A chunked topic then replays each partition's offsets in order
+    * across micro-batches (chunk k of a partition always lands in an
+    * earlier-or-equal batch than chunk k+1), which is the Kafka
+    * per-partition-ordering contract this source emulates. Chunk-major
+    * (not
     * partition-major) so each micro-batch spans ALL partitions — a
     * broker fetch returns a slice of every subscribed partition, and a
     * partition-major layout would serialize the partitions through the
@@ -87,6 +92,19 @@ object KafkaEnvelope {
       .sortWithinPartitions("partition", "offset")
       .drop("chunk")
       .write.mode("overwrite").json(outDir)
+    // FileStreamSource consumes in mtime order; make that order match the
+    // chunk-major name order regardless of task finish order.
+    val parts = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val mtimeBase =
+      if (parts.isEmpty) 0L else parts.map(_.lastModified()).max
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          mtimeBase - 1000L * (parts.length - i)))
+    }
   }
 
   /** Incremental, replayable read of the emulated topic. */

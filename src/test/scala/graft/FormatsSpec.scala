@@ -141,6 +141,15 @@ class FormatsSpec extends SparkSpecBase {
     assert(back == rows, s"pre-1970 drift: $back")
   }
 
+  test("avro read of a dir with no .avro files fails with a clear message") {
+    val dir = tmp("graft-avro-empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.readSchemaOf(spark, dir)
+    }
+    assert(e.getMessage.contains("no .avro files"), e.getMessage)
+  }
+
   test("text format roundtrips raw lines") {
     val dir = s"${tmp("graft-text")}/t"
     val src = Tables(spark, sf, "documents")

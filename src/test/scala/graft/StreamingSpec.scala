@@ -120,6 +120,26 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("topic part-file mtimes are strictly increasing in name order") {
+    // FileStreamSource orders candidate files by MODIFICATION TIME (name
+    // only breaks ms-ties), and concurrent write tasks finish in arbitrary
+    // order — writeTopicFrom must therefore re-stamp mtimes so the mtime
+    // order equals the chunk-major name order, or chunk k+1 can be
+    // consumed before chunk k and the previous spec turns flaky.
+    val topicDir = tmp("graft-mtime-topic")
+    KafkaEnvelope.writeTopicFrom(Tables(spark, sf, "events"), topicDir,
+      nPartitions = 4, chunksPerPartition = 3)
+    val parts = new java.io.File(topicDir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    assert(parts.length >= 12, s"expected >=12 part files, got ${parts.length}")
+    parts.zip(parts.drop(1)).foreach { case (a, b) =>
+      assert(a.lastModified() < b.lastModified(),
+        s"${a.getName} mtime ${a.lastModified()} !< " +
+          s"${b.getName} mtime ${b.lastModified()}")
+    }
+  }
+
   test("sink replay of an already-committed batch is a no-op (exactly-once)") {
     val tableDir = tmp("graft-replay")
     val sink = new ExactlyOnceSink(tableDir)
