@@ -26,6 +26,22 @@ class ContractSpec extends AnyFunSuite {
     assert(undeclared.isEmpty, s"shipped but not declared: $undeclared")
   }
 
+  test("SURVEY's coverage-check counts equal the registry sizes (no prose drift)") {
+    // The §2 coverage paragraph states "(N declared queries, M
+    // oracle-backed ...)"; r11's verdict caught it drifting after a new
+    // query landed. Parse the literals and pin them to the registry so
+    // the claim can never silently go stale again.
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val m = "\\((\\d+) declared queries, (\\d+) oracle-backed".r
+      .findFirstMatchIn(text)
+      .getOrElse(fail("SURVEY.md coverage-check sentence not found"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${m.group(1)} declared, registry has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${m.group(2)} oracle-backed, registry has ${SparkEntry.oracleSql.size}")
+  }
+
   test("every oracle key has a matching query; no-oracle set is exactly the declared five") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
