@@ -702,6 +702,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
   private def nextVersion(): Long =
     committedVersions().lastOption.map(_ + 1).getOrElse(0L)
 
+  /** Test hook: the data dirs a committed version references (relative to
+    * `data/`) — lets the vacuum race specs assert referenced dirs exist
+    * on disk without widening the commit parser's visibility. */
+  private[graft] def commitDataDirs(v: Long): Seq[String] =
+    parseCommit(v).dataDirs
+
   /** Live state without the `batch` version-cursor column. */
   private def liveData(spark: SparkSession): DataFrame =
     read(spark).drop("batch")

@@ -301,6 +301,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.read(spark).select("id").as[Long].collect().toSet == before)
   }
 
+  test("concurrent appends racing a vacuum loop never lose committed data") {
+    // Adversarial form of the retention-age guard claim (vacuum scaladoc):
+    // OCC writers move data under data/files BEFORE winning the version
+    // claim, so a vacuum loop runs the whole time writers are mid-flight.
+    // With the default 1h floor, every committed version's data dirs must
+    // exist on disk afterwards and the table must contain every row.
+    val tableDir = tmp("graft-vac-race")
+    val sink = new ExactlyOnceSink(tableDir)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuums = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vac = new Thread(() => {
+      while (!stop.get) { sink.vacuum(); vacuums.incrementAndGet(); Thread.sleep(5) }
+    })
+    vac.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val writes = (0 until 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = sink.commitAppend(
+            spark.range(i * 10L, i * 10L + 10).toDF("id"))
+        })
+      }
+      writes.foreach(_.get())
+    } finally { pool.shutdown(); stop.set(true); vac.join() }
+    assert(vacuums.get() > 0, "vacuum loop never ran — test proved nothing")
+    val versions = sink.committedVersions()
+    assert(versions.size == 12, s"expected 12 commits, got ${versions.size}")
+    versions.foreach { v =>
+      sink.commitDataDirs(v).foreach { d =>
+        assert(Files.exists(Paths.get(tableDir, "data", d)),
+          s"version $v references vanished dir $d")
+      }
+    }
+    assert(sink.read(spark).count() == 120)
+  }
+
+  test("vacuum(minAgeMs=0) CAN purge an in-flight writer's unclaimed dir — the guard is load-bearing") {
+    val tableDir = tmp("graft-vac-window")
+    val sink = new ExactlyOnceSink(tableDir)
+    sink.commitAppend(Seq((1L, "a")).toDF("id", "x"))
+    // A writer in the post-move pre-claim window: data moved under
+    // data/files/, not yet referenced by any commit.
+    val inflight = Paths.get(tableDir, "data", "files", "inflight-uuid")
+    Files.createDirectories(inflight)
+    Files.writeString(inflight.resolve("part-0.parquet"), "pending")
+    // the retention floor protects it ...
+    sink.vacuum(minAgeMs = 3600000L)
+    assert(Files.exists(inflight), "guarded vacuum purged an in-flight dir")
+    // ... and without the floor it is purged: the claim that follows
+    // would commit a version pointing at deleted files. This is WHY
+    // minAgeMs=0 is only legal when no writer can be in flight.
+    Thread.sleep(20) // ensure mtime <= cutoff at ms resolution
+    sink.vacuum(minAgeMs = 0)
+    assert(!Files.exists(inflight),
+      "vacuum(0) left the unclaimed dir — guard test is vacuous")
+    // the committed version's own data was never at risk
+    assert(sink.read(spark).count() == 1)
+  }
+
   test("commit-log file stats skip non-matching files on read") {
     val tableDir = tmp("graft-skip")
     val sink = new ExactlyOnceSink(tableDir)
