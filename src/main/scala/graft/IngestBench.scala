@@ -22,12 +22,78 @@ import graft.streaming.{ExactlyOnceSink, KafkaEnvelope}
   * batch. Timed wall-clock covers stream start → awaitTermination; rps =
   * rows / wall. The public single-node category ballpark is O(10⁴–10⁵)
   * records/s/core (SURVEY §6) — compare against rps/core = rps / cpus.
+  *
+  * The measured pipeline is factored into [[run]] so GoldenIngestSpec can
+  * regression-gate throughput at a small config (golden/ingest_r12.json)
+  * with the exact code path the main measures.
   */
 object IngestBench {
+
+  case class IngestResult(rows: Long, wallSec: Double, rps: Double,
+      batches: Int)
+
+  /** Producer (untimed) + timed consume of one ingest run. Temp dirs are
+    * created and reclaimed here — repeated runs would otherwise
+    * accumulate GBs of scaled topic/table/checkpoint in java.io.tmpdir. */
+  def run(spark: SparkSession, sfDir: String, scale: Int,
+      batches: Int): IngestResult = {
+    val topicDir = Files.createTempDirectory("graft-ingest-topic").toString
+    val tableDir = Files.createTempDirectory("graft-ingest-table").toString
+    val ckptDir = Files.createTempDirectory("graft-ingest-ckpt").toString
+    try {
+      // Producer side (untimed): envelope topic from the fixture, volume-
+      // scaled `scale`× (disjoint event_id ranges — the throughput subject
+      // is the daemon, and at sf0.1 a single fixture copy finishes before
+      // stream start-up stops dominating the wall clock). Each partition's
+      // log splits into enough chunks that maxFilesPerTrigger yields
+      // ~`batches` real micro-batches with per-batch commit costs.
+      val ev0 = Tables(spark, sfDir, "events")
+      val maxIdRow = ev0.agg(org.apache.spark.sql.functions.max("event_id")).head()
+      require(!maxIdRow.isNullAt(0), s"events fixture at $sfDir is empty")
+      val maxId = maxIdRow.getLong(0) + 1
+      val ev = (0 until scale).map { k =>
+        ev0.withColumn("event_id",
+          org.apache.spark.sql.functions.col("event_id") + (k * maxId))
+      }.reduce(_.unionByName(_))
+      KafkaEnvelope.writeTopicFrom(ev, topicDir, nPartitions = 8,
+        chunksPerPartition = math.max(1, batches * 2 / 8))
+      val chunks = new java.io.File(topicDir).listFiles()
+        .count(f => f.getName.endsWith(".json"))
+      val perTrigger = math.max(1, (chunks + batches - 1) / batches)
+
+      val sink = new ExactlyOnceSink(tableDir, appId = "graft-ingest-bench")
+      val stream = KafkaEnvelope.decode(
+          KafkaEnvelope.readStream(spark, topicDir, perTrigger))
+        .select("event_id", "ts", "user_id", "event_type", "event_value")
+
+      val t0 = System.nanoTime()
+      val qy = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))
+        .start()
+      qy.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+
+      val rows = sink.read(spark).count()
+      val expected = ev0.count() * scale
+      require(rows == expected, s"ingest lost rows: $rows != $expected")
+      IngestResult(rows, wall, rows / wall, sink.committedVersions().size)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(topicDir, tableDir, ckptDir).foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "10").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_INGEST_SCALE", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,60 +102,10 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val topicDir = Files.createTempDirectory("graft-ingest-topic").toString
-    val tableDir = Files.createTempDirectory("graft-ingest-table").toString
-    val ckptDir = Files.createTempDirectory("graft-ingest-ckpt").toString
-
-    // Producer side (untimed): envelope topic from the fixture, volume-
-    // scaled `scale`× (disjoint event_id ranges — the throughput subject
-    // is the daemon, and at sf0.1 a single fixture copy finishes before
-    // stream start-up stops dominating the wall clock). Each partition's
-    // log splits into enough chunks that maxFilesPerTrigger yields
-    // ~`batches` real micro-batches with per-batch commit costs.
-    val scale = sys.env.getOrElse("SPARK_GRAFT_INGEST_SCALE", "10").toInt
-    val ev0 = Tables(spark, sfDir, "events")
-    val maxIdRow = ev0.agg(org.apache.spark.sql.functions.max("event_id")).head()
-    require(!maxIdRow.isNullAt(0), s"events fixture at $sfDir is empty")
-    val maxId = maxIdRow.getLong(0) + 1
-    val ev = (0 until scale).map { k =>
-      ev0.withColumn("event_id",
-        org.apache.spark.sql.functions.col("event_id") + (k * maxId))
-    }.reduce(_.unionByName(_))
-    KafkaEnvelope.writeTopicFrom(ev, topicDir, nPartitions = 8,
-      chunksPerPartition = math.max(1, batches * 2 / 8))
-    val chunks = new java.io.File(topicDir).listFiles()
-      .count(f => f.getName.endsWith(".json"))
-    val perTrigger = math.max(1, (chunks + batches - 1) / batches)
-
-    val sink = new ExactlyOnceSink(tableDir, appId = "graft-ingest-bench")
-    val stream = KafkaEnvelope.decode(
-        KafkaEnvelope.readStream(spark, topicDir, perTrigger))
-      .select("event_id", "ts", "user_id", "event_type", "event_value")
-
-    val t0 = System.nanoTime()
-    val qy = stream.writeStream
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))
-      .start()
-    qy.awaitTermination()
-    val wall = (System.nanoTime() - t0) / 1e9
-
-    val rows = sink.read(spark).count()
-    val expected = ev0.count() * scale
-    require(rows == expected, s"ingest lost rows: $rows != $expected")
-    val rps = rows / wall
+    val r = run(spark, sfDir, scale, batches)
     val nCores = cpus.toInt
     println(
-      f"""{"metric":"ingest_rps","value":${rps}%.0f,"unit":"records/sec","rows":$rows,"wall_s":$wall%.2f,"batches":${sink.committedVersions().size},"cpus":$nCores,"rps_per_core":${rps / nCores}%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"ingest_rps","value":${r.rps}%.0f,"unit":"records/sec","rows":${r.rows},"wall_s":${r.wallSec}%.2f,"batches":${r.batches},"cpus":$nCores,"rps_per_core":${r.rps / nCores}%.0f,"sf":"$sfDir"}""")
     spark.stop()
-    // reclaim the scale×-sized topic/table/checkpoint before exit —
-    // repeated runs would otherwise accumulate GBs in java.io.tmpdir
-    import scala.jdk.CollectionConverters._
-    Seq(topicDir, tableDir, ckptDir).foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
   }
 }
