@@ -177,10 +177,12 @@ object Bench {
         s""""calib_nominal":${f3(CalibNominalSec)},"contaminated":$contaminated,""" +
         s""""runs":$runs,"sf":"$sfDir"$extra,"queries":$qs}"""
     val full = line(qmap(results), "")
-    // A contaminated run must never displace a clean bench_full.json: the
-    // committed artifact is the round's comparable record.
+    // Neither a contaminated run nor a BENCH_ONLY debug subset may
+    // displace a clean full-suite bench_full.json: the committed artifact
+    // is the round's comparable record.
     val fullPath = java.nio.file.Paths.get(
-      if (contaminated && java.nio.file.Files.exists(
+      if (only.isDefined) "bench_subset.json"
+      else if (contaminated && java.nio.file.Files.exists(
           java.nio.file.Paths.get("bench_full.json")))
         "bench_full_contaminated.json"
       else "bench_full.json")

