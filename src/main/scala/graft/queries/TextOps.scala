@@ -92,14 +92,14 @@ object TextOps {
 
   /** The memoized text near-dup closure: (doc_id, canonical) from CC
     * over the jaccardPairs graph, built once per (JVM, fixture) and
-    * served from ClosureCache's parquet relation. q_llm_dup_groups and
+    * served from StageCache's parquet relation. q_llm_dup_groups and
     * q_llm_split_safe both consume it — in a real pipeline the dedup
     * clustering is one committed stage with many readers, not a
     * per-consumer recomputation. Fingerprint = one cheap agg over the
     * documents table (count + id-sum + total text length), so a
     * driver-side fixture refresh forces a rebuild. */
   private def dupLabels(s: SparkSession, d: String): DataFrame =
-    graft.operators.ClosureCache.labels(s, "dupdocs", d)({
+    graft.operators.StageCache.relation(s, "dupdocs", d)({
       t(s, d, "documents")
         .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
         .head().mkString(",")
@@ -437,7 +437,7 @@ object TextOps {
     // per round, no driver-side graph), and near-dup components are
     // shallow (pairs/templated groups), so it converges in a few rounds.
     // The closure is computed once per (JVM, fixture) and served from
-    // the ClosureCache parquet relation — q_llm_split_safe consumes the
+    // the StageCache parquet relation — q_llm_split_safe consumes the
     // SAME clustering, exactly as a real pipeline shares its committed
     // dedup stage. Oracle: DuckDB recursive-CTE transitive closure over
     // the same pair graph.
@@ -598,7 +598,7 @@ object TextOps {
     // independently, which lets two near-duplicates straddle the split —
     // the classic eval-contamination bug (the val set "novel" doc has a
     // 0.9-Jaccard twin in train). Fix: hash the CLUSTER, not the doc —
-    // every member of a near-dup component (the SAME ClosureCache
+    // every member of a near-dup component (the SAME StageCache
     // relation q_llm_dup_groups serves) gets its canonical's
     // portable-hash split, so a cluster lands wholly in train or wholly
     // in val. Cost over plain split = one read of the dedup clustering
