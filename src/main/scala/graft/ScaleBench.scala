@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scaling canary (VERDICT r11 #2): measures whether the heavy
+  * dedup/graph/vector queries scale ~linearly in data volume — the
+  * empirical check behind every "100 TB posture" claim in SURVEY §6.
+  * A query whose time ratio tracks the data ratio has bounded shuffles
+  * and output; one that goes superlinear has a hidden corpus²
+  * term the sf0.1 bench can't see.
+  *
+  * Protocol:
+  *   1. Synthesize a `scale`× fixture in tmpdir by volume-scaling the
+  *      sf0.1 parquet (disjoint id ranges per copy, like
+  *      IngestBench.run). Content is perturbed per copy so the
+  *      DUPLICATE DENSITY stays constant — naive K-way copies would
+  *      make every doc an exact cross-copy duplicate and inflate every
+  *      pair-producing query's OUTPUT quadratically by construction,
+  *      measuring the synthetic fixture, not the engine:
+  *        - documents.text: per-copy Caesar rotation of [a-zA-Z]
+  *          (translate, codegen'd). Within a copy all pairwise
+  *          token/shingle relations are isomorphic to the base corpus;
+  *          across copies rotated tokens share nothing, so similarity
+  *          collapses and pairs/components/buckets scale ~K×.
+  *        - embeddings.embedding: per-copy cyclic rotation of the
+  *          64-dim vector. Rotation is orthogonal — intra-copy dot
+  *          products are bit-preserved — while cross-copy cosine decays
+  *          to the autocorrelation of near-isotropic vectors (~0).
+  *        - events: id/user offsets only; per-user temporal structure
+  *          is what the event queries key on and it is copy-local.
+  *   2. Run the heavy-query list at base and at scale, serially,
+  *      min-of-`runs` per query with a cache sweep between runs, after
+  *      an untimed sf0.001 JIT warm-up. GRAFT_STAGE_CACHE=off must be
+  *      set so dup_groups/split_safe/semdedup each pay their full CC
+  *      fixpoint (the committed-stage cache would otherwise turn them
+  *      into parquet reads — see StageCache.disabled).
+  *   3. Emit one JSON line: per query {base_s, scaled_s, time_ratio,
+  *      base_rows, scaled_rows, rows_ratio} plus the Bench calibration
+  *      sentinel, and persist it to scale_canary.json. rows_ratio ≈
+  *      scale validates the constant-duplicate-density construction;
+  *      time_ratio ≲ scale validates the plan.
+  */
+object ScaleBench {
+
+  /** The 10 most expensive declared queries (VERDICT r11 perf audit) —
+    * the similarity joins, CC consumers, graph ops and the BPE trainer. */
+  val Heavy: Seq[String] = Seq(
+    "q_llm_jaccard_global", "q_llm_dup_groups", "q_llm_split_safe",
+    "q_llm_semdedup", "q_llm_minhash_lsh", "q_llm_winnow_dup",
+    "q_llm_span_dedup", "q_llm_bpe_encode", "q_llm_pagerank",
+    "q_graph_triangles")
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Write a `scale`× fixture under `outDir`. Every fixture table is
+    * present (unscaled tables are copied through) so any declared query
+    * runs against the directory. */
+  def buildScaledFixture(spark: SparkSession, baseDir: String, scale: Int,
+      outDir: String): Unit = {
+    def stride(df: DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head().getLong(0) + 1
+
+    def scaled(name: String)(copy: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = Tables(spark, baseDir, name)
+      (0 until scale).map(k => copy(base, k)).reduce(_.unionByName(_))
+    }
+
+    val docStride = stride(Tables(spark, baseDir, "documents"), "doc_id")
+    val docs = scaled("documents") { (df, k) =>
+      // shift k*7 mod 26: distinct nonzero shifts for k in 1..25 —
+      // enough for any plausible canary scale (scale ≤ 26 asserted)
+      val sh = (k * 7) % 26
+      val rot = Alpha.drop(sh) + Alpha.take(sh)
+      val shifted =
+        if (sh == 0) df
+        else df.withColumn("text", translate(col("text"),
+          Alpha + Alpha.toUpperCase, rot + rot.toUpperCase))
+      shifted.withColumn("doc_id", col("doc_id") + lit(k * docStride))
+    }
+    require(scale <= 26, s"per-copy rotations collide above 26× (got $scale)")
+
+    val vecStride = stride(Tables(spark, baseDir, "embeddings"), "vec_id")
+    val dim = Tables(spark, baseDir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    val embs = scaled("embeddings") { (df, k) =>
+      val sh = (k * 17) % dim
+      val rotated =
+        if (sh == 0) df
+        else df.withColumn("embedding", concat(
+          slice(col("embedding"), sh + 1, dim - sh),
+          slice(col("embedding"), 1, sh)))
+      rotated.withColumn("vec_id", col("vec_id") + lit(k * vecStride))
+    }
+
+    val ev0 = Tables(spark, baseDir, "events")
+    val eidStride = stride(ev0, "event_id")
+    val uidStride = stride(ev0, "user_id")
+    val evs = scaled("events") { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * eidStride))
+        .withColumn("user_id", col("user_id") + lit(k * uidStride))
+    }
+
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    (Tables.all.toSet -- Set("documents", "embeddings", "events")).foreach {
+      n => Tables(spark, baseDir, n)
+        .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    evs.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(sys.env.get("GRAFT_STAGE_CACHE").contains("off"),
+      "run with GRAFT_STAGE_CACHE=off: the canary must measure full stage " +
+        "computation, not StageCache parquet reads")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledDir = Files.createTempDirectory("graft-scale-fixture").toString
+    try {
+      buildScaledFixture(spark, baseDir, scale, scaledDir)
+
+      val qs = Heavy.map(n => n -> SparkEntry.queries(n))
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(warmDir).isDirectory)
+        qs.foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+      Bench.sweep(spark)
+
+      val calibBefore = Bench.calibrate()
+      // (query -> (seconds, output rows)) per scale; min-of-runs — the
+      // ratio of two mins is the cleanest signal for a monotone
+      // noise-inflation model, and both scales use the same protocol
+      def pass(dir: String): Map[String, (Double, Long)] =
+        qs.map { case (name, fn) =>
+          val timed = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            val rows = fn(spark, dir).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            Bench.sweep(spark)
+            (t, rows)
+          }
+          name -> (timed.map(_._1).min, timed.head._2)
+        }.toMap
+      val base = pass(baseDir)
+      val big = pass(scaledDir)
+      val calibAfter = Bench.calibrate()
+      val contaminated =
+        math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
+
+      def f3(v: Double): String = f"$v%.3f"
+      val perQuery = Heavy.map { n =>
+        val (bt, br) = base(n); val (st, sr) = big(n)
+        s""""$n":{"base_s":${f3(bt)},"scaled_s":${f3(st)},""" +
+          s""""time_ratio":${f3(st / bt)},"base_rows":$br,"scaled_rows":$sr,""" +
+          s""""rows_ratio":${f3(sr.toDouble / br)}}"""
+      }.mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"scale_canary","data_ratio":$scale,"runs":$runs,""" +
+          s""""base_sf":"$baseDir","base_total_s":${f3(base.values.map(_._1).sum)},""" +
+          s""""scaled_total_s":${f3(big.values.map(_._1).sum)},""" +
+          s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
+          s""""calib_nominal":${f3(Bench.CalibNominalSec)},"contaminated":$contaminated,""" +
+          s""""queries":$perQuery}"""
+      Files.writeString(Paths.get("scale_canary.json"), line + "\n")
+      println(line)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(scaledDir)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      spark.stop()
+    }
+  }
+}
