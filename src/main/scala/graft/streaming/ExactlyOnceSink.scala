@@ -46,8 +46,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * matching files instead of scanning the whole table (asserted in
   * StreamingSpec). At 100 TB the stats in the log are what make the
   * table queryable at all.
+  *
+  * **Log checkpoints** (the Delta `_last_checkpoint` analog): without
+  * them, every snapshot construction replays the whole JSON log — O(n)
+  * parses after n commits, unbounded for a long-running streaming
+  * ingest (this sink's primary category). Every `checkpointInterval`-th
+  * commit also writes `<%020d version>.checkpoint`: the post-compaction
+  * visible commit entries at that version, verbatim, one per line.
+  * Readers seed log replay from the newest parseable checkpoint at or
+  * below their target version and parse only the per-version entries
+  * after it — O(interval) instead of O(n). Checkpoint writing is
+  * best-effort and crash-safe (tmp file + atomic move; a torn or
+  * corrupt checkpoint is ignored and replay falls back to the previous
+  * one or the raw log). Log entries are never deleted, so time travel
+  * to any version and CDC reads keep full fidelity. Divergence from
+  * Delta, disclosed: no `_last_checkpoint` pointer file — readers
+  * already list the log directory, and deriving the newest checkpoint
+  * from that same listing avoids a second non-atomic pointer.
   */
-class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
+class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
+    checkpointInterval: Int = 10) {
   private val logDir = Paths.get(tableDir, "_graft_log")
   private val dataDir = Paths.get(tableDir, "data")
 
@@ -266,10 +284,71 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".claim-$appId-${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, entry)
-    try { Files.createLink(logFile(version), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally { Files.deleteIfExists(tmp) }
+    val won =
+      try { Files.createLink(logFile(version), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally { Files.deleteIfExists(tmp) }
+    if (won) maybeCheckpoint(version)
+    won
   }
+
+  // ---------------------------------------------------------------------
+  // log checkpoints
+  // ---------------------------------------------------------------------
+
+  private def checkpointFile(version: Long): Path =
+    logDir.resolve(f"$version%020d.checkpoint")
+
+  /** Versions with a checkpoint file, ascending (not `.json`-suffixed,
+    * so `committedVersions` never sees them). */
+  private def checkpointVersions(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".checkpoint") && !f.startsWith("."))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .toSeq.sorted
+
+  /** Parse a checkpoint, or None if torn/corrupt/inconsistent — replay
+    * then falls back to an older checkpoint or the raw log, so a bad
+    * checkpoint can degrade performance but never correctness. */
+  private def loadCheckpoint(cv: Long): Option[Seq[Commit]] =
+    try {
+      val commits = Files.readAllLines(checkpointFile(cv)).asScala
+        .filter(_.nonEmpty).map(parseCommitText(_)).toSeq
+      // invariant of the writer: the triggering commit is the newest
+      // visible entry, so a checkpoint not ending at its own version
+      // (torn tail line lost, or garbage that happened to parse) is bad
+      if (commits.nonEmpty && commits.last.version == cv &&
+          commits.forall(_.version <= cv)) Some(commits)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** After winning version `v`: if `v` is on the checkpoint cadence,
+    * write the post-compaction visible entries at `v` (their raw log
+    * JSON, one per line) as `v.checkpoint`. Best-effort by design —
+    * ingest must not fail because a checkpoint could not be written;
+    * first writer wins if two writers race the same cadence point. */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (checkpointInterval > 0 && version > 0 &&
+        version % checkpointInterval == 0 &&
+        !Files.exists(checkpointFile(version)))
+      try {
+        val text = visibleCommits(Some(version))
+          .map(c => Files.readString(logFile(c.version)).trim)
+          .mkString("", "\n", "\n")
+        val tmp = logDir.resolve(
+          s".ckpt-$appId-${java.util.UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, text)
+        try Files.move(tmp, checkpointFile(version),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: FileAlreadyExistsException => () }
+        finally { Files.deleteIfExists(tmp) }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft-sink: checkpoint at version $version failed (non-fatal): $e")
+      }
 
   // ---------------------------------------------------------------------
   // protocol 1: streaming appends (single writer per appId, idempotent)
@@ -440,10 +519,27 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
       if (restoreDirs.nonEmpty) restoreDirs else Seq(dir)
   }
 
+  /** Per-version log-entry parses since construction — the cost
+    * checkpointing bounds; exposed so tests can assert the O(interval)
+    * replay claim instead of trusting it. */
+  private[graft] val logFileParses = new java.util.concurrent.atomic.AtomicLong
+
   private def parseCommit(v: Long): Commit = {
+    logFileParses.incrementAndGet()
+    parseCommitText(Files.readString(logFile(v)), v)
+  }
+
+  /** Parse one commit-entry JSON. The version comes from the entry's own
+    * txn action (every entry this sink writes records it); `vHint` — the
+    * log file name — covers only pre-txn-era entries. */
+  private def parseCommitText(text: String, vHint: Long = -1L): Commit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val j = JsonMethods.parse(Files.readString(logFile(v)))
+    val j = JsonMethods.parse(text)
+    val v = (j \ "txn" \ "version") match {
+      case JInt(x) => x.toLong
+      case _ => vHint
+    }
     val dir = (j \ "dir") match {
       case JString(s) => s
       case _ => s"batch=$v" // pre-dir log entries
@@ -506,9 +602,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink") {
     * applied (a snapshot REPLACES everything before it — Delta's
     * copy-on-write rewrite narrowed to full-table snapshots). */
   private def visibleCommits(versionAsOf: Option[Long]): Seq[Commit] = {
-    val all = committedVersions()
-      .filter(v => versionAsOf.forall(v <= _))
-      .map(parseCommit)
+    val vs = committedVersions().filter(v => versionAsOf.forall(v <= _))
+    // seed from the newest usable checkpoint at or below the target
+    // version, then parse only the entries after it; a target below the
+    // oldest checkpoint (deep time travel) replays the raw log — those
+    // entries are never deleted
+    val seed = checkpointVersions()
+      .filter(cv => versionAsOf.forall(cv <= _)).reverseIterator
+      .map(cv => cv -> loadCheckpoint(cv))
+      .collectFirst { case (cv, Some(cs)) => cv -> cs }
+    val all = seed match {
+      case Some((cv, cs)) => cs ++ vs.filter(_ > cv).map(parseCommit)
+      case None => vs.map(parseCommit)
+    }
     all.filter(_.snapshot).lastOption
       .map(sc => all.filter(_.version >= sc.version)).getOrElse(all)
   }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.streaming.ExactlyOnceSink
+
+/** Log checkpoints (ExactlyOnceSink): snapshot construction must cost
+  * O(checkpointInterval) log parses, not O(commits) — the property that
+  * keeps a long-running streaming table readable — while staying exact
+  * under time travel, torn checkpoints, and snapshot compaction. */
+class LogCheckpointSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ckpt-spec").toString
+
+  private def append(sink: ExactlyOnceSink, i: Int): Long =
+    sink.commitAppend(Seq((i.toLong, s"r$i")).toDF("id", "x"))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("checkpoints land on cadence and bound replay to O(interval) parses") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 23).foreach(append(sink, _)) // versions 0..22
+    val log = Paths.get(dir, "_graft_log")
+    val ckpts = Files.list(log).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (ckpts.hasNext) names += ckpts.next().getFileName.toString
+    assert(Seq(5L, 10L, 15L, 20L).forall(v =>
+      names.contains(f"$v%020d.checkpoint")), s"missing checkpoints in $names")
+
+    // a FRESH handle (parse counter at zero) reads the full table while
+    // parsing only the entries past the newest checkpoint (21, 22)
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 23L))
+    val parses = reader.logFileParses.get()
+    assert(parses <= 4, s"read parsed $parses per-version entries; " +
+      "checkpoint seeding should bound this by the interval")
+  }
+
+  test("time travel is exact from a checkpoint seed and below the oldest checkpoint") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 23).foreach(append(sink, _))
+    val reader = new ExactlyOnceSink(dir)
+    // 12 seeds from checkpoint 10 + entries 11,12
+    assert(ids(reader.read(spark, versionAsOf = Some(12))) === (0L to 12L))
+    // 3 is below checkpoint 5 → raw-log replay (entries are never deleted)
+    assert(ids(reader.read(spark, versionAsOf = Some(3))) === (0L to 3L))
+    // exactly the checkpoint version itself
+    assert(ids(reader.read(spark, versionAsOf = Some(10))) === (0L to 10L))
+  }
+
+  test("a torn or impostor checkpoint is ignored, never wrong") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 23).foreach(append(sink, _))
+    val log = Paths.get(dir, "_graft_log")
+    // torn: garbage where checkpoint 20 should be
+    Files.writeString(log.resolve(f"${20L}%020d.checkpoint"), "{torn")
+    val r1 = new ExactlyOnceSink(dir)
+    assert(ids(r1.read(spark)) === (0L until 23L))
+    assert(r1.logFileParses.get() <= 9, "should fall back to checkpoint 15")
+    // impostor: parseable JSON that is not the visible set at 15 (a copy
+    // of version 3's entry) — the last-entry-version invariant rejects it
+    Files.writeString(log.resolve(f"${15L}%020d.checkpoint"),
+      Files.readString(log.resolve(f"${3L}%020d.json")))
+    val r2 = new ExactlyOnceSink(dir)
+    assert(ids(r2.read(spark)) === (0L until 23L))
+  }
+
+  test("snapshot compaction composes: later checkpoints carry only the compacted set") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 23).foreach(append(sink, _))
+    sink.delete(spark, col("id") < 20) // snapshot commit, version 23
+    append(sink, 100) // 24
+    append(sink, 101) // 25 → writes checkpoint 25
+    val ck25 = Paths.get(dir, "_graft_log", f"${25L}%020d.checkpoint")
+    assert(Files.exists(ck25))
+    val lines = Files.readAllLines(ck25)
+    assert(lines.size() === 3, // snapshot 23 + appends 24, 25
+      s"checkpoint after a snapshot should hold the compacted set, got ${lines.size()}")
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === Seq(20L, 21L, 22L, 100L, 101L))
+    assert(reader.logFileParses.get() === 0,
+      "the live state should come entirely from the checkpoint")
+  }
+
+  test("concurrent writers racing the cadence point still yield one good checkpoint") {
+    val dir = tmp()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        val s = new ExactlyOnceSink(dir, appId = s"w$w", checkpointInterval = 5)
+        (0 until 15).foreach(i => s.commitAppend(
+          Seq((w * 100L + i, "x")).toDF("id", "x")))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val reader = new ExactlyOnceSink(dir)
+    val got = ids(reader.read(spark))
+    assert(got.size === 30 && got.distinct.size === 30)
+    assert(reader.logFileParses.get() <= 9,
+      "a checkpoint near the tip must have been written despite the races")
+  }
+}
