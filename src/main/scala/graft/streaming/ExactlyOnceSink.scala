@@ -846,12 +846,46 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
   }
 
+  /** Incremental replay of the log's latest-wins METADATA actions —
+    * `streamTxn` idempotency cursors and CHECK-constraint sets. These
+    * must see FULL history (their carriers may predate the last
+    * snapshot, so checkpoint prefixes can't serve them), but full
+    * replay per lookup made every staged write and every streaming
+    * MERGE batch O(commits) — O(n²) parses over a stream's lifetime.
+    * Instead each lookup tails only the entries committed since the
+    * last lookup and folds them onto the cached state, which is EXACT
+    * (a latest-wins/max fold over a prefix plus a fold of the suffix
+    * equals the full fold): one O(history) seed per instance, O(new
+    * entries) after, no cross-instance staleness — the tail always
+    * runs against the live log. */
+  private object logTail {
+    private var seen = -1L
+    private var constraints = Map.empty[String, String]
+    private val streamCursor =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    def refreshed[A](f: => A): A = synchronized {
+      committedVersions().filter(_ > seen).foreach { v =>
+        val c = parseCommit(v)
+        c.constraints.foreach(m => constraints = m)
+        c.streamTxn.foreach { case (a, b) =>
+          streamCursor.merge(a, b, (x, y) => if (x >= y) x else y)
+        }
+        seen = math.max(seen, v)
+      }
+      f
+    }
+
+    def activeConstraints(): Map[String, String] = refreshed(constraints)
+    def lastBatch(appId: String): Option[Long] =
+      refreshed(Option(streamCursor.get(appId)).map(_.longValue))
+  }
+
   /** Highest micro-batch id a stream writer has committed — replayed
     * from the `streamTxn` actions in the log (the Delta `txn`
-    * idempotent-writer cursor). */
+    * idempotent-writer cursor; incremental replay via [[logTail]]). */
   def lastStreamBatch(streamAppId: String): Option[Long] =
-    committedVersions().map(parseCommit).flatMap(_.streamTxn)
-      .filter(_._1 == streamAppId).map(_._2).maxOption
+    logTail.lastBatch(streamAppId)
 
   /** Idempotent STREAMING MERGE — the foreachBatch CDC-consumer verb
     * ("stream DeltaLake tables from Kafka" proper: upserts, not just
@@ -917,11 +951,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * expression. Latest-wins log replay — a commit CARRYING the
     * constraints field replaces the active set; commits without it
     * leave the set untouched. */
-  def activeConstraints(): Map[String, String] =
-    committedVersions().map(parseCommit)
-      .foldLeft(Map.empty[String, String]) { (acc, c) =>
-        c.constraints.getOrElse(acc)
-      }
+  def activeConstraints(): Map[String, String] = logTail.activeConstraints()
 
   /** ADD CONSTRAINT: validates EXISTING data first (a constraint the
     * committed table already violates is rejected — Delta's ADD

@@ -89,6 +89,30 @@ class LogCheckpointSpec extends SparkSpecBase {
       "the live state should come entirely from the checkpoint")
   }
 
+  test("streaming MERGE idempotency cursor: one seed replay, then O(1) per batch") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 10).foreach(i => sink.mergeBatch(spark,
+      Seq((i.toLong, i)).toDF("id", "v"), Seq("id"), batchId = i))
+    // a restarted writer (fresh instance) seeds once from the log...
+    val s2 = new ExactlyOnceSink(dir)
+    assert(s2.mergeBatch(spark, Seq((0L, -1)).toDF("id", "v"), Seq("id"),
+      batchId = 3).isEmpty, "replayed batch must no-op")
+    val afterSeed = s2.logFileParses.get()
+    // ...then per-batch parse growth is bounded by the checkpoint
+    // interval (the merge's own state read), NOT by history length
+    (10 until 15).foreach(i => s2.mergeBatch(spark,
+      Seq((100L + i, i)).toDF("id", "v"), Seq("id"), batchId = i))
+    val perBatch = (s2.logFileParses.get() - afterSeed) / 5.0
+    assert(perBatch <= 8,
+      s"per-batch log parses $perBatch should be O(interval), not O(commits)")
+    // a second restart still sees the newest cursor
+    val s3 = new ExactlyOnceSink(dir)
+    assert(s3.mergeBatch(spark, Seq((0L, -1)).toDF("id", "v"), Seq("id"),
+      batchId = 14).isEmpty)
+    assert(s3.lastStreamBatch("graft-sink") === Some(14L))
+  }
+
   test("concurrent writers racing the cadence point still yield one good checkpoint") {
     val dir = tmp()
     val threads = (0 until 2).map { w =>
