@@ -133,7 +133,12 @@ object ScaleBench {
     try {
       buildScaledFixture(spark, baseDir, scale, scaledDir)
 
-      val qs = Heavy.map(n => n -> SparkEntry.queries(n))
+      // debug subset (comma-separated names): isolate one query's scaling
+      // from suite-order warm-up effects — local diagnosis only, the
+      // committed artifact always comes from the full list
+      val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
+      val qs = Heavy.filter(n => only.forall(_.contains(n)))
+        .map(n => n -> SparkEntry.queries(n))
       val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       if (new java.io.File(warmDir).isDirectory)
         qs.foreach { case (_, fn) =>
@@ -163,7 +168,7 @@ object ScaleBench {
         math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
 
       def f3(v: Double): String = f"$v%.3f"
-      val perQuery = Heavy.map { n =>
+      val perQuery = qs.map(_._1).map { n =>
         val (bt, br) = base(n); val (st, sr) = big(n)
         s""""$n":{"base_s":${f3(bt)},"scaled_s":${f3(st)},""" +
           s""""time_ratio":${f3(st / bt)},"base_rows":$br,"scaled_rows":$sr,""" +
@@ -176,7 +181,9 @@ object ScaleBench {
           s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
           s""""calib_nominal":${f3(Bench.CalibNominalSec)},"contaminated":$contaminated,""" +
           s""""queries":$perQuery}"""
-      Files.writeString(Paths.get("scale_canary.json"), line + "\n")
+      Files.writeString(Paths.get(
+        if (only.isDefined) "scale_canary_subset.json" else "scale_canary.json"),
+        line + "\n")
       println(line)
     } finally {
       import scala.jdk.CollectionConverters._
