@@ -58,11 +58,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * after it — O(interval) instead of O(n). Checkpoint writing is
   * best-effort and crash-safe (tmp file + atomic move; a torn or
   * corrupt checkpoint is ignored and replay falls back to the previous
-  * one or the raw log). Log entries are never deleted, so time travel
-  * to any version and CDC reads keep full fidelity. Divergence from
-  * Delta, disclosed: no `_last_checkpoint` pointer file — readers
-  * already list the log directory, and deriving the newest checkpoint
-  * from that same listing avoids a second non-atomic pointer.
+  * one or the raw log). Checkpoints carry an aux header with the
+  * latest-wins metadata state (constraints, streamTxn cursors), which
+  * makes [[cleanupLog]] — the Delta log-retention analog — safe: raw
+  * entries below an old-enough checkpoint can be reclaimed, bounding
+  * log growth for an unbounded stream, while time travel and CDC below
+  * the retained window fail loudly instead of rebuilding partial
+  * state. Divergence from Delta, disclosed: no `_last_checkpoint`
+  * pointer file — readers already list the log directory, and deriving
+  * the newest checkpoint from that same listing avoids a second
+  * non-atomic pointer.
   */
 class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     checkpointInterval: Int = 10) {
@@ -309,33 +314,99 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .map(_.stripSuffix(".checkpoint").toLong)
       .toSeq.sorted
 
+  /** The latest-wins metadata state a checkpoint must carry so that raw
+    * log entries below it can be reclaimed ([[cleanupLog]]): the active
+    * CHECK-constraint set and the per-appId streamTxn high-water marks.
+    * Their carrier commits may predate the last snapshot — the visible
+    * entries alone cannot reproduce them. The Delta analog: checkpoints
+    * persist `txn` and `metaData` actions, not just `add`s. */
+  private case class CkptAux(constraints: Map[String, String],
+      cursors: Map[String, Long])
+
+  private def foldAux(seed: CkptAux, entries: Seq[Commit]): CkptAux =
+    entries.sortBy(_.version).foldLeft(seed) { (acc, c) =>
+      CkptAux(
+        c.constraints.getOrElse(acc.constraints),
+        c.streamTxn.fold(acc.cursors) { case (a, b) =>
+          acc.cursors.updated(a, math.max(b, acc.cursors.getOrElse(a, Long.MinValue)))
+        })
+    }
+
+  private def auxHeader(version: Long, aux: CkptAux): String = {
+    val cons = aux.constraints.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",")
+    val cur = aux.cursors.toSeq.sortBy(_._1)
+      .map { case (a, b) => s"${jstr(a)}:$b" }.mkString(",")
+    s"""{"checkpointAux":{"version":$version,"constraints":{$cons},""" +
+      s""""streamTxn":{$cur}}}"""
+  }
+
+  private def parseAuxHeader(line: String): Option[(Long, CkptAux)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val a = JsonMethods.parse(line) \ "checkpointAux"
+    (a \ "version") match {
+      case JInt(v) =>
+        val cons = (a \ "constraints") match {
+          case JObject(fs) => fs.collect { case (n, JString(e)) => n -> e }.toMap
+          case _ => Map.empty[String, String]
+        }
+        val cur = (a \ "streamTxn") match {
+          case JObject(fs) => fs.collect { case (n, JInt(b)) => n -> b.toLong }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        Some(v.toLong -> CkptAux(cons, cur))
+      case _ => None
+    }
+  }
+
   /** Parse a checkpoint, or None if torn/corrupt/inconsistent — replay
     * then falls back to an older checkpoint or the raw log, so a bad
-    * checkpoint can degrade performance but never correctness. */
-  private def loadCheckpoint(cv: Long): Option[Seq[Commit]] =
+    * checkpoint can degrade performance but never correctness. Format:
+    * line 1 is the aux header, the rest are visible commit entries
+    * verbatim. */
+  private def loadCheckpoint(cv: Long): Option[(CkptAux, Seq[Commit])] =
     try {
-      val commits = Files.readAllLines(checkpointFile(cv)).asScala
-        .filter(_.nonEmpty).map(parseCommitText(_)).toSeq
-      // invariant of the writer: the triggering commit is the newest
-      // visible entry, so a checkpoint not ending at its own version
-      // (torn tail line lost, or garbage that happened to parse) is bad
-      if (commits.nonEmpty && commits.last.version == cv &&
-          commits.forall(_.version <= cv)) Some(commits)
-      else None
+      val lines = Files.readAllLines(checkpointFile(cv)).asScala
+        .filter(_.nonEmpty).toSeq
+      for {
+        head <- lines.headOption
+        (v, aux) <- parseAuxHeader(head)
+        if v == cv
+        commits = lines.tail.map(parseCommitText(_))
+        // invariant of the writer: the triggering commit is the newest
+        // visible entry, so a checkpoint not ending at its own version
+        // (torn tail line lost, or garbage that happened to parse) is bad
+        if commits.nonEmpty && commits.last.version == cv &&
+          commits.forall(_.version <= cv)
+      } yield (aux, commits)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** After winning version `v`: if `v` is on the checkpoint cadence,
-    * write the post-compaction visible entries at `v` (their raw log
-    * JSON, one per line) as `v.checkpoint`. Best-effort by design —
-    * ingest must not fail because a checkpoint could not be written;
-    * first writer wins if two writers race the same cadence point. */
+    * write the aux header plus the post-compaction visible entries at
+    * `v` (their raw log JSON, one per line) as `v.checkpoint`. The aux
+    * chains from the previous parseable checkpoint — fold(auxAt(cv'),
+    * entries(cv'..v]) — so building it costs O(interval), and equals
+    * the full-history fold by the fold identity. Best-effort by
+    * design — ingest must not fail because a checkpoint could not be
+    * written; first writer wins if two writers race the same cadence
+    * point. */
   private def maybeCheckpoint(version: Long): Unit =
     if (checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0 &&
         !Files.exists(checkpointFile(version)))
       try {
-        val text = visibleCommits(Some(version))
-          .map(c => Files.readString(logFile(c.version)).trim)
+        val prev = checkpointVersions().filter(_ < version).reverseIterator
+          .map(cv => cv -> loadCheckpoint(cv))
+          .collectFirst { case (cv, Some((aux, _))) => cv -> aux }
+        val (from, seed) =
+          prev.getOrElse(-1L -> CkptAux(Map.empty, Map.empty))
+        val auxEntries = committedVersions()
+          .filter(v => v > from && v <= version).map(parseCommit)
+        val aux = foldAux(seed, auxEntries)
+        val text = (auxHeader(version, aux) +:
+          visibleCommits(Some(version))
+            .map(c => Files.readString(logFile(c.version)).trim))
           .mkString("", "\n", "\n")
         val tmp = logDir.resolve(
           s".ckpt-$appId-${java.util.UUID.randomUUID()}.tmp")
@@ -610,10 +681,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val seed = checkpointVersions()
       .filter(cv => versionAsOf.forall(cv <= _)).reverseIterator
       .map(cv => cv -> loadCheckpoint(cv))
-      .collectFirst { case (cv, Some(cs)) => cv -> cs }
+      .collectFirst { case (cv, Some((_, cs))) => cv -> cs }
     val all = seed match {
       case Some((cv, cs)) => cs ++ vs.filter(_ > cv).map(parseCommit)
-      case None => vs.map(parseCommit)
+      case None =>
+        // after cleanupLog (recorded in the truncation marker — a log
+        // legitimately starting above version 0, e.g. a streaming
+        // writer whose first batchId > 0, is NOT truncation), targets
+        // below the retained window must fail loudly rather than
+        // rebuild a silently partial state
+        val tb = truncatedBelow()
+        if (tb > 0)
+          sys.error(s"versionAsOf=${versionAsOf.getOrElse("latest")} " +
+            s"predates retained history: log entries below $tb were " +
+            "reclaimed by cleanupLog and no checkpoint at or below the " +
+            "target survives")
+        vs.map(parseCommit)
     }
     all.filter(_.snapshot).lastOption
       .map(sc => all.filter(_.version >= sc.version)).getOrElse(all)
@@ -663,6 +746,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def readChanges(spark: SparkSession, fromVersion: Long,
       toVersion: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    // CDC is a PER-VERSION feed — checkpoints cannot serve it. After
+    // cleanupLog, ranges reaching below the oldest surviving entry must
+    // fail loudly: silently starting the feed later would hand an
+    // incremental consumer a gap it cannot detect.
+    val tb = truncatedBelow()
+    if (tb > 0 && fromVersion < tb - 1)
+      sys.error(s"readChanges: fromVersion=$fromVersion predates retained " +
+        s"history (entries below $tb were reclaimed by cleanupLog); " +
+        "re-seed the consumer from a full read() instead")
     val commits = committedVersions().map(parseCommit)
       .filter(c => c.version > fromVersion && c.version <= toVersion)
     commits.find(c => c.snapshot && c.changeDir.isEmpty && c.op != "COMPACT")
@@ -859,12 +951,26 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * entries) after, no cross-instance staleness — the tail always
     * runs against the live log. */
   private object logTail {
-    private var seen = -1L
+    private var seen = Long.MinValue // MinValue = not yet seeded
     private var constraints = Map.empty[String, String]
     private val streamCursor =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
     def refreshed[A](f: => A): A = synchronized {
+      if (seen == Long.MinValue) {
+        // seed from the newest checkpoint's aux header: after
+        // cleanupLog the carrier entries below it no longer exist, and
+        // even before cleanup this makes instance start-up O(interval)
+        checkpointVersions().reverseIterator
+          .map(cv => cv -> loadCheckpoint(cv))
+          .collectFirst { case (cv, Some((aux, _))) => cv -> aux }
+          .foreach { case (cv, aux) =>
+            constraints = aux.constraints
+            aux.cursors.foreach { case (a, b) => streamCursor.put(a, b) }
+            seen = cv
+          }
+        if (seen == Long.MinValue) seen = -1L
+      }
       committedVersions().filter(_ > seen).foreach { v =>
         val c = parseCommit(v)
         c.constraints.foreach(m => constraints = m)
@@ -1095,8 +1201,74 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Files.setLastModifiedTime(p,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
 
+  /** Every commit this table can still serve: the newest parseable
+    * checkpoint's visible entries (whose raw log files may have been
+    * reclaimed by [[cleanupLog]]) unioned with the surviving raw
+    * entries. Vacuum's referenced-set computation must use THIS, not
+    * the raw log alone — after cleanup, checkpoint-served commits still
+    * point at live data dirs. */
+  private def allKnownCommits(): Seq[Commit] = {
+    val raw = committedVersions().map(parseCommit)
+    val seed = checkpointVersions().reverseIterator
+      .map(cv => loadCheckpoint(cv))
+      .collectFirst { case Some((_, cs)) => cs }
+      .getOrElse(Nil)
+    val rawVs = raw.map(_.version).toSet
+    (seed.filterNot(c => rawVs(c.version)) ++ raw).sortBy(_.version)
+  }
+
+  /** Reclaim raw log entries (and superseded checkpoints) strictly
+    * below the newest old-enough parseable checkpoint — the Delta
+    * log-retention analog (`delta.logRetentionDuration`). Afterwards:
+    * live reads and time travel at or above that checkpoint are exact
+    * (served from it); time travel and CDC below it FAIL LOUDLY
+    * (visibleCommits / readChanges guards) instead of rebuilding
+    * partial state; constraint sets and streamTxn cursors survive in
+    * the checkpoint's aux header. The age guard serves the same role
+    * as vacuum's: a reader that listed the log keeps a grace window
+    * before the entries it saw can disappear. Returns files removed. */
+  /** Where history was truncated: versions BELOW this may be missing
+    * from the raw log (0 = never cleaned). Written before deletion so a
+    * crash mid-cleanup can only over-report truncation (reads below the
+    * marker error), never under-report it (silently partial state). A
+    * log that merely STARTS above version 0 — a streaming writer whose
+    * first batchId is nonzero — is not truncation and sets no marker. */
+  private val truncMarker = logDir.resolve("_graft_log_truncated")
+
+  private def truncatedBelow(): Long =
+    if (!Files.exists(truncMarker)) 0L
+    else try Files.readString(truncMarker).trim.toLong
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
+  def cleanupLog(minAgeMs: Long = 604800000L): Int = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
+    val anchor = checkpointVersions()
+      .filter(cv => oldEnough(checkpointFile(cv)) && loadCheckpoint(cv).isDefined)
+      .maxOption
+    anchor.fold(0) { a =>
+      if (truncatedBelow() < a) {
+        val tmp = logDir.resolve(s".trunc-${java.util.UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, a.toString)
+        Files.move(tmp, truncMarker, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      var removed = 0
+      committedVersions().filter(_ < a).foreach { v =>
+        if (oldEnough(logFile(v))) { Files.deleteIfExists(logFile(v)); removed += 1 }
+      }
+      checkpointVersions().filter(_ < a).foreach { cv =>
+        if (oldEnough(checkpointFile(cv))) {
+          Files.deleteIfExists(checkpointFile(cv)); removed += 1
+        }
+      }
+      removed
+    }
+  }
+
   def vacuum(retainHistory: Boolean = true, minAgeMs: Long = 3600000L): Int = {
-    val commits = committedVersions().map(parseCommit)
+    val commits = allKnownCommits()
     val visible =
       if (retainHistory) commits
       else commits.filter(_.snapshot).lastOption

@@ -81,7 +81,7 @@ class LogCheckpointSpec extends SparkSpecBase {
     val ck25 = Paths.get(dir, "_graft_log", f"${25L}%020d.checkpoint")
     assert(Files.exists(ck25))
     val lines = Files.readAllLines(ck25)
-    assert(lines.size() === 3, // snapshot 23 + appends 24, 25
+    assert(lines.size() === 4, // aux header + snapshot 23 + appends 24, 25
       s"checkpoint after a snapshot should hold the compacted set, got ${lines.size()}")
     val reader = new ExactlyOnceSink(dir)
     assert(ids(reader.read(spark)) === Seq(20L, 21L, 22L, 100L, 101L))
@@ -111,6 +111,67 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(s3.mergeBatch(spark, Seq((0L, -1)).toDF("id", "v"), Seq("id"),
       batchId = 14).isEmpty)
     assert(s3.lastStreamBatch("graft-sink") === Some(14L))
+  }
+
+  test("cleanupLog: reads stay exact, history below retention fails loudly") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 23).foreach(append(sink, _))
+    val removed = sink.cleanupLog(minAgeMs = 0)
+    assert(removed === 20 + 3, // raw entries 0..19 + checkpoints 5,10,15
+      s"expected entries below checkpoint 20 reclaimed, removed=$removed")
+    val log = Paths.get(dir, "_graft_log")
+    assert(!Files.exists(log.resolve(f"${0L}%020d.json")))
+    assert(Files.exists(log.resolve(f"${20L}%020d.json")))
+    // live read and time travel at/above the anchor are exact
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 23L))
+    assert(ids(reader.read(spark, versionAsOf = Some(21))) === (0L to 21L))
+    assert(ids(reader.read(spark, versionAsOf = Some(20))) === (0L to 20L))
+    // below retained history: loud failure, not partial state
+    val e = intercept[RuntimeException](reader.read(spark, versionAsOf = Some(12)))
+    assert(e.getMessage.contains("retained history"))
+    val c = intercept[RuntimeException](reader.readChanges(spark, fromVersion = 5))
+    assert(c.getMessage.contains("retained history"))
+    // CDC within the retained window still works
+    assert(reader.readChanges(spark, fromVersion = 20).count() === 2)
+  }
+
+  test("cleanupLog: constraints and streamTxn cursors survive via the aux header") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    append(sink, 0) // v0
+    sink.setConstraint(spark, "pos_id", "id >= 0") // v1, metadata-only
+    (1 until 6).foreach(append(sink, _)) // v2..v6 (checkpoint at 5)
+    sink.mergeBatch(spark, Seq((50L, "m1")).toDF("id", "x"), Seq("id"),
+      batchId = 7) // v7
+    (6 until 9).foreach(append(sink, _)) // v8..v10 (checkpoint at 10)
+    assert(sink.cleanupLog(minAgeMs = 0) > 0)
+    // the raw carriers (v1 constraint, v7 merge) are gone...
+    val log = Paths.get(dir, "_graft_log")
+    assert(!Files.exists(log.resolve(f"${1L}%020d.json")))
+    assert(!Files.exists(log.resolve(f"${7L}%020d.json")))
+    // ...yet a fresh instance still enforces the constraint...
+    val s2 = new ExactlyOnceSink(dir)
+    assert(s2.activeConstraints() === Map("pos_id" -> "id >= 0"))
+    val bad = intercept[Exception](
+      s2.commitAppend(Seq((-5L, "x")).toDF("id", "x")))
+    assert(bad.getMessage != null)
+    // ...and still no-ops the replayed micro-batch
+    assert(s2.mergeBatch(spark, Seq((50L, "m2")).toDF("id", "x"), Seq("id"),
+      batchId = 7).isEmpty, "cursor lost in cleanup: batch re-applied")
+  }
+
+  test("vacuum after cleanupLog keeps checkpoint-served data alive") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 12).foreach(append(sink, _)) // checkpoints at 5, 10
+    sink.cleanupLog(minAgeMs = 0) // raw 0..9 reclaimed; live set served by ckpt 10
+    assert(sink.vacuum(minAgeMs = 0) === 0,
+      "vacuum must treat checkpoint-served commits as referenced")
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 12L),
+      "data dirs of checkpoint-served commits were vacuumed away")
   }
 
   test("concurrent writers racing the cadence point still yield one good checkpoint") {
