@@ -366,6 +366,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * line 1 is the aux header, the rest are visible commit entries
     * verbatim. */
   private def loadCheckpoint(cv: Long): Option[(CkptAux, Seq[Commit])] =
+    loadCheckpointFull(cv).map { case (aux, cs, _) => (aux, cs) }
+
+  /** Like [[loadCheckpoint]] but also returns each entry's raw line —
+    * the checkpoint writer needs them verbatim for entries whose raw
+    * log files were reclaimed by [[cleanupLog]]. */
+  private def loadCheckpointFull(cv: Long)
+      : Option[(CkptAux, Seq[Commit], Seq[String])] =
     try {
       val lines = Files.readAllLines(checkpointFile(cv)).asScala
         .filter(_.nonEmpty).toSeq
@@ -379,7 +386,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         // (torn tail line lost, or garbage that happened to parse) is bad
         if commits.nonEmpty && commits.last.version == cv &&
           commits.forall(_.version <= cv)
-      } yield (aux, commits)
+      } yield (aux, commits, lines.tail)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** After winning version `v`: if `v` is on the checkpoint cadence,
@@ -397,16 +404,27 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         !Files.exists(checkpointFile(version)))
       try {
         val prev = checkpointVersions().filter(_ < version).reverseIterator
-          .map(cv => cv -> loadCheckpoint(cv))
-          .collectFirst { case (cv, Some((aux, _))) => cv -> aux }
-        val (from, seed) =
-          prev.getOrElse(-1L -> CkptAux(Map.empty, Map.empty))
+          .map(cv => cv -> loadCheckpointFull(cv))
+          .collectFirst { case (cv, Some(full)) => cv -> full }
+        val (from, seedAux) = prev
+          .map { case (cv, (aux, _, _)) => cv -> aux }
+          .getOrElse(-1L -> CkptAux(Map.empty, Map.empty))
         val auxEntries = committedVersions()
           .filter(v => v > from && v <= version).map(parseCommit)
-        val aux = foldAux(seed, auxEntries)
+        val aux = foldAux(seedAux, auxEntries)
+        // entry lines come from the raw log when it still has them, and
+        // from the previous checkpoint for entries cleanupLog reclaimed —
+        // without the fallback, every checkpoint AFTER a cleanup would
+        // fail to write until a snapshot compacted the old entries away
+        val seedLines: Map[Long, String] = prev
+          .map { case (_, (_, cs, ls)) => cs.map(_.version).zip(ls).toMap }
+          .getOrElse(Map.empty)
+        def entryLine(c: Commit): String =
+          if (Files.exists(logFile(c.version)))
+            Files.readString(logFile(c.version)).trim
+          else seedLines(c.version)
         val text = (auxHeader(version, aux) +:
-          visibleCommits(Some(version))
-            .map(c => Files.readString(logFile(c.version)).trim))
+          visibleCommits(Some(version)).map(entryLine))
           .mkString("", "\n", "\n")
         val tmp = logDir.resolve(
           s".ckpt-$appId-${java.util.UUID.randomUUID()}.tmp")

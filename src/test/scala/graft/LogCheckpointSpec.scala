@@ -162,6 +162,22 @@ class LogCheckpointSpec extends SparkSpecBase {
       batchId = 7).isEmpty, "cursor lost in cleanup: batch re-applied")
   }
 
+  test("checkpoints keep forming after cleanupLog reclaimed their sources") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 12).foreach(append(sink, _)) // checkpoints at 5, 10
+    sink.cleanupLog(minAgeMs = 0) // raw 0..9 reclaimed
+    (12 until 16).foreach(append(sink, _)) // version 15 is a cadence point
+    val ck15 = Paths.get(dir, "_graft_log", f"${15L}%020d.checkpoint")
+    assert(Files.exists(ck15),
+      "checkpoint after cleanup was silently skipped (reclaimed sources)")
+    // and it actually serves: a fresh reader rebuilds the full state
+    // from checkpoint 15 alone with zero per-version parses
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 16L))
+    assert(reader.logFileParses.get() === 0)
+  }
+
   test("vacuum after cleanupLog keeps checkpoint-served data alive") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)

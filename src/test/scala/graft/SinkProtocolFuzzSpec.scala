@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.ExactlyOnceSink
+
+/** Model-based fuzz of the sink's commit protocol: seeded random
+  * sequences of append / merge / delete / cleanupLog / vacuum, checked
+  * after every step against an in-memory reference model — live state,
+  * per-version history for time travel, and the retention boundary.
+  * The targeted specs (StreamingSpec, LogCheckpointSpec) pin each
+  * feature in isolation; this one hunts for INTERACTION bugs between
+  * compaction, checkpoints, retention and vacuum that no hand-written
+  * scenario anticipates. Seeds are fixed, so a failure reproduces. */
+class SinkProtocolFuzzSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("id", "x")
+
+  /** Collect (id → x), tolerating the schemaless empty frame a
+    * delete-everything history leaves behind. */
+  private def state(d: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    if (!d.columns.contains("id")) Map.empty
+    else d.select("id", "x").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  for (seed <- Seq(7L, 23L, 101L))
+    test(s"protocol fuzz seed=$seed: reads, time travel and retention match the model") {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
+      val interval = 3
+      val sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
+
+      var live = Map.empty[Long, String] // the model's committed state
+      var history = Vector.empty[(Long, Map[Long, String])] // (version, state-after)
+      var nextId = 0L
+      var anchor = 0L // versions below this are outside retained history
+
+      def freshRows(n: Int): Seq[(Long, String)] =
+        (0 until n).map { _ => nextId += 1; (nextId, s"s$seed-v$nextId") }
+
+      def checkRead(): Unit =
+        assert(state(sink.read(spark)) === live,
+          s"live state diverged after ${history.size} commits")
+
+      (1 to 24).foreach { step =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 => // append fresh rows
+            val rows = freshRows(1 + rnd.nextInt(3))
+            val v = sink.commitAppend(df(rows))
+            live = live ++ rows
+            history :+= (v, live)
+          case 4 | 5 => // merge: update some existing + insert some fresh
+            val upd = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
+              .map(k => (k, s"upd$step-$k"))
+            val ins = freshRows(rnd.nextInt(2))
+            val rows = upd ++ ins
+            if (rows.nonEmpty) {
+              val v = sink.merge(spark, df(rows), Seq("id"))
+              live = live ++ rows
+              history :+= (v, live)
+            }
+          case 6 => // delete a random id range
+            if (live.nonEmpty) {
+              val cut = live.keys.toSeq(rnd.nextInt(live.size))
+              val v = sink.delete(spark, col("id") <= cut)
+              live = live.filter(_._1 > cut)
+              history :+= (v, live)
+            }
+          case 7 => // retention: reclaim below the newest checkpoint
+            sink.cleanupLog(minAgeMs = 0)
+            history.lastOption.foreach { case (maxV, _) =>
+              val ck = (maxV / interval) * interval
+              if (ck > 0) anchor = math.max(anchor, ck)
+            }
+          case 8 => // vacuum must never change any read
+            sink.vacuum(minAgeMs = 0)
+          case 9 => // time travel to a random retained version
+            history.filter(_._1 >= anchor) match {
+              case h if h.nonEmpty =>
+                val (v, expect) = h(rnd.nextInt(h.size))
+                assert(state(sink.read(spark, versionAsOf = Some(v))) === expect,
+                  s"time travel to $v diverged")
+              case _ => ()
+            }
+        }
+        checkRead()
+      }
+
+      // a cold reader (fresh instance, checkpoint-seeded) sees the same
+      // final state, and time travel below retention fails loudly
+      val cold = new ExactlyOnceSink(dir)
+      assert(state(cold.read(spark)) === live,
+        "cold replay diverged from the model")
+      if (anchor > 0)
+        history.filter(_._1 < anchor).lastOption.foreach { case (v, _) =>
+          val e = intercept[RuntimeException](
+            cold.read(spark, versionAsOf = Some(v)))
+          assert(e.getMessage.contains("retained history"))
+        }
+    }
+}
