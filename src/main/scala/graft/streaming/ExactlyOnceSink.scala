@@ -238,7 +238,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
       constraints: Option[Map[String, String]] = None,
       streamTxn: Option[(String, Long)] = None,
-      restoreDirs: Seq[String] = Nil): String = {
+      restoreDirs: Seq[String] = Nil,
+      removes: Seq[String] = Nil,
+      dvs: Map[String, Array[Long]] = Map.empty): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -274,6 +276,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       s""""dir":${jstr(dir)},""" +
       (if (restoreDirs.isEmpty) ""
        else s""""restoreDirs":[${restoreDirs.map(jstr).mkString(",")}],""") +
+      (if (removes.isEmpty) ""
+       else s""""remove":[${removes.sorted.map(jstr).mkString(",")}],""") +
+      (if (dvs.isEmpty) ""
+       else ("\"dv\":{" + dvs.toSeq.sortBy(_._1).map { case (k, idxs) =>
+         s"${jstr(k)}:${jstr(DeletionVectors.encode(idxs))}"
+       }.mkString(",") + "},")) +
       changeJson +
       streamTxn.map { case (a, b) =>
         s""""streamTxn":{"appId":${jstr(a)},"batchId":$b},"""
@@ -601,12 +609,38 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       op: String = "", changeDir: Option[String] = None,
       constraints: Option[Map[String, String]] = None,
       streamTxn: Option[(String, Long)] = None,
-      restoreDirs: Seq[String] = Nil) {
+      restoreDirs: Seq[String] = Nil,
+      removes: Seq[String] = Nil,
+      dvs: Map[String, Array[Long]] = Map.empty) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
       if (restoreDirs.nonEmpty) restoreDirs else Seq(dir)
   }
+
+  /** A file's identity across the whole table: its data/-relative path.
+    * Ordinary commits record add paths relative to their own dir; a
+    * RESTORE commit's lifted adds are already dir-qualified. Deletion
+    * vectors and remove actions key on this. */
+  private def addKey(c: Commit, a: AddFile): String =
+    if (c.restoreDirs.nonEmpty || c.dir.isEmpty) a.path else s"${c.dir}/${a.path}"
+
+  /** The merge-on-read tombstone state a commit sequence leaves behind:
+    * files dropped from the live set (`removed`) and per-file deleted
+    * row positions (`dv`). Writers always record a file's FULL vector
+    * (existing ∪ new), so the fold is latest-wins per file; a remove
+    * supersedes the file's DV. Snapshot commits (merge/delete/compact/
+    * restore copy-on-write) clear everything earlier via
+    * visibleCommits' compaction, so tombstones never survive a rewrite
+    * of the state they applied to. */
+  private case class Tombstones(removed: Set[String], dv: Map[String, Array[Long]]) {
+    def isEmpty: Boolean = removed.isEmpty && dv.isEmpty
+  }
+
+  private def tombstones(commits: Seq[Commit]): Tombstones =
+    commits.foldLeft(Tombstones(Set.empty, Map.empty)) { (t, c) =>
+      Tombstones(t.removed ++ c.removes, t.dv ++ c.dvs -- c.removes)
+    }
 
   /** Per-version log-entry parses since construction — the cost
     * checkpointing bounds; exposed so tests can assert the O(interval)
@@ -684,7 +718,18 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case JArray(items) => items.collect { case JString(s) => s }
       case _ => Nil
     }
-    Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs)
+    val removes = (j \ "remove") match {
+      case JArray(items) => items.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val dvs = (j \ "dv") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(r)) => k -> DeletionVectors.decode(r)
+      }.toMap
+      case _ => Map.empty[String, Array[Long]]
+    }
+    Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
+      removes, dvs)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -730,19 +775,88 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       versionAsOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    val all = visibleCommits(versionAsOf)
     // metadata-only commits (SET CONSTRAINT) carry no data files
-    val commits = visibleCommits(versionAsOf).filter(_.adds.nonEmpty)
+    val commits = all.filter(_.adds.nonEmpty)
     if (commits.isEmpty) return spark.emptyDataFrame
+    val ts = tombstones(all)
+    if (ts.isEmpty)
+      // fast path — a table never touched by merge-on-read keeps its
+      // plain per-dir scans (no metadata columns, no anti-joins)
+      commits.map { c =>
+        // a RESTORE commit re-points at its source commits' dirs (one
+        // read per source dir keeps hive partition-column discovery
+        // working exactly as it did for the original commit)
+        c.dataDirs.map(d => spark.read
+            .option("mergeSchema", mergeSchema.toString)
+            .parquet(dataDir.resolve(d).toString))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+          .withColumn("batch", lit(c.version).cast("int"))
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else
+      applyTombstones(scanWithPos(spark, commits, mergeSchema), ts)
+        .drop(FileCol, RidxCol)
+  }
+
+  // ---------------------------------------------------------------------
+  // merge-on-read (deletion vectors)
+  // ---------------------------------------------------------------------
+
+  private val FileCol = "__graft_file"
+  private val RidxCol = "__graft_ridx"
+
+  /** The scan-side file identity matching [[addKey]]: `_metadata
+    * .file_path` with everything through the table's `data/` root
+    * stripped — computed in the scan so tombstones can be subtracted by
+    * (file, row position) without reconstructing absolute URIs. */
+  private def relKeyCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val prefix = java.util.regex.Pattern.quote(
+      dataDir.toAbsolutePath.toString.replace("\\", "/") + "/")
+    regexp_replace(col("_metadata.file_path"), "^.*" + prefix, "")
+  }
+
+  /** Per-commit scan like [[read]]'s fast path, plus the file key and
+    * row position of every row (the columns tombstone subtraction and
+    * the merge-on-read writers need). */
+  private def scanWithPos(spark: SparkSession, commits: Seq[Commit],
+      mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     commits.map { c =>
-      // a RESTORE commit re-points at its source commits' dirs (one
-      // read per source dir keeps hive partition-column discovery
-      // working exactly as it did for the original commit)
       c.dataDirs.map(d => spark.read
           .option("mergeSchema", mergeSchema.toString)
-          .parquet(dataDir.resolve(d).toString))
+          .parquet(dataDir.resolve(d).toString)
+          .withColumn(FileCol, relKeyCol)
+          .withColumn(RidxCol, col("_metadata.row_index")))
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         .withColumn("batch", lit(c.version).cast("int"))
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Subtract tombstones from a [[scanWithPos]] frame: one broadcast
+    * anti-join on the file key for whole-file removes, one on (file,
+    * row position) for deletion vectors. Both sides are driver-held
+    * metadata (bounded by the DV size cap until a snapshot re-bases),
+    * so the joins broadcast and the scan itself stays pruned/columnar. */
+  private def applyTombstones(df: DataFrame, ts: Tombstones): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sp = df.sparkSession
+    import sp.implicits._
+    var out = df
+    if (ts.removed.nonEmpty) {
+      val rem = ts.removed.toSeq.sorted.toDF("__rm_file")
+      out = out.join(broadcast(rem),
+        out(FileCol) === rem("__rm_file"), "left_anti")
+    }
+    if (ts.dv.nonEmpty) {
+      val pairs = ts.dv.toSeq.sortBy(_._1)
+        .flatMap { case (f, idxs) => idxs.map(i => (f, i)) }
+      val dv = pairs.toDF("__dv_file", "__dv_ridx")
+      out = out.join(broadcast(dv),
+        out(FileCol) === dv("__dv_file") && out(RidxCol) === dv("__dv_ridx"),
+        "left_anti")
+    }
+    out
   }
 
   /** CDC read (the Delta Change Data Feed analog): the LOGICAL changes
@@ -783,6 +897,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           "commit such transforms via merge()/delete().")
       }
     val frames = commits.flatMap {
+      case c if c.op == "DELETE_MOR" || c.op == "MERGE_MOR" =>
+        // merge-on-read commits: their adds are PHYSICAL (per-file
+        // rewrites + merge's new rows) — the logical change set is the
+        // recorded change dir, same as the copy-on-write verbs
+        c.changeDir.map(cd =>
+          spark.read.parquet(dataDir.resolve(cd).toString)
+            .withColumn("batch", lit(c.version).cast("int")))
       case c if !c.snapshot =>
         // metadata-only commits change no rows
         if (c.adds.isEmpty) None
@@ -863,15 +984,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         catch { case _: NumberFormatException => true }
       case _ => true
     }
-    val files = visibleCommits(None).flatMap { c =>
-      c.adds.collect {
-        case a if preds.forall { case (col, lo, hi) =>
-          intersects(a.stats.get(col), lo, hi)
-        } => dataDir.resolve(c.dir).resolve(a.path).toString
-      }
+    readAddFiles(spark) { a =>
+      preds.forall { case (col, lo, hi) => intersects(a.stats.get(col), lo, hi) }
     }
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
   }
 
   /** Bloom-pruned point lookup: keep only files whose recorded bloom
@@ -886,33 +1001,44 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val hashes = spark.range(1).select(
       (0 until 3).map(j => xxhash64(lit(j), lit(value)).as(s"h$j")): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
-    val commits = visibleCommits(None)
-    val files = commits.flatMap { c =>
-      c.adds.collect {
-        case a if a.bloom.get(column).forall { words =>
-          val bits = words.length * 64L
-          hashes.forall { h =>
-            val p = ((h % bits) + bits) % bits
-            (words((p / 64).toInt) >> (p % 64).toInt & 1L) == 1L
-          }
-        } => dataDir.resolve(c.dir).resolve(a.path).toString
+    readAddFiles(spark) { a =>
+      a.bloom.get(column).forall { words =>
+        val bits = words.length * 64L
+        hashes.forall { h =>
+          val p = ((h % bits) + bits) % bits
+          (words((p / 64).toInt) >> (p % 64).toInt & 1L) == 1L
+        }
       }
     }
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
   }
 
   private def readSkippingWith(spark: SparkSession, column: String)
-      (keep: Option[(Option[String], Option[String])] => Boolean): DataFrame = {
-    val commits = visibleCommits(None)
-    val files = commits.flatMap { c =>
-      c.adds.collect {
-        case a if keep(a.stats.get(column)) =>
-          dataDir.resolve(c.dir).resolve(a.path).toString
-      }
+      (keep: Option[(Option[String], Option[String])] => Boolean): DataFrame =
+    readAddFiles(spark)(a => keep(a.stats.get(column)))
+
+  /** Shared pruned-read core: scan the visible add files passing `keep`
+    * (stat/bloom pruning), minus merge-on-read tombstones — removed
+    * files never make the scan list; files with a deletion vector get
+    * the position-level subtraction. A table never touched by
+    * merge-on-read reads exactly as before (no metadata columns). */
+  private def readAddFiles(spark: SparkSession)
+      (keep: AddFile => Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = visibleCommits(None)
+    val ts = tombstones(all)
+    val keys = all.flatMap { c =>
+      c.adds.collect { case a if keep(a) => addKey(c, a) }
+    }.filterNot(ts.removed)
+    if (keys.isEmpty) spark.emptyDataFrame
+    else {
+      val base = spark.read.parquet(keys.map(k => dataDir.resolve(k).toString): _*)
+      if (!keys.exists(ts.dv.contains)) base
+      else applyTombstones(
+          base.withColumn(FileCol, relKeyCol)
+            .withColumn(RidxCol, col("_metadata.row_index")),
+          Tombstones(Set.empty, ts.dv))
+        .drop(FileCol, RidxCol)
     }
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
   }
 
   private def nextVersion(): Long =
@@ -1022,18 +1148,210 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * Structured Streaming's own guarantee. Returns the committed
     * version, or None for a skipped replay. */
   def mergeBatch(spark: SparkSession, updates: DataFrame, keys: Seq[String],
-      batchId: Long, streamAppId: String = appId): Option[Long] =
+      batchId: Long, streamAppId: String = appId,
+      mor: Boolean = false): Option[Long] =
     if (lastStreamBatch(streamAppId).exists(_ >= batchId)) None
-    else Some(merge(spark, updates, keys, Some(streamAppId -> batchId)))
+    else Some(
+      if (mor) mergeDV(spark, updates, keys,
+        streamTxn = Some(streamAppId -> batchId))
+      else merge(spark, updates, keys, Some(streamAppId -> batchId)))
 
   /** DELETE rows matching the predicate; snapshot-commit the remainder.
-    * The deleted rows are recorded as the commit's change set. */
+    * The deleted rows are recorded as the commit's change set.
+    *
+    * This is the COPY-ON-WRITE form — it rewrites the whole live state,
+    * which is the right call for deletes touching most of the table but
+    * fatal at scale for selective ones. [[deleteDV]] is the
+    * merge-on-read form (deletion vectors) whose cost is O(matched
+    * files), not O(table). */
   def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.lit
     transactSnapshotChanges(spark, "DELETE") { current =>
       (current.filter(!predicate),
         Some(current.filter(predicate).withColumn("_change_type", lit("delete"))))
     }
+  }
+
+  /** Merge-on-read DELETE (the Delta deletion-vector write path): rows
+    * matching `predicate` are deleted WITHOUT rewriting untouched data.
+    * Per matched file the writer picks the cheapest correct action
+    * ([[DeletionVectors.classify]]): fully-matched files are dropped
+    * from the live set (`remove` action), files whose total deleted-row
+    * vector stays under `dvMaxRows` get a deletion vector (`dv` action
+    * — readers subtract the positions by `_metadata.row_index`), and
+    * files over the cap are rewritten file-locally (kept rows re-staged,
+    * original removed) so vectors stay small enough to broadcast.
+    * Unmatched files are NEVER touched — at 100 TB a selective DELETE
+    * costs O(matched files), while the copy-on-write [[delete]] costs
+    * O(table).
+    *
+    * Runs through the OCC claim loop like every snapshot transaction;
+    * records matched rows as its CDC `delete` change set; time travel
+    * to any pre-delete version still sees the rows (tombstones fold per
+    * version). A later snapshot commit (merge/compact/restore) re-bases
+    * the state and clears all tombstones. Returns the committed
+    * version, or -1 if the table has no data commits. */
+  def deleteDV(spark: SparkSession, predicate: org.apache.spark.sql.Column,
+      dvMaxRows: Int = 100000, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.lit
+    if (visibleCommits(None).forall(_.adds.isEmpty)) return -1L
+    morCommit(spark, "DELETE_MOR", dvMaxRows, maxRetries, None) { statePos =>
+      val doomed = statePos.filter(predicate)
+      (doomed, None,
+        doomed.drop(FileCol, RidxCol).withColumn("_change_type", lit("delete")))
+    }
+  }
+
+  /** Merge-on-read MERGE (upsert via deletion vectors): matched
+    * committed rows are tombstoned in place (same per-file
+    * remove/vector/rewrite policy as [[deleteDV]]) and `updates` lands
+    * as new files — one commit, cost O(matched files + |updates|)
+    * instead of [[merge]]'s O(table) rewrite. This is the verb a
+    * STREAMING upsert pipeline must use at scale: each micro-batch
+    * touches only the files containing its keys. `updates` is
+    * broadcast for the match probe, so it should be micro-batch-sized
+    * (the streaming case by construction). CDC change rows (insert /
+    * update_preimage / update_postimage) are recorded exactly as
+    * [[merge]] records them. */
+  def mergeDV(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      dvMaxRows: Int = 100000, maxRetries: Int = 20,
+      streamTxn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    if (visibleCommits(None).forall(_.adds.isEmpty))
+      return merge(spark, updates, keys, streamTxn)
+    morCommit(spark, "MERGE_MOR", dvMaxRows, maxRetries, streamTxn) { statePos =>
+      val keyRel = updates.select(keys.map(col): _*).distinct()
+      val doomed = statePos.join(broadcast(keyRel), keys, "left_semi")
+      val stateKeys = statePos.select(keys.map(col): _*)
+      val inserted = updates.join(stateKeys, keys, "left_anti")
+        .withColumn("_change_type", lit("insert"))
+      val pre = doomed.drop(FileCol, RidxCol)
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = updates.join(stateKeys, keys, "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+      (doomed, Some(updates),
+        inserted.unionByName(pre).unionByName(post))
+    }
+  }
+
+  /** Total physical rows of a committed file, from its parquet footer —
+    * metadata-only, needed to classify a matched file as fully vs
+    * partially deleted. */
+  private def fileRowCount(spark: SparkSession, key: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dataDir.resolve(key).toUri), conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount.longValue).sum
+    finally r.close()
+  }
+
+  /** The merge-on-read OCC transaction core. `f` maps the live state
+    * (WITH file/position helper columns) to:
+    *
+    *  - `doomed`: the live rows this commit deletes (subset of the
+    *    input, helper columns intact — positions drive the per-file
+    *    classify);
+    *  - `appended`: new rows to add in the same commit (merge's
+    *    updates), or None;
+    *  - `changes`: the logical CDC change rows to record.
+    *
+    * The writer persists only `doomed` (matched rows — small by
+    * assumption; the table itself is never cached), classifies each
+    * matched file via footer row counts, collects row positions ONLY
+    * for vector-tier files, rewrites kept rows of over-cap files with a
+    * properly file-pruned re-scan, and claims the next version with
+    * remove/dv/add actions plus the change dir. Conflicts recompute
+    * from fresh state, exactly like [[transactSnapshotChanges]]. */
+  private def morCommit(spark: SparkSession, op: String, dvMaxRows: Int,
+      maxRetries: Int, streamTxn: Option[(String, Long)])
+      (f: DataFrame => (DataFrame, Option[DataFrame], DataFrame)): Long = {
+    import org.apache.spark.sql.functions._
+    var attempt = 0
+    while (true) {
+      val expected = nextVersion()
+      val all = visibleCommits(None)
+      val commits = all.filter(_.adds.nonEmpty)
+      val ts0 = tombstones(all)
+      val statePos = applyTombstones(scanWithPos(spark, commits), ts0)
+        .drop("batch")
+      val (doomed0, appended, changes) = f(statePos)
+      val doomed = doomed0.persist()
+      try {
+        val counts = doomed.groupBy(col(FileCol)).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val actions = counts.map { case (k, n) =>
+          k -> DeletionVectors.classify(n,
+            ts0.dv.get(k).map(_.length.toLong).getOrElse(0L),
+            fileRowCount(spark, k), dvMaxRows)
+        }
+        val removeKeys = actions.collect {
+          case (k, DeletionVectors.Remove) => k }.toSeq.sorted
+        val dvKeys = actions.collect {
+          case (k, DeletionVectors.Vector) => k }.toSeq.sorted
+        val rewriteKeys = actions.collect {
+          case (k, DeletionVectors.Rewrite) => k }.toSeq.sorted
+        val dvNew: Map[String, Array[Long]] =
+          if (dvKeys.isEmpty) Map.empty
+          else doomed.filter(col(FileCol).isin(dvKeys: _*))
+            .groupBy(col(FileCol)).agg(collect_list(col(RidxCol)).as("idxs"))
+            .collect().map { r =>
+              val k = r.getString(0)
+              k -> DeletionVectors.union(
+                ts0.dv.getOrElse(k, Array.empty[Long]),
+                r.getSeq[Long](1).toArray)
+            }.toMap
+        // over-cap files: rewrite kept rows from a re-scan of JUST those
+        // files (file-pruned at the source, unlike filtering the full
+        // state scan), minus their existing DV rows and this commit's
+        // doomed rows
+        val kept = if (rewriteKeys.isEmpty) None else Some {
+          val scan = spark.read
+            .parquet(rewriteKeys.map(k => dataDir.resolve(k).toString): _*)
+            .withColumn(FileCol, relKeyCol)
+            .withColumn(RidxCol, col("_metadata.row_index"))
+          applyTombstones(scan, Tombstones(Set.empty,
+              ts0.dv.filter(kv => rewriteKeys.contains(kv._1))))
+            .join(doomed.select(col(FileCol), col(RidxCol)),
+              Seq(FileCol, RidxCol), "left_anti")
+            .drop(FileCol, RidxCol)
+        }
+        val newRows = (kept, appended) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
+          case (a, b) => a.orElse(b)
+        }
+        val uuid = java.util.UUID.randomUUID().toString
+        val dir = s"files/$uuid"
+        var adds: Seq[Path] = Nil
+        var stats: Map[String, Map[String, (String, String)]] = Map.empty
+        newRows.foreach { nr =>
+          val staging = Paths.get(tableDir, s".staging-$uuid")
+          adds = stage(nr, staging, Nil)
+          stats = fileStats(spark, staging)
+          Files.createDirectories(dataDir.resolve("files"))
+          Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
+          touchNow(dataDir.resolve(dir))
+        }
+        val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
+        stage(changes, chStaging, Nil, check = false)
+        val changeRel = s"changes/$uuid"
+        Files.createDirectories(dataDir.resolve("changes"))
+        Files.move(chStaging, dataDir.resolve(changeRel),
+          StandardCopyOption.ATOMIC_MOVE)
+        touchNow(dataDir.resolve(changeRel))
+        val schemaJson = statePos.drop(FileCol, RidxCol).schema.json
+        if (claim(expected, entryJsonS(schemaJson, expected,
+            if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
+            stats, op, Some(changeRel), streamTxn = streamTxn,
+            removes = removeKeys ++ rewriteKeys, dvs = dvNew)))
+          return expected
+      } finally doomed.unpersist(blocking = false)
+      attempt += 1
+      if (attempt > maxRetries)
+        sys.error(s"$op: gave up after $maxRetries conflicts")
+    }
+    -1L // unreachable
   }
 
   /** REPLACE WHERE (Delta's predicate/partition overwrite): atomically
@@ -1135,12 +1453,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val src = visibleCommits(Some(toVersion)).filter(_.adds.nonEmpty)
     require(src.nonEmpty, s"restore: no data visible at version $toVersion")
     val dirs = src.flatMap(_.dataDirs).distinct
+    // merge-on-read state at the target version: files removed by then
+    // are NOT lifted, and surviving deletion vectors ride the restore
+    // commit itself — otherwise a restore past a DV delete would
+    // resurrect the deleted rows
+    val tsAt = tombstones(visibleCommits(Some(toVersion)))
     // re-pointed add actions: paths become data/-relative; stats and
     // blooms carry over verbatim (restore cannot change them)
     val adds = src.flatMap { c =>
-      c.adds.map(a =>
-        if (c.restoreDirs.nonEmpty) a else a.copy(path = s"${c.dir}/${a.path}"))
+      c.adds.collect {
+        case a if !tsAt.removed.contains(addKey(c, a)) =>
+          if (c.restoreDirs.nonEmpty) a
+          else a.copy(path = s"${c.dir}/${a.path}")
+      }
     }
+    val liftedKeys = adds.map(_.path).toSet
+    val dvCarry = tsAt.dv.filter(kv => liftedKeys.contains(kv._1))
     val stats = adds.map(a => a.path ->
       a.stats.map { case (cn, (lo, hi)) => cn -> (lo.orNull, hi.orNull) }).toMap
     val blooms = adds.filter(_.bloom.nonEmpty).map(a => a.path -> a.bloom).toMap
@@ -1163,7 +1491,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (claim(expected, entryJsonS(
           target.schema.json, expected, "", Nil, snapshot = true,
           adds.map(a => Paths.get(a.path)), stats, "RESTORE",
-          Some(changeRel), blooms, restoreDirs = dirs)))
+          Some(changeRel), blooms, restoreDirs = dirs,
+          // removed files are excluded from the lifted adds, but the
+          // re-pointed DIRS still physically contain them — the restore
+          // commit re-states the removes so the dir-granular scan keeps
+          // subtracting them after the snapshot fold restarts
+          removes = tsAt.removed.toSeq.sorted, dvs = dvCarry)))
         return expected
       attempt += 1
       if (attempt > maxRetries)

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.streaming.ExactlyOnceSink
 
 /** Model-based fuzz of the sink's commit protocol: seeded random
-  * sequences of append / merge / delete / cleanupLog / vacuum, checked
+  * sequences of append / merge / mergeDV / delete / deleteDV /
+  * cleanupLog / vacuum (both copy-on-write and merge-on-read,
+  * including DV-cap-forced rewrites), checked
   * after every step against an in-memory reference model — live state,
   * per-version history for time travel, and the retention boundary.
   * The targeted specs (StreamingSpec, LogCheckpointSpec) pin each
@@ -44,7 +46,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           s"live state diverged after ${history.size} commits")
 
       (1 to 24).foreach { step =>
-        rnd.nextInt(10) match {
+        rnd.nextInt(12) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows))
@@ -56,7 +58,11 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             val ins = freshRows(rnd.nextInt(2))
             val rows = upd ++ ins
             if (rows.nonEmpty) {
-              val v = sink.merge(spark, df(rows), Seq("id"))
+              // alternate copy-on-write and merge-on-read upserts — the
+              // model is identical, only the physical protocol differs
+              val v = if (rnd.nextBoolean())
+                sink.mergeDV(spark, df(rows), Seq("id"))
+              else sink.merge(spark, df(rows), Seq("id"))
               live = live ++ rows
               history :+= (v, live)
             }
@@ -65,6 +71,22 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               val cut = live.keys.toSeq(rnd.nextInt(live.size))
               val v = sink.delete(spark, col("id") <= cut)
               live = live.filter(_._1 > cut)
+              history :+= (v, live)
+            }
+          case 10 => // merge-on-read delete of a random id range
+            if (live.nonEmpty) {
+              val cut = live.keys.toSeq(rnd.nextInt(live.size))
+              val v = sink.deleteDV(spark, col("id") <= cut,
+                // tiny cap occasionally forces the rewrite tier
+                dvMaxRows = if (rnd.nextBoolean()) 1 else 100000)
+              live = live.filter(_._1 > cut)
+              history :+= (v, live)
+            }
+          case 11 => // merge-on-read delete of specific ids
+            if (live.nonEmpty) {
+              val picks = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(3))
+              val v = sink.deleteDV(spark, col("id").isin(picks: _*))
+              live = live -- picks
               history :+= (v, live)
             }
           case 7 => // retention: reclaim below the newest checkpoint
