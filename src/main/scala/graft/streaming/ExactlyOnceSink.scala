@@ -810,10 +810,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * stripped — computed in the scan so tombstones can be subtracted by
     * (file, row position) without reconstructing absolute URIs. */
   private def relKeyCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
-    val prefix = java.util.regex.Pattern.quote(
-      dataDir.toAbsolutePath.toString.replace("\\", "/") + "/")
-    regexp_replace(col("_metadata.file_path"), "^.*" + prefix, "")
+    import org.apache.spark.sql.functions.{col, instr, lit}
+    // plain substring search (no per-row regex): the absolute data/ path
+    // is rooted, so its first occurrence in the file URI is the prefix
+    val marker = dataDir.toAbsolutePath.toString.replace("\\", "/") + "/"
+    val fp = col("_metadata.file_path")
+    fp.substr(instr(fp, marker) + lit(marker.length), lit(1 << 20))
   }
 
   /** Per-commit scan like [[read]]'s fast path, plus the file key and
@@ -1219,15 +1221,31 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     if (visibleCommits(None).forall(_.adds.isEmpty))
       return merge(spark, updates, keys, streamTxn)
-    morCommit(spark, "MERGE_MOR", dvMaxRows, maxRetries, streamTxn) { statePos =>
+    // the source's per-key-column bounds prune the probe to files whose
+    // stats ranges intersect (one tiny agg job on the micro-batch-sized
+    // source; non-numeric keys contribute no bound — conservative)
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val aggs = keys.flatMap(k => Seq(
+      fmin(col(k)).cast("double").as(s"__lo_$k"),
+      fmax(col(k)).cast("double").as(s"__hi_$k")))
+    val bRow = updates.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (bRow.isNullAt(2 * i) || bRow.isNullAt(2 * i + 1)) None
+      else Some(k -> (bRow.getDouble(2 * i), bRow.getDouble(2 * i + 1)))
+    }.toMap
+    morCommit(spark, "MERGE_MOR", dvMaxRows, maxRetries, streamTxn,
+        keyBounds = bounds) { statePos =>
       val keyRel = updates.select(keys.map(col): _*).distinct()
       val doomed = statePos.join(broadcast(keyRel), keys, "left_semi")
-      val stateKeys = statePos.select(keys.map(col): _*)
-      val inserted = updates.join(stateKeys, keys, "left_anti")
+      // matched keys ARE doomed's keys (cached by morCommit), so the
+      // insert/postimage split broadcasts them instead of re-scanning
+      // the table's key column
+      val doomedKeys = doomed.select(keys.map(col): _*).distinct()
+      val inserted = updates.join(broadcast(doomedKeys), keys, "left_anti")
         .withColumn("_change_type", lit("insert"))
       val pre = doomed.drop(FileCol, RidxCol)
         .withColumn("_change_type", lit("update_preimage"))
-      val post = updates.join(stateKeys, keys, "left_semi")
+      val post = updates.join(broadcast(doomedKeys), keys, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
       (doomed, Some(updates),
         inserted.unionByName(pre).unionByName(post))
@@ -1264,8 +1282,52 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * properly file-pruned re-scan, and claims the next version with
     * remove/dv/add actions plus the change dir. Conflicts recompute
     * from fresh state, exactly like [[transactSnapshotChanges]]. */
+  /** Does the file's recorded [min,max] possibly intersect every bound?
+    * Missing/non-numeric stats keep the file (pruning stays
+    * conservative) — the same contract as readSkippingAll. */
+  private def statsIntersect(a: AddFile,
+      bounds: Map[String, (Double, Double)]): Boolean =
+    bounds.forall { case (c, (lo, hi)) =>
+      a.stats.get(c) match {
+        case Some((Some(mn), Some(mx))) =>
+          try !(mx.toDouble < lo || mn.toDouble > hi)
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    }
+
+  /** The merge-on-read PROBE scan: live files of the pruned commits,
+    * with file/position helper columns. Flat commits (no hive
+    * partition subdirs — every commitAppend/morCommit output) scan
+    * exactly their surviving pruned FILES; hive-partitioned commits
+    * scan dir-granular (reading leaf files directly would drop the
+    * partition columns) and rely on the tombstone anti-join +
+    * row-group stats instead. One union, no per-commit batch column. */
+  private def probeScan(spark: SparkSession, commits: Seq[Commit],
+      ts: Tombstones, bounds: Map[String, (Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn(FileCol, relKeyCol)
+      .withColumn(RidxCol, col("_metadata.row_index"))
+    val frames = commits.flatMap { c =>
+      val live = c.adds.filter(a =>
+        !ts.removed.contains(addKey(c, a)) && statsIntersect(a, bounds))
+      if (live.isEmpty) None
+      else if (c.adds.forall(a => !a.path.contains("/")))
+        // flat layout: scan only the surviving files of this commit
+        Some(withPos(spark.read.parquet(
+          live.map(a => dataDir.resolve(addKey(c, a)).toString): _*)))
+      else
+        Some(withPos(spark.read.parquet(
+          c.dataDirs.map(d => dataDir.resolve(d).toString): _*)))
+    }
+    if (frames.isEmpty) spark.emptyDataFrame
+    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   private def morCommit(spark: SparkSession, op: String, dvMaxRows: Int,
-      maxRetries: Int, streamTxn: Option[(String, Long)])
+      maxRetries: Int, streamTxn: Option[(String, Long)],
+      keyBounds: Map[String, (Double, Double)] = Map.empty)
       (f: DataFrame => (DataFrame, Option[DataFrame], DataFrame)): Long = {
     import org.apache.spark.sql.functions._
     var attempt = 0
@@ -1274,8 +1336,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val all = visibleCommits(None)
       val commits = all.filter(_.adds.nonEmpty)
       val ts0 = tombstones(all)
-      val statePos = applyTombstones(scanWithPos(spark, commits), ts0)
-        .drop("batch")
+      // stat-pruned probe (the Delta MERGE file-skipping argument: a key
+      // present in a file is inside that file's [min,max], so files
+      // pruned by the source's key bounds can contain NO matched rows —
+      // skipping them changes nothing)
+      val probe = probeScan(spark, commits, ts0, keyBounds)
+      val statePos =
+        if (probe.columns.isEmpty) {
+          // every file pruned: nothing can match, but f still needs a
+          // typed empty relation (merge then classifies all updates as
+          // inserts)
+          val sch = latestSchema().getOrElse(
+            org.apache.spark.sql.types.StructType(Nil))
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+            .withColumn(FileCol, lit(""))
+            .withColumn(RidxCol, lit(0L))
+        } else applyTombstones(probe, ts0)
       val (doomed0, appended, changes) = f(statePos)
       val doomed = doomed0.persist()
       try {
