@@ -793,9 +793,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
           .withColumn("batch", lit(c.version).cast("int"))
       }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    else
-      applyTombstones(scanWithPos(spark, commits, mergeSchema), ts)
-        .drop(FileCol, RidxCol)
+    else {
+      val scanned = scanWithPos(spark, commits, ts, mergeSchema)
+      if (scanned.columns.isEmpty) scanned // every file removed
+      else applyTombstones(scanned, ts).drop(FileCol, RidxCol)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -819,20 +821,35 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   }
 
   /** Per-commit scan like [[read]]'s fast path, plus the file key and
-    * row position of every row (the columns tombstone subtraction and
-    * the merge-on-read writers need). */
+    * row position of every row (the columns tombstone subtraction
+    * needs). Flat commits (no hive partition subdirs) prune REMOVED
+    * files out of the scan itself — after a merge-on-read remove or an
+    * incremental OPTIMIZE, retired files are not even listed; the
+    * remove anti-join then only covers dir-granular (hive/restore)
+    * commits. Returns an empty frame when every file is retired. */
   private def scanWithPos(spark: SparkSession, commits: Seq[Commit],
-      mergeSchema: Boolean = false): DataFrame = {
+      ts: Tombstones, mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    commits.map { c =>
-      c.dataDirs.map(d => spark.read
-          .option("mergeSchema", mergeSchema.toString)
-          .parquet(dataDir.resolve(d).toString)
-          .withColumn(FileCol, relKeyCol)
-          .withColumn(RidxCol, col("_metadata.row_index")))
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-        .withColumn("batch", lit(c.version).cast("int"))
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn(FileCol, relKeyCol)
+      .withColumn(RidxCol, col("_metadata.row_index"))
+    def rd(paths: Seq[String]): DataFrame = spark.read
+      .option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    val frames = commits.flatMap { c =>
+      val flat = c.adds.forall(a => !a.path.contains("/"))
+      val base =
+        if (flat) {
+          val live = c.adds.map(a => addKey(c, a))
+            .filterNot(ts.removed.contains)
+          if (live.isEmpty) None
+          else Some(rd(live.map(k => dataDir.resolve(k).toString)))
+        } else Some(c.dataDirs
+          .map(d => rd(Seq(dataDir.resolve(d).toString)))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+      base.map(df => withPos(df).withColumn("batch", lit(c.version).cast("int")))
+    }
+    if (frames.isEmpty) spark.emptyDataFrame
+    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Subtract tombstones from a [[scanWithPos]] frame: one broadcast
@@ -899,6 +916,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           "commit such transforms via merge()/delete().")
       }
     val frames = commits.flatMap {
+      case c if c.op == "COMPACT_INC" =>
+        // bin-packing is a physical rewrite of prior state — no logical
+        // change, same as COMPACT
+        None
       case c if c.op == "DELETE_MOR" || c.op == "MERGE_MOR" =>
         // merge-on-read commits: their adds are PHYSICAL (per-file
         // rewrites + merge's new rows) — the logical change set is the
@@ -1596,6 +1617,63 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
        else graft.operators.ZOrder.cluster(live, clusterBy, clusterFiles),
         None)
     }
+
+  /** Incremental OPTIMIZE (the actual Delta OPTIMIZE semantics:
+    * bin-pack SMALL files, leave big ones alone): live files under
+    * `targetBytes` are read (deletion vectors subtracted — packing
+    * materializes them away), re-written as ~targetBytes files, and
+    * committed as a NON-snapshot entry whose `remove` actions retire
+    * the originals. [[compact]] rewrites the whole table — right for
+    * re-clustering, wrong for the steady-state small-files problem a
+    * streaming ingest creates, where O(small files) work per OPTIMIZE
+    * run is the point. Physical-only like compact: contributes nothing
+    * to the CDC feed; time travel before the commit still sees the
+    * original files. Hive-partitioned commits are skipped (reading
+    * their leaf files directly would drop partition columns); the OCC
+    * claim loop re-picks candidates on conflict, so a concurrent DV
+    * delete can never be lost. Returns the committed version, or -1
+    * when fewer than `minFiles` candidates exist. */
+  def compactSmall(spark: SparkSession, targetBytes: Long = 128L << 20,
+      minFiles: Int = 2, maxRetries: Int = 20): Long = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (true) {
+      val expected = nextVersion()
+      val all = visibleCommits(None)
+      val ts = tombstones(all)
+      val cands = all.filter(_.adds.nonEmpty)
+        .filter(c => c.adds.forall(a => !a.path.contains("/")))
+        .flatMap(c => c.adds.map(a => addKey(c, a)))
+        .filterNot(ts.removed)
+        .map(k => k -> Files.size(dataDir.resolve(k)))
+        .filter(_._2 < targetBytes)
+      if (cands.size < minFiles) return -1L
+      val nOut = math.max(1,
+        math.ceil(cands.map(_._2).sum.toDouble / targetBytes).toInt)
+      val scan = spark.read
+        .parquet(cands.map(c => dataDir.resolve(c._1).toString): _*)
+        .withColumn(FileCol, relKeyCol)
+        .withColumn(RidxCol, col("_metadata.row_index"))
+      val packed = applyTombstones(scan, Tombstones(Set.empty, ts.dv))
+        .drop(FileCol, RidxCol).coalesce(nOut)
+      val uuid = java.util.UUID.randomUUID().toString
+      val staging = Paths.get(tableDir, s".staging-$uuid")
+      val adds = stage(packed, staging, Nil)
+      val stats = fileStats(spark, staging)
+      val dir = s"files/$uuid"
+      Files.createDirectories(dataDir.resolve("files"))
+      Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
+      touchNow(dataDir.resolve(dir))
+      if (claim(expected, entryJsonS(packed.schema.json, expected, dir, Nil,
+          snapshot = false, adds, stats, "COMPACT_INC", None,
+          removes = cands.map(_._1))))
+        return expected
+      attempt += 1
+      if (attempt > maxRetries)
+        sys.error(s"compactSmall: gave up after $maxRetries conflicts")
+    }
+    -1L // unreachable
+  }
 
   /** VACUUM analog: delete data that no committed version references —
     * abandoned OCC staging dirs (lost snapshot races) and, with

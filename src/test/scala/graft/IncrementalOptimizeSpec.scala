@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.streaming.ExactlyOnceSink
+
+/** compactSmall — incremental OPTIMIZE (bin-pack small files via
+  * remove actions, no table rewrite): state preservation, live-file
+  * shrink, DV materialization, CDC transparency, time travel. */
+class IncrementalOptimizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def newSink(tag: String): (ExactlyOnceSink, String) = {
+    val dir = Files.createTempDirectory(s"graft-opt-$tag").toString
+    (new ExactlyOnceSink(dir), dir)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    if (!df.columns.contains("id")) Set.empty
+    else df.select("id").collect().map(_.getLong(0)).toSet
+
+  /** Distinct live files the current read actually scans. */
+  private def liveFiles(sink: ExactlyOnceSink): Set[String] =
+    sink.read(spark).inputFiles.toSet
+
+  test("bin-packs many small appends into few files; state and history intact") {
+    val (sink, _) = newSink("pack")
+    (0 until 6).foreach { k =>
+      sink.commitAppend(Seq((k.toLong, s"v$k")).toDF("id", "x").coalesce(1))
+    }
+    val before = liveFiles(sink)
+    assert(before.size === 6)
+    val v = sink.compactSmall(spark)
+    assert(v >= 0)
+    assert(ids(sink.read(spark)) === (0L until 6L).toSet)
+    assert(liveFiles(sink).size < before.size, "live file count must drop")
+    // originals still serve time travel
+    assert(ids(sink.read(spark, versionAsOf = Some(2L))) === (0L until 3L).toSet)
+    // physical-only: contributes nothing to the CDC feed
+    assert(sink.readChanges(spark, v - 1, v).isEmpty)
+    // below the candidate floor nothing happens
+    assert(sink.compactSmall(spark, minFiles = 5) === -1L)
+  }
+
+  test("packing materializes deletion vectors away") {
+    val (sink, dir) = newSink("dv")
+    sink.commitAppend(Seq.tabulate(10)(i => (i.toLong, "a")).toDF("id", "x").coalesce(1))
+    sink.commitAppend(Seq.tabulate(10)(i => (100L + i, "b")).toDF("id", "x").coalesce(1))
+    sink.deleteDV(spark, col("id").isin(3L, 105L))
+    val v = sink.compactSmall(spark)
+    assert(v >= 0)
+    val expect = ((0L until 10L).toSet ++ (100L until 110L).toSet) -- Set(3L, 105L)
+    assert(ids(sink.read(spark)) === expect)
+    // the packed commit's entry carries removes but NO dv actions, and
+    // the packed files physically lack the deleted rows
+    val entry = Files.readString(Paths.get(dir, "_graft_log", f"$v%020d.json"))
+    assert(entry.contains("\"remove\"") && !entry.contains("\"dv\""))
+    val cold = new ExactlyOnceSink(dir)
+    assert(ids(cold.read(spark)) === expect)
+  }
+
+  test("incremental consumer state survives a pack") {
+    val (sink, _) = newSink("cdc")
+    sink.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "x").coalesce(1))
+    sink.commitAppend(Seq((3L, "c")).toDF("id", "x").coalesce(1))
+    sink.compactSmall(spark)
+    sink.mergeDV(spark, Seq((2L, "b2")).toDF("id", "x"), Seq("id"))
+    val st = sink.stateFromChanges(spark, Seq("id")).select("id", "x")
+      .as[(Long, String)].collect().toMap
+    assert(st === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("big files are left alone") {
+    val (sink, _) = newSink("big")
+    sink.commitAppend(spark.range(0, 5000).select(col("id"),
+      lit("p").as("x")).coalesce(1))
+    sink.commitAppend(Seq((9000L, "q")).toDF("id", "x").coalesce(1))
+    sink.commitAppend(Seq((9001L, "r")).toDF("id", "x").coalesce(1))
+    val big = liveFiles(sink).filter(f =>
+      Files.size(Paths.get(f.stripPrefix("file:"))) >= 4096)
+    // pack only files under 4 KB: the 5000-row file survives untouched
+    val v = sink.compactSmall(spark, targetBytes = 4096)
+    assert(v >= 0)
+    assert(big.subsetOf(liveFiles(sink)), "big files must not be rewritten")
+    assert(ids(sink.read(spark)).size === 5002)
+  }
+}

@@ -95,8 +95,14 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               val ck = (maxV / interval) * interval
               if (ck > 0) anchor = math.max(anchor, ck)
             }
-          case 8 => // vacuum must never change any read
-            sink.vacuum(minAgeMs = 0)
+          case 8 => // physical maintenance must never change any read:
+            // vacuum, or incremental OPTIMIZE (tiny target forces real
+            // packing of whatever small files exist)
+            if (rnd.nextBoolean()) sink.vacuum(minAgeMs = 0)
+            else {
+              val v = sink.compactSmall(spark, targetBytes = 1L << 20)
+              if (v >= 0) history :+= (v, live) // state unchanged
+            }
           case 9 => // time travel to a random retained version
             history.filter(_._1 >= anchor) match {
               case h if h.nonEmpty =>
