@@ -301,7 +301,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       try { Files.createLink(logFile(version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
       finally { Files.deleteIfExists(tmp) }
-    if (won) maybeCheckpoint(version)
+    if (won) {
+      // re-stamp to COMMIT time: the hard link inherits the tmp file's
+      // write mtime, which for a writer that lost earlier claim races
+      // predates rivals' entries — mtime-ordered log consumers
+      // ([[tailChanges]]'s file stream) and cleanupLog's age guard both
+      // want claim order, and claims are sequential by construction
+      try touchNow(logFile(version))
+      catch { case scala.util.control.NonFatal(_) => () }
+      maybeCheckpoint(version)
+    }
     won
   }
 
@@ -940,6 +949,48 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
     if (frames.isEmpty) spark.emptyDataFrame
     else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** STREAMING CDC tail — the "Delta table as a streaming SOURCE"
+    * analog, closing the loop on the category's one-liner: a table this
+    * sink writes can itself be streamed from. The commit log is an
+    * append-only directory of per-version JSON entries, so it IS a file
+    * stream: each micro-batch carries the log entries committed since
+    * the last trigger, the batch's version range maps to logical rows
+    * via [[readChanges]], and `f` receives (changes, batchId) — compose
+    * with another sink's idempotent verbs (mergeBatch on the batchId)
+    * for exactly-once table→table replication. Restart-safe via the
+    * stream checkpoint: a replayed batch re-delivers the same version
+    * range under the same batchId. Claim-time mtime stamping keeps the
+    * file-stream listing in version order (ties broken by file name =
+    * zero-padded version). Versions at or below `fromVersion` are
+    * skipped (initial-backfill bound, exclusive). Inherits readChanges'
+    * loud failure on bare SNAPSHOT commits in range — a tail cannot
+    * silently skip unknowable changes. */
+  def tailChanges(spark: SparkSession, checkpointDir: String,
+      fromVersion: Long = -1L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      (f: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    // partial-parse only the version; the entry JSON stays the log's
+    val entrySchema = StructType(Seq(StructField("txn",
+      StructType(Seq(StructField("version", LongType))))))
+    val entries = spark.readStream
+      .schema(entrySchema)
+      .option("pathGlobFilter", "*.json") // never .checkpoint files
+      .json(logDir.toString)
+    entries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val vs = batch.select(col("txn.version")).collect()
+          .map(_.getLong(0)).filter(_ > fromVersion)
+        if (vs.nonEmpty) f(readChanges(spark, vs.min - 1, vs.max), id)
+      }
+      .start()
   }
 
   /** What a downstream incremental consumer maintains: the live row set

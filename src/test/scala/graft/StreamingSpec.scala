@@ -1179,4 +1179,97 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch,
       s"stream-batch divergence: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
   }
+
+  test("tailChanges streams a table's CDC feed: complete, incremental, restart-safe") {
+    val srcDir = Files.createTempDirectory("graft-tail-src").toString
+    val ckpt = Files.createTempDirectory("graft-tail-ckpt").toString
+    val sink = new ExactlyOnceSink(srcDir)
+    sink.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"))
+    sink.mergeDV(spark, Seq((2L, "b2"), (4L, "d")).toDF("id", "x"), Seq("id"))
+    sink.deleteDV(spark, col("id") === 1L)
+
+    // collected (version, change_type, id, x) across all delivered batches
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, String)]
+    def drain(): Unit = {
+      val qy = sink.tailChanges(spark, ckpt) { (changes, _) =>
+        seen ++= changes.select(col("batch"), col("_change_type"),
+            col("id"), col("x"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      }
+      qy.awaitTermination(120000)
+    }
+    drain()
+    // the full history so far arrived: appends as inserts, the MOR
+    // merge's pre/post pairs, the MOR delete's delete row
+    assert(seen.map(_._2).toSet ===
+      Set("insert", "update_preimage", "update_postimage", "delete"))
+    // replaying latest-wins over the delivered feed reproduces read()
+    def replay(): Map[Long, String] = {
+      val byKey = seen.groupBy(_._3)
+      byKey.flatMap { case (id, evs) =>
+        val last = evs.sortBy(e => (e._1,
+          if (e._2 == "insert" || e._2 == "update_postimage") 1 else 0)).last
+        if (last._2 == "delete") None else Some(id -> last._4)
+      }
+    }
+    val live = sink.read(spark).select("id", "x").as[(Long, String)].collect().toMap
+    assert(replay() === live)
+
+    // new commits after the first drain: the checkpoint makes the second
+    // drain deliver ONLY the new versions
+    val before = seen.size
+    sink.commitAppend(Seq((5L, "e")).toDF("id", "x"))
+    sink.mergeDV(spark, Seq((5L, "e2")).toDF("id", "x"), Seq("id"))
+    drain()
+    val newOnes = seen.drop(before)
+    assert(newOnes.nonEmpty && newOnes.forall(_._1 >= 3),
+      s"second drain must carry only new versions, got ${newOnes.take(5)}")
+    assert(replay() === sink.read(spark).select("id", "x")
+      .as[(Long, String)].collect().toMap)
+  }
+
+  test("table-to-table replication: tailChanges feeding merge-on-read apply") {
+    val srcDir = Files.createTempDirectory("graft-repl-src").toString
+    val dstDir = Files.createTempDirectory("graft-repl-dst").toString
+    val ckpt = Files.createTempDirectory("graft-repl-ckpt").toString
+    val src = new ExactlyOnceSink(srcDir, appId = "repl-src")
+    val dst = new ExactlyOnceSink(dstDir, appId = "repl-dst")
+
+    def state(s: ExactlyOnceSink): Map[Long, String] = {
+      val df = s.read(spark)
+      if (!df.columns.contains("id")) Map.empty
+      else df.select("id", "x").as[(Long, String)].collect().toMap
+    }
+    // the applier: per source version (ascending — cross-version order
+    // matters), upsert the row-creating changes and delete the deletes;
+    // both verbs are merge-on-read, so the replica pays O(touched
+    // files) per applied version, and re-applying a replayed batch is
+    // harmless (same upserts converge, deletes of absent keys no-op)
+    def drain(): Unit = {
+      val qy = src.tailChanges(spark, ckpt) { (changes, _) =>
+        val byV = changes.select(col("batch"), col("_change_type"),
+            col("id"), col("x")).collect()
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        byV.foreach { case (_, rows) =>
+          val ups = rows.filter(r =>
+            r.getString(1) == "insert" || r.getString(1) == "update_postimage")
+            .map(r => (r.getLong(2), r.getString(3))).toSeq
+          if (ups.nonEmpty) dst.mergeDV(spark, ups.toDF("id", "x"), Seq("id"))
+          val dels = rows.filter(_.getString(1) == "delete").map(_.getLong(2))
+          if (dels.nonEmpty) dst.deleteDV(spark, col("id").isin(dels.toSeq: _*))
+        }
+      }
+      qy.awaitTermination(120000)
+    }
+
+    src.commitAppend(Seq.tabulate(20)(i => (i.toLong, s"v$i")).toDF("id", "x"))
+    src.mergeDV(spark, Seq((3L, "u3"), (30L, "n30")).toDF("id", "x"), Seq("id"))
+    drain()
+    assert(state(dst) === state(src), "replica diverged after first drain")
+
+    src.deleteDV(spark, col("id") < 5L)
+    src.merge(spark, Seq((7L, "u7")).toDF("id", "x"), Seq("id")) // CoW merge too
+    drain()
+    assert(state(dst) === state(src), "replica diverged after second drain")
+  }
 }
