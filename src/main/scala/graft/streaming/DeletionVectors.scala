@@ -23,28 +23,31 @@ package graft.streaming
   */
 object DeletionVectors {
 
-  /** Encode SORTED DISTINCT row indices as a range string ("0,5,9-12").
-    * Empty input encodes as "". */
-  def encode(sorted: Array[Long]): String = {
-    if (sorted.isEmpty) return ""
-    val sb = new StringBuilder
+  /** SORTED DISTINCT row indices as inclusive consecutive runs —
+    * the compact form both the codec and the read-side anti-join
+    * build on (the driver ships runs; executors expand them). */
+  def ranges(sorted: Array[Long]): Seq[(Long, Long)] = {
+    if (sorted.isEmpty) return Nil
+    val out = Seq.newBuilder[(Long, Long)]
     var start = sorted(0)
     var prev = sorted(0)
-    def flush(): Unit = {
-      if (sb.nonEmpty) sb.append(',')
-      if (start == prev) sb.append(start)
-      else sb.append(start).append('-').append(prev)
-    }
     var i = 1
     while (i < sorted.length) {
       val x = sorted(i)
-      if (x == prev + 1) prev = x
-      else { flush(); start = x; prev = x }
+      if (x != prev + 1) { out += ((start, prev)); start = x }
+      prev = x
       i += 1
     }
-    flush()
-    sb.toString
+    out += ((start, prev))
+    out.result()
   }
+
+  /** Encode SORTED DISTINCT row indices as a range string ("0,5,9-12").
+    * Empty input encodes as "". */
+  def encode(sorted: Array[Long]): String =
+    ranges(sorted).map { case (a, b) =>
+      if (a == b) a.toString else s"$a-$b"
+    }.mkString(",")
 
   /** Decode a range string back to sorted row indices. */
   def decode(s: String): Array[Long] =

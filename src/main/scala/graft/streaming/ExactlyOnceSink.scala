@@ -846,16 +846,18 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
     val frames = commits.flatMap { c =>
       val flat = c.adds.forall(a => !a.path.contains("/"))
+      // _metadata is only resolvable directly on a scan relation, so
+      // the helper columns attach per read, before any union
       val base =
         if (flat) {
           val live = c.adds.map(a => addKey(c, a))
             .filterNot(ts.removed.contains)
           if (live.isEmpty) None
-          else Some(rd(live.map(k => dataDir.resolve(k).toString)))
+          else Some(withPos(rd(live.map(k => dataDir.resolve(k).toString))))
         } else Some(c.dataDirs
-          .map(d => rd(Seq(dataDir.resolve(d).toString)))
+          .map(d => withPos(rd(Seq(dataDir.resolve(d).toString))))
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
-      base.map(df => withPos(df).withColumn("batch", lit(c.version).cast("int")))
+      base.map(_.withColumn("batch", lit(c.version).cast("int")))
     }
     if (frames.isEmpty) spark.emptyDataFrame
     else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -877,9 +879,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         out(FileCol) === rem("__rm_file"), "left_anti")
     }
     if (ts.dv.nonEmpty) {
-      val pairs = ts.dv.toSeq.sortBy(_._1)
-        .flatMap { case (f, idxs) => idxs.map(i => (f, i)) }
-      val dv = pairs.toDF("__dv_file", "__dv_ridx")
+      import org.apache.spark.sql.functions.{col, explode, sequence}
+      // the driver ships consecutive-run RANGES (bounded by the vectors'
+      // run structure, not their row count); executors expand them to
+      // (file, position) pairs for the equality anti-join
+      val runs = ts.dv.toSeq.sortBy(_._1).flatMap { case (f, idxs) =>
+        DeletionVectors.ranges(idxs).map { case (lo, hi) => (f, lo, hi) }
+      }
+      val dv = runs.toDF("__dv_file", "__dv_lo", "__dv_hi")
+        .select(col("__dv_file"),
+          explode(sequence(col("__dv_lo"), col("__dv_hi"))).as("__dv_ridx"))
       out = out.join(broadcast(dv),
         out(FileCol) === dv("__dv_file") && out(RidxCol) === dv("__dv_ridx"),
         "left_anti")

@@ -46,7 +46,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           s"live state diverged after ${history.size} commits")
 
       (1 to 24).foreach { step =>
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows))
@@ -109,6 +109,15 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 val (v, expect) = h(rnd.nextInt(h.size))
                 assert(state(sink.read(spark, versionAsOf = Some(v))) === expect,
                   s"time travel to $v diverged")
+              case _ => ()
+            }
+          case 12 => // RESTORE to a random retained non-empty version
+            history.filter(h => h._1 >= anchor && h._2.nonEmpty) match {
+              case h if h.nonEmpty =>
+                val (v, expect) = h(rnd.nextInt(h.size))
+                val rv = sink.restore(spark, v)
+                live = expect
+                history :+= (rv, live)
               case _ => ()
             }
         }
