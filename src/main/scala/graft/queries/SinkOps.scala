@@ -100,6 +100,65 @@ object SinkOps {
       dir.toString
     }))
 
+  /** Merge-on-read predicates for q_sink_dv_read, mirrored verbatim in
+    * the oracle: user 3's rows and the high-value tail both exist at
+    * every fixture SF (15+ users; value tops ~330 at sf0.001), so both
+    * deletes bite everywhere. */
+  private val DvUser = 3L
+  private val DvValCut = 250.0
+
+  /** One merge-on-read committed table per (JVM, sfDir): `events` in 4
+    * chunked appends (several files so the deletes produce per-file
+    * vectors, not whole-file removes), two stacked DV deletes (the
+    * second unions into existing vectors), then an incremental OPTIMIZE
+    * that bin-packs the survivors and materializes the vectors away.
+    * The declared query reads the result — so chunked-append
+    * completeness, DV subtraction, vector union, AND packing
+    * equivalence are all hash-checked against DuckDB on the raw
+    * fixture, not just spec-asserted. Cache discipline identical to
+    * [[clusteredEvents]] (content fingerprint + cross-process flock). */
+  private val builtDv = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dvEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    new ExactlyOnceSink(builtDv.computeIfAbsent(d, _ => synchronized {
+      val ev = Tables(s, d, "events")
+      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
+        sum(floor(col("value") * 100 + 0.5))).head()
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-dvread-${new java.io.File(d).getName}-$pathTag")
+      val marker = dir.resolve("_graft_built")
+      val want = s"$d fp=${fp.mkString(",")} " +
+        s"proto=4xappend,dv(user=$DvUser),dv(value>$DvValCut),compactSmall"
+      Files.createDirectories(dir.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.getParent.resolve(s".${dir.getFileName}.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)) == want
+        if (!fresh) {
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          Files.createDirectories(dir)
+          val sink = new ExactlyOnceSink(dir.toString)
+          (0 until 4).foreach { k =>
+            sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k))
+          }
+          sink.deleteDV(s, col("user_id") === DvUser)
+          sink.deleteDV(s, col("value") > DvValCut)
+          sink.compactSmall(s, targetBytes = 32L << 20)
+          Files.write(marker, want.getBytes)
+        }
+      } finally { lock.release(); lockCh.close() }
+      dir.toString
+    }))
+
   val queries: Map[String, QueryFn] = Map(
     // Two-column range aggregate over the clustered committed table: file
     // pruning via footer stats on BOTH z-ordered columns, then the exact
@@ -122,6 +181,16 @@ object SinkOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
         .orderBy("event_type")
+    }),
+
+    // Read the merge-on-read table: what survives two stacked DV deletes
+    // plus an incremental OPTIMIZE must equal a plain WHERE over the raw
+    // fixture — deletion vectors and bin-packing are physically invisible.
+    "q_sink_dv_read" -> ((s, d) => {
+      dvEvents(s, d).read(s)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -132,6 +201,12 @@ object SinkOps {
           FROM events
           WHERE user_id BETWEEN $UserLo AND $UserHi
             AND value BETWEEN $ValLo AND $ValHi
+          GROUP BY event_type ORDER BY event_type""",
+    "q_sink_dv_read" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          WHERE NOT (user_id = $DvUser) AND NOT (value > $DvValCut)
           GROUP BY event_type ORDER BY event_type"""
   )
 }
