@@ -191,6 +191,32 @@ object SinkOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
         .orderBy("event_type")
+    }),
+
+    // Time travel on the same table: versionAsOf=1 must see exactly the
+    // first two chunked appends — untouched by the later DV deletes and
+    // the incremental OPTIMIZE that retired those very files. The oracle
+    // reconstructs the chunk predicate over the raw fixture, so
+    // version-scoped visibility (including tombstone folding stopping at
+    // the target version) is hash-checked, not just spec-asserted.
+    "q_sink_timetravel" -> ((s, d) => {
+      dvEvents(s, d).read(s, versionAsOf = Some(1L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
+    // The CDC feed over the two DV-delete commits (versions 4 and 5):
+    // each contributes exactly the rows IT deleted — the second delete's
+    // change set excludes rows the first already removed, and the
+    // trailing incremental OPTIMIZE (a physical rewrite) contributes
+    // nothing. Aggregated per (change, version, type) so the oracle is a
+    // plain UNION ALL over the raw fixture.
+    "q_sink_cdc_read" -> ((s, d) => {
+      dvEvents(s, d).readChanges(s, fromVersion = 3L)
+        .groupBy(col("_change_type"), col("batch"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("batch", "event_type")
     })
   )
 
@@ -207,6 +233,25 @@ object SinkOps {
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
           FROM events
           WHERE NOT (user_id = $DvUser) AND NOT (value > $DvValCut)
-          GROUP BY event_type ORDER BY event_type"""
+          GROUP BY event_type ORDER BY event_type""",
+    "q_sink_timetravel" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          WHERE event_id % 4 IN (0, 1)
+          GROUP BY event_type ORDER BY event_type""",
+    "q_sink_cdc_read" ->
+      s"""SELECT _change_type, batch, event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM (
+            SELECT 'delete' AS _change_type, CAST(4 AS INTEGER) AS batch,
+                   event_type, value
+            FROM events WHERE user_id = $DvUser
+            UNION ALL
+            SELECT 'delete', CAST(5 AS INTEGER), event_type, value
+            FROM events WHERE NOT (user_id = $DvUser) AND value > $DvValCut
+          )
+          GROUP BY _change_type, batch, event_type
+          ORDER BY batch, event_type"""
   )
 }

@@ -1039,6 +1039,30 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       lower: Double, upper: Double): DataFrame =
     readSkippingAll(spark, Seq((column, lower, upper)))
 
+  /** DESCRIBE HISTORY analog: one row per commit this table can still
+    * serve, newest first — the operational metadata an admin reads
+    * before time travel / RESTORE / VACUUM. Driver-side metadata only
+    * (folds the same checkpoint-seeded log [[allKnownCommits]] every
+    * lookup uses; no data files touched). `timestamp` is the commit's
+    * claim time (log-file mtime — claim-time stamping keeps it monotone
+    * in version order); null for commits whose raw entry was reclaimed
+    * by [[cleanupLog]] and survives only through a checkpoint. */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    allKnownCommits().map { c =>
+      val ts =
+        if (Files.exists(logFile(c.version)))
+          Some(new java.sql.Timestamp(
+            Files.getLastModifiedTime(logFile(c.version)).toMillis))
+        else None
+      (c.version, ts, c.op, c.snapshot, c.adds.size, c.removes.size,
+        c.dvs.size, c.streamTxn.map(_._1), c.streamTxn.map(_._2))
+    }.toDF("version", "timestamp", "operation", "snapshot",
+        "num_added_files", "num_removed_files", "num_deletion_vectors",
+        "stream_app_id", "stream_batch_id")
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+  }
+
   /** String-range variant: prunes files by LEXICOGRAPHIC [min,max] —
     * the order string parquet footer stats are recorded in, so a
     * string-clustered table (ZOrder on a string column) prunes under

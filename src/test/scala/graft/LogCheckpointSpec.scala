@@ -137,6 +137,38 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(reader.readChanges(spark, fromVersion = 20).count() === 2)
   }
 
+  test("history lists every known commit, and survives cleanupLog with null timestamps") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    // 4-row single-file commits: the DV delete below must hit a PART of
+    // a file (a vector), not a whole one (a remove)
+    (0 until 12).foreach { i =>
+      sink.commitAppend(Seq.tabulate(4)(j => (i * 4L + j, s"r$i-$j"))
+        .toDF("id", "x").coalesce(1))
+    }
+    sink.deleteDV(spark, col("id") === 3L)
+    sink.compactSmall(spark)
+    val h = sink.history(spark).collect()
+    assert(h.map(_.getLong(0)).toSeq == (13L to 0L by -1L), "newest first")
+    val byV = h.map(r => r.getLong(0) -> r).toMap
+    assert(byV(12L).getString(2) == "DELETE_MOR")
+    assert(byV(12L).getInt(6) == 1, "the DV delete carries one vector")
+    assert(byV(12L).getInt(5) == 0, "partial-file delete removes nothing")
+    assert(byV(13L).getString(2) == "COMPACT_INC")
+    assert(byV(13L).getInt(5) > 0, "bin-packing retires files via removes")
+    assert(byV(0L).getInt(4) == 1 && byV(0L).getInt(5) == 0)
+    // claim-time stamping keeps timestamps monotone in version order
+    val ts = h.reverse.map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // after cleanup, checkpoint-served commits still appear — with the
+    // reclaimed raw entries' timestamps gone, not fabricated
+    sink.cleanupLog(minAgeMs = 0)
+    val h2 = sink.history(spark).collect()
+    assert(h2.map(_.getLong(0)).toSeq == (13L to 0L by -1L))
+    assert(h2.filter(_.getLong(0) < 10L).forall(_.isNullAt(1)))
+    assert(h2.filter(_.getLong(0) >= 10L).forall(!_.isNullAt(1)))
+  }
+
   test("cleanupLog: constraints and streamTxn cursors survive via the aux header") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)

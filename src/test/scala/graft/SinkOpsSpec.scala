@@ -56,4 +56,34 @@ class SinkOpsSpec extends SparkSpecBase {
       .orderBy("event_type")
     assert(q("q_sink_zorder_skip").collect().toSeq == direct.collect().toSeq)
   }
+
+  test("q_sink_timetravel sees exactly the first two chunked appends") {
+    val direct = Tables(spark, sf, "events")
+      .filter(pmod(col("event_id"), lit(4)) < 2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.sumMoney(col("value")).as("val_sum"))
+      .orderBy("event_type")
+    assert(q("q_sink_timetravel").collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("q_sink_cdc_read carries each DV delete's OWN change set") {
+    val ev = Tables(spark, sf, "events")
+    // second delete's set excludes rows the first already removed
+    val d4 = ev.filter(col("user_id") === 3)
+      .select(lit("delete").as("_change_type"), lit(4).as("batch"),
+        col("event_type"), col("value"))
+    val d5 = ev.filter(col("user_id") =!= 3 && col("value") > 250)
+      .select(lit("delete").as("_change_type"), lit(5).as("batch"),
+        col("event_type"), col("value"))
+    val direct = d4.unionAll(d5)
+      .groupBy(col("_change_type"), col("batch"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.sumMoney(col("value")).as("val_sum"))
+      .orderBy("batch", "event_type")
+    val got = q("q_sink_cdc_read").collect().toSeq
+    assert(got == direct.collect().toSeq)
+    assert(got.nonEmpty && got.map(_.getInt(1)).distinct.sorted == Seq(4, 5),
+      "both DV-delete versions must contribute change rows")
+  }
 }
