@@ -460,16 +460,63 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   // protocol 1: streaming appends (single writer per appId, idempotent)
   // ---------------------------------------------------------------------
 
+  /** Delta-style write-time schema enforcement: an append whose frame
+    * carries columns the table does not have is REJECTED unless the
+    * caller opted into evolution (`mergeSchema = true`) — silent
+    * widening is how one misconfigured producer forks a shared table's
+    * schema. A column present in both but with a different type always
+    * fails (no implicit casts: a type flip is a bug, not evolution).
+    * Columns the frame OMITS are fine — the read path null-pads them
+    * (`unionByName(allowMissingColumns)`), Delta's nullable-missing
+    * rule. Metadata-only (one latest-commit parse, no data touched);
+    * nullability is ignored via `catalogString`. */
+  private def enforceSchema(df: DataFrame, mergeSchema: Boolean,
+      verb: String): Unit =
+    latestSchema().foreach { cur =>
+      val curT = cur.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      val conflicts = df.schema.fields.flatMap(f =>
+        curT.get(f.name).filter(_ != f.dataType.catalogString)
+          .map(t => s"${f.name}: table $t vs write ${f.dataType.catalogString}"))
+      if (conflicts.nonEmpty)
+        sys.error(s"$verb: column type mismatch with the committed table " +
+          s"schema — ${conflicts.mkString("; ")}")
+      val extra = df.schema.fieldNames.filterNot(curT.contains)
+      if (extra.nonEmpty && !mergeSchema)
+        sys.error(s"$verb: columns ${extra.mkString(", ")} are not in the " +
+          "committed table schema; pass mergeSchema=true to evolve it " +
+          "(schema enforcement, the Delta write-path default)")
+    }
+
+  /** The TABLE schema this write's metaData action must record: the
+    * committed schema plus (post-[[enforceSchema]]) any evolved-in new
+    * columns, in committed-first order. NOT the frame's schema — a
+    * narrower append (columns omitted, null-padded on read) must not
+    * shrink the recorded table schema, exactly as a Delta append leaves
+    * metaData untouched. */
+  private def evolvedSchemaJson(df: DataFrame): String =
+    latestSchema() match {
+      case None => df.schema.json
+      case Some(cur) =>
+        val have = cur.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          cur.fields ++ df.schema.fields.filterNot(f => have(f.name))).json
+    }
+
   /** foreachBatch body: write-then-commit, idempotent on batchId.
     * `partitionBy` columns produce hive-style subdirectories inside the
     * batch dir (the Delta partitioned-table layout); the commit entry
-    * records them in the `metaData` action alongside the schema. */
-  def process(df: DataFrame, batchId: Long, partitionBy: Seq[String] = Nil): Unit =
-    process(df, batchId, partitionBy, snapshot = false)
+    * records them in the `metaData` action alongside the schema.
+    * `mergeSchema` opts this batch into schema evolution
+    * ([[enforceSchema]]). */
+  def process(df: DataFrame, batchId: Long, partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Unit =
+    process(df, batchId, partitionBy, snapshot = false,
+      mergeSchema = mergeSchema)
 
   private def process(df: DataFrame, batchId: Long, partitionBy: Seq[String],
-      snapshot: Boolean): Unit = {
+      snapshot: Boolean, mergeSchema: Boolean): Unit = {
     if (isCommitted(batchId)) return // replay after crash → no-op
+    enforceSchema(df, mergeSchema, s"process(batchId=$batchId)")
     Files.createDirectories(dataDir)
 
     // 1. stage data files (invisible to readers — they go through the log)
@@ -493,8 +540,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
     // 3. commit; a lost claim means a concurrent replay already committed
     //    this batchId — exactly-once either way
-    claim(batchId, entryJson(df, batchId, s"batch=$batchId", partitionBy,
-      snapshot, moved, stats))
+    claim(batchId, entryJsonS(evolvedSchemaJson(df), batchId,
+      s"batch=$batchId", partitionBy, snapshot, moved, stats))
   }
 
   // ---------------------------------------------------------------------
@@ -513,10 +560,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     *
     * `bloomBy` additionally records a per-file bloom filter for each
     * named column (`bloomBits` wide) — `readLookup` then prunes files on
-    * EQUALITY probes that range stats cannot serve. */
+    * EQUALITY probes that range stats cannot serve.
+    *
+    * `mergeSchema` opts this append into schema evolution
+    * ([[enforceSchema]] — new columns rejected by default). */
   def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 8,
-      bloomBy: Seq[String] = Nil, bloomBits: Int = 4096): Long = {
+      bloomBy: Seq[String] = Nil, bloomBits: Int = 4096,
+      mergeSchema: Boolean = false): Long = {
+    enforceSchema(df, mergeSchema, "commitAppend")
     Files.createDirectories(dataDir)
     // A clustered append runs TWO actions over the input (the quantile
     // sketch pass inside ZOrder.key, then the staged write): persist the
@@ -538,8 +590,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     touchNow(target)
     var v = nextVersion()
-    while (!claim(v, entryJson(df, v, dir, partitionBy, snapshot = false,
-        adds, stats, blooms = blooms))) {
+    while (!claim(v, entryJsonS(evolvedSchemaJson(df), v, dir, partitionBy,
+        snapshot = false, adds, stats, blooms = blooms))) {
       v = math.max(v + 1, nextVersion()) // lost the race — next version
     }
     v

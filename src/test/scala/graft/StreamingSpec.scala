@@ -175,7 +175,20 @@ class StreamingSpec extends SparkSpecBase {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .limit(5)
     sink.process(v0, 0L)
-    sink.process(v1, 1L) // widened schema: + event_type
+    // write-time enforcement: the widened batch is rejected until the
+    // caller opts into evolution — Delta's write-path default
+    val rejected = intercept[RuntimeException](sink.process(v1, 1L))
+    assert(rejected.getMessage.contains("mergeSchema"))
+    assert(sink.read(spark).count() == 10, "rejected write must commit nothing")
+    sink.process(v1, 1L, mergeSchema = true) // widened schema: + event_type
+    // a type flip is never evolution: same column name, different type
+    val flipped = Tables(spark, sf, "events")
+      .select(col("event_id").cast("string"), col("user_id")).limit(3)
+    val conflict = intercept[RuntimeException](
+      sink.process(flipped, 2L, mergeSchema = true))
+    assert(conflict.getMessage.contains("type mismatch"))
+    // a frame OMITTING columns is fine (null-padded on read)
+    sink.process(v0.limit(0), 3L)
     // time travel: state as of version 0 has the original schema/rows
     val asOf0 = sink.read(spark, versionAsOf = Some(0L))
     assert(asOf0.count() == 10)
