@@ -30,7 +30,7 @@ import graft.streaming.{ExactlyOnceSink, KafkaEnvelope}
 object IngestBench {
 
   case class IngestResult(rows: Long, wallSec: Double, rps: Double,
-      batches: Int)
+      batches: Int, kept: Long = -1L)
 
   /** Producer (untimed) + timed consume of one ingest run. Temp dirs are
     * created and reclaimed here — repeated runs would otherwise
@@ -89,6 +89,73 @@ object IngestBench {
     }
   }
 
+  /** Documents-topic ingest: plain (decode→commit) or curated
+    * (decode→[[graft.streaming.CurationPipeline.curateBatch]]). The
+    * scaled copies carry IDENTICAL text, so the curated arm's
+    * cross-corpus dedup does real work every batch; `rps` counts
+    * INGESTED rows (the daemon's consumption rate), `kept` what
+    * curation admitted. The plain-vs-curated delta IS the curation
+    * cost. Row-count invariants are asserted here, not just in the
+    * spec, so a bench run can never silently measure a broken
+    * pipeline. */
+  def runDocs(spark: SparkSession, sfDir: String, scale: Int,
+      batches: Int, curated: Boolean): IngestResult = {
+    import org.apache.spark.sql.functions.{col, max, md5}
+    val topicDir = Files.createTempDirectory("graft-ingdoc-topic").toString
+    val tableDir = Files.createTempDirectory("graft-ingdoc-table").toString
+    val ckptDir = Files.createTempDirectory("graft-ingdoc-ckpt").toString
+    try {
+      val docs0 = Tables(spark, sfDir, "documents")
+      val maxIdRow = docs0.agg(max("doc_id")).head()
+      require(!maxIdRow.isNullAt(0), s"documents fixture at $sfDir is empty")
+      val maxId = maxIdRow.getLong(0) + 1
+      val docs = (0 until scale).map { k =>
+        docs0.withColumn("doc_id", col("doc_id") + (k * maxId))
+      }.reduce(_.unionByName(_))
+      KafkaEnvelope.writeDocTopicFrom(docs, topicDir, nPartitions = 8,
+        chunksPerPartition = math.max(1, batches * 2 / 8))
+      val chunks = new java.io.File(topicDir).listFiles()
+        .count(f => f.getName.endsWith(".json"))
+      val perTrigger = math.max(1, (chunks + batches - 1) / batches)
+
+      val sink = new ExactlyOnceSink(tableDir, appId = "graft-ingdoc-bench")
+      val stream = KafkaEnvelope.decodeDocs(
+          KafkaEnvelope.readStream(spark, topicDir, perTrigger))
+        .select("doc_id", "text", "lang", "source")
+
+      val t0 = System.nanoTime()
+      val qy = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (curated) graft.streaming.CurationPipeline.curateBatch(df, sink, id)
+          else sink.process(df, id)
+        }
+        .start()
+      qy.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+
+      val ingested = docs0.count() * scale
+      val kept = sink.read(spark).count()
+      if (curated) {
+        // every unique gated text exactly once — scaled copies collapse
+        val expect = docs0
+          .filter(graft.streaming.CurationPipeline.gate(col("text")))
+          .select(md5(col("text"))).distinct().count()
+        require(kept == expect, s"curated ingest corpus wrong: $kept != $expect")
+      } else require(kept == ingested, s"ingest lost rows: $kept != $ingested")
+      IngestResult(ingested, wall, ingested / wall,
+        sink.committedVersions().size, kept)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(topicDir, tableDir, ckptDir).foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,6 +173,13 @@ object IngestBench {
     val nCores = cpus.toInt
     println(
       f"""{"metric":"ingest_rps","value":${r.rps}%.0f,"unit":"records/sec","rows":${r.rows},"wall_s":${r.wallSec}%.2f,"batches":${r.batches},"cpus":$nCores,"rps_per_core":${r.rps / nCores}%.0f,"sf":"$sfDir"}""")
+    // Docs arms: plain vs curated — the ratio is the curation cost.
+    val dp = runDocs(spark, sfDir, scale, batches, curated = false)
+    println(
+      f"""{"metric":"ingest_docs_rps","value":${dp.rps}%.0f,"unit":"records/sec","rows":${dp.rows},"wall_s":${dp.wallSec}%.2f,"batches":${dp.batches},"sf":"$sfDir"}""")
+    val dc = runDocs(spark, sfDir, scale, batches, curated = true)
+    println(
+      f"""{"metric":"ingest_curated_rps","value":${dc.rps}%.0f,"unit":"records/sec","rows":${dc.rows},"kept":${dc.kept},"wall_s":${dc.wallSec}%.2f,"batches":${dc.batches},"curation_cost_x":${dp.rps / dc.rps}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,6 +82,34 @@ object KafkaEnvelope {
           col("event_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))).as("value"))
+    writeEnvelope(base, outDir, nPartitions, chunksPerPartition)
+  }
+
+  /** Documents-payload producer (the curation-pipeline ingest subject):
+    * same envelope/chunking contract as [[writeTopicFrom]], partitioned
+    * by doc_id, offsets in doc_id order. The synthetic timestamp is
+    * deterministic (µs = doc_id) — envelope completeness, not event
+    * time, is what the doc pipeline consumes. */
+  def writeDocTopicFrom(docs: org.apache.spark.sql.DataFrame, outDir: String,
+      nPartitions: Int = 4, chunksPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("partition").orderBy("doc_id")
+    val base = docs
+      .withColumn("partition", (col("doc_id") % nPartitions).cast("int"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .select(
+        lit("documents").as("topic"),
+        col("partition"), col("offset"),
+        timestamp_micros(col("doc_id")).as("timestamp"),
+        col("doc_id").cast("string").as("key"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"))).as("value"))
+    writeEnvelope(base, outDir, nPartitions, chunksPerPartition)
+  }
+
+  private def writeEnvelope(base: org.apache.spark.sql.DataFrame,
+      outDir: String, nPartitions: Int, chunksPerPartition: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val partLen = Window.partitionBy("partition")
     base
       .withColumn("chunk", (col("offset") /
@@ -114,6 +142,23 @@ object KafkaEnvelope {
       .schema(envelopeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
+
+  /** Documents-payload schema carried in `value` for doc topics. */
+  val docPayloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** Deserialize stage for document topics ([[writeDocTopicFrom]]). */
+  def decodeDocs(envelope: DataFrame): DataFrame =
+    envelope
+      .withColumn("payload", from_json(col("value"), docPayloadSchema))
+      .select(col("partition"), col("offset"),
+        col("payload.doc_id").as("doc_id"),
+        col("payload.text").as("text"),
+        col("payload.lang").as("lang"),
+        col("payload.source").as("source"))
 
   /** Deserialize stage (SURVEY §3.1 step 2): bytes→typed rows against the
     * declared payload schema; malformed values null out and are split to
