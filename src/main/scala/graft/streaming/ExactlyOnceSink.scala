@@ -1224,6 +1224,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def merge(spark: SparkSession, updates: DataFrame, keys: Seq[String],
       streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
+    enforceSchema(updates, mergeSchema = false, "merge")
     transactSnapshotChanges(spark, "MERGE", streamTxn = streamTxn) { current =>
       if (current.isEmpty) {
         (updates, Some(updates.withColumn("_change_type", lit("insert"))))
@@ -1376,6 +1377,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       dvMaxRows: Int = 100000, maxRetries: Int = 20,
       streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
+    enforceSchema(updates, mergeSchema = false, "mergeDV")
     if (visibleCommits(None).forall(_.adds.isEmpty))
       return merge(spark, updates, keys, streamTxn)
     // the source's per-key-column bounds prune the probe to files whose
@@ -1601,6 +1603,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def replaceWhere(spark: SparkSession, predicate: org.apache.spark.sql.Column,
       replacement: DataFrame): Long = {
     import org.apache.spark.sql.functions._
+    enforceSchema(replacement, mergeSchema = false, "replaceWhere")
     val guarded = replacement.filter(
       when(predicate, lit(true)).otherwise(raise_error(concat(
         lit("replaceWhere: replacement row outside the predicate: "),

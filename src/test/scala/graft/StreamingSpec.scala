@@ -187,6 +187,10 @@ class StreamingSpec extends SparkSpecBase {
     val conflict = intercept[RuntimeException](
       sink.process(flipped, 2L, mergeSchema = true))
     assert(conflict.getMessage.contains("type mismatch"))
+    // the merge/replace verbs enforce the same contract
+    val badMerge = intercept[RuntimeException](
+      sink.merge(spark, flipped, Seq("event_id")))
+    assert(badMerge.getMessage.contains("type mismatch"))
     // a frame OMITTING columns is fine (null-padded on read)
     sink.process(v0.limit(0), 3L)
     // time travel: state as of version 0 has the original schema/rows
