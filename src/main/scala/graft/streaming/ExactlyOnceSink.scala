@@ -1229,15 +1229,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (current.isEmpty) {
         (updates, Some(updates.withColumn("_change_type", lit("insert"))))
       } else {
+        // whole-row upsert: an update row REPLACES the committed row, so
+        // columns the update omits (e.g. evolved-in after the fact) go
+        // null — allowMissingColumns on every union keeps the verb valid
+        // across schema evolution instead of failing analysis
         val keyRel = updates.select(keys.map(col): _*).distinct()
-        val state = current.join(keyRel, keys, "left_anti").unionByName(updates)
+        val state = current.join(keyRel, keys, "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
         val inserted = updates.join(current.select(keys.map(col): _*), keys, "left_anti")
           .withColumn("_change_type", lit("insert"))
         val pre = current.join(keyRel, keys, "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
         val post = updates.join(current.select(keys.map(col): _*), keys, "left_semi")
           .withColumn("_change_type", lit("update_postimage"))
-        (state, Some(inserted.unionByName(pre).unionByName(post)))
+        (state, Some(inserted
+          .unionByName(pre, allowMissingColumns = true)
+          .unionByName(post, allowMissingColumns = true)))
       }
     }
   }
@@ -1407,7 +1414,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val post = updates.join(broadcast(doomedKeys), keys, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
       (doomed, Some(updates),
-        inserted.unionByName(pre).unionByName(post))
+        inserted.unionByName(pre, allowMissingColumns = true)
+          .unionByName(post, allowMissingColumns = true))
     }
   }
 
@@ -1477,7 +1485,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         Some(withPos(spark.read.parquet(
           live.map(a => dataDir.resolve(addKey(c, a)).toString): _*)))
       else
-        Some(withPos(spark.read.parquet(
+        // a RESTORE commit's dirs come from DIFFERENT source commits —
+        // mergeSchema so evolution across them can't silently drop columns
+        Some(withPos(spark.read.option("mergeSchema", "true").parquet(
           c.dataDirs.map(d => dataDir.resolve(d).toString): _*)))
     }
     if (frames.isEmpty) spark.emptyDataFrame
@@ -1615,9 +1625,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         val kept = current.filter(!predicate)
         val removed = current.filter(predicate)
           .withColumn("_change_type", lit("delete"))
-        (kept.unionByName(guarded),
+        (kept.unionByName(guarded, allowMissingColumns = true),
           Some(removed.unionByName(
-            guarded.withColumn("_change_type", lit("insert")))))
+            guarded.withColumn("_change_type", lit("insert")),
+            allowMissingColumns = true)))
       }
     }
   }
@@ -1789,7 +1800,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (cands.size < minFiles) return -1L
       val nOut = math.max(1,
         math.ceil(cands.map(_._2).sum.toDouble / targetBytes).toInt)
-      val scan = spark.read
+      // one scan over files from DIFFERENT commits: schema evolution can
+      // make their footers differ, and without mergeSchema parquet would
+      // silently adopt one file's schema and DROP the others' columns
+      val scan = spark.read.option("mergeSchema", "true")
         .parquet(cands.map(c => dataDir.resolve(c._1).toString): _*)
         .withColumn(FileCol, relKeyCol)
         .withColumn(RidxCol, col("_metadata.row_index"))

@@ -26,6 +26,14 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
     else d.select("id", "x").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  /** The evolved column's state: (id → y) for rows carrying a non-null
+    * y. Rows written before the evolution, and whole-row upserts that
+    * omit y, read back null — the model tracks exactly that. */
+  private def yState(d: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    if (!d.columns.contains("y")) Map.empty
+    else d.filter(col("y").isNotNull).select("id", "y").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
   for (seed <- Seq(7L, 23L, 101L))
     test(s"protocol fuzz seed=$seed: reads, time travel and retention match the model") {
       val rnd = new scala.util.Random(seed)
@@ -34,24 +42,30 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       val sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
 
       var live = Map.empty[Long, String] // the model's committed state
-      var history = Vector.empty[(Long, Map[Long, String])] // (version, state-after)
+      var ys = Map.empty[Long, String] // evolved column (empty before arm 13)
+      // (version, x-state-after, y-state-after)
+      var history = Vector.empty[(Long, Map[Long, String], Map[Long, String])]
       var nextId = 0L
       var anchor = 0L // versions below this are outside retained history
 
       def freshRows(n: Int): Seq[(Long, String)] =
         (0 until n).map { _ => nextId += 1; (nextId, s"s$seed-v$nextId") }
 
-      def checkRead(): Unit =
-        assert(state(sink.read(spark)) === live,
+      def checkRead(): Unit = {
+        val d = sink.read(spark)
+        assert(state(d) === live,
           s"live state diverged after ${history.size} commits")
+        assert(yState(d) === ys,
+          s"evolved-column state diverged after ${history.size} commits")
+      }
 
       (1 to 24).foreach { step =>
-        rnd.nextInt(13) match {
+        rnd.nextInt(14) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows))
             live = live ++ rows
-            history :+= (v, live)
+            history :+= ((v, live, ys))
           case 4 | 5 => // merge: update some existing + insert some fresh
             val upd = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
               .map(k => (k, s"upd$step-$k"))
@@ -64,14 +78,16 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 sink.mergeDV(spark, df(rows), Seq("id"))
               else sink.merge(spark, df(rows), Seq("id"))
               live = live ++ rows
-              history :+= (v, live)
+              ys = ys -- rows.map(_._1) // whole-row upsert omits y -> null
+              history :+= ((v, live, ys))
             }
           case 6 => // delete a random id range
             if (live.nonEmpty) {
               val cut = live.keys.toSeq(rnd.nextInt(live.size))
               val v = sink.delete(spark, col("id") <= cut)
               live = live.filter(_._1 > cut)
-              history :+= (v, live)
+              ys = ys.filter(_._1 > cut)
+              history :+= ((v, live, ys))
             }
           case 10 => // merge-on-read delete of a random id range
             if (live.nonEmpty) {
@@ -80,18 +96,20 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 // tiny cap occasionally forces the rewrite tier
                 dvMaxRows = if (rnd.nextBoolean()) 1 else 100000)
               live = live.filter(_._1 > cut)
-              history :+= (v, live)
+              ys = ys.filter(_._1 > cut)
+              history :+= ((v, live, ys))
             }
           case 11 => // merge-on-read delete of specific ids
             if (live.nonEmpty) {
               val picks = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(3))
               val v = sink.deleteDV(spark, col("id").isin(picks: _*))
               live = live -- picks
-              history :+= (v, live)
+              ys = ys -- picks
+              history :+= ((v, live, ys))
             }
           case 7 => // retention: reclaim below the newest checkpoint
             sink.cleanupLog(minAgeMs = 0)
-            history.lastOption.foreach { case (maxV, _) =>
+            history.lastOption.foreach { case (maxV, _, _) =>
               val ck = (maxV / interval) * interval
               if (ck > 0) anchor = math.max(anchor, ck)
             }
@@ -101,25 +119,36 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             if (rnd.nextBoolean()) sink.vacuum(minAgeMs = 0)
             else {
               val v = sink.compactSmall(spark, targetBytes = 1L << 20)
-              if (v >= 0) history :+= (v, live) // state unchanged
+              if (v >= 0) history :+= ((v, live, ys)) // state unchanged
             }
           case 9 => // time travel to a random retained version
             history.filter(_._1 >= anchor) match {
               case h if h.nonEmpty =>
-                val (v, expect) = h(rnd.nextInt(h.size))
-                assert(state(sink.read(spark, versionAsOf = Some(v))) === expect,
-                  s"time travel to $v diverged")
+                val (v, expect, expectY) = h(rnd.nextInt(h.size))
+                val past = sink.read(spark, versionAsOf = Some(v))
+                assert(state(past) === expect, s"time travel to $v diverged")
+                assert(yState(past) === expectY,
+                  s"time travel to $v diverged on the evolved column")
               case _ => ()
             }
           case 12 => // RESTORE to a random retained non-empty version
             history.filter(h => h._1 >= anchor && h._2.nonEmpty) match {
               case h if h.nonEmpty =>
-                val (v, expect) = h(rnd.nextInt(h.size))
+                val (v, expect, expectY) = h(rnd.nextInt(h.size))
                 val rv = sink.restore(spark, v)
                 live = expect
-                history :+= (rv, live)
+                ys = expectY
+                history :+= ((rv, live, ys))
               case _ => ()
             }
+          case 13 => // schema evolution: append WIDENED rows (id, x, y)
+            val rows = freshRows(1 + rnd.nextInt(2))
+            val wide = rows.map { case (i, s) => (i, s, s"y$i") }
+              .toDF("id", "x", "y")
+            val v = sink.commitAppend(wide, mergeSchema = true)
+            live = live ++ rows
+            ys = ys ++ rows.map { case (i, _) => i -> s"y$i" }
+            history :+= ((v, live, ys))
         }
         checkRead()
       }
@@ -130,7 +159,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       assert(state(cold.read(spark)) === live,
         "cold replay diverged from the model")
       if (anchor > 0)
-        history.filter(_._1 < anchor).lastOption.foreach { case (v, _) =>
+        history.filter(_._1 < anchor).lastOption.foreach { case (v, _, _) =>
           val e = intercept[RuntimeException](
             cold.read(spark, versionAsOf = Some(v)))
           assert(e.getMessage.contains("retained history"))
