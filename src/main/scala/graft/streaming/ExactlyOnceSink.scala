@@ -240,7 +240,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       streamTxn: Option[(String, Long)] = None,
       restoreDirs: Seq[String] = Nil,
       removes: Seq[String] = Nil,
-      dvs: Map[String, Array[Long]] = Map.empty): String = {
+      dvs: Map[String, Array[Long]] = Map.empty,
+      generated: Option[Map[String, String]] = None): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -269,10 +270,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       ",\"constraints\":{" + m.toSeq.sortBy(_._1)
         .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",") + "}"
     }.getOrElse("")
+    // generated columns ride metaData like constraints: a commit carrying
+    // the field REPLACES the active set; absent = untouched
+    val genJson = generated.map { m =>
+      ",\"generated\":{" + m.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",") + "}"
+    }.getOrElse("")
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
       s""""snapshot":$snapshot,""" +
       s""""metaData":{"schemaString":$schemaJson,""" +
-      s""""partitionColumns":[$parts]$consJson},""" +
+      s""""partitionColumns":[$parts]$consJson$genJson},""" +
       s""""dir":${jstr(dir)},""" +
       (if (restoreDirs.isEmpty) ""
        else s""""restoreDirs":[${restoreDirs.map(jstr).mkString(",")}],""") +
@@ -338,7 +345,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * entries alone cannot reproduce them. The Delta analog: checkpoints
     * persist `txn` and `metaData` actions, not just `add`s. */
   private case class CkptAux(constraints: Map[String, String],
-      cursors: Map[String, Long])
+      cursors: Map[String, Long],
+      generated: Map[String, String] = Map.empty)
 
   private def foldAux(seed: CkptAux, entries: Seq[Commit]): CkptAux =
     entries.sortBy(_.version).foldLeft(seed) { (acc, c) =>
@@ -346,7 +354,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         c.constraints.getOrElse(acc.constraints),
         c.streamTxn.fold(acc.cursors) { case (a, b) =>
           acc.cursors.updated(a, math.max(b, acc.cursors.getOrElse(a, Long.MinValue)))
-        })
+        },
+        c.generated.getOrElse(acc.generated))
     }
 
   private def auxHeader(version: Long, aux: CkptAux): String = {
@@ -354,8 +363,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",")
     val cur = aux.cursors.toSeq.sortBy(_._1)
       .map { case (a, b) => s"${jstr(a)}:$b" }.mkString(",")
+    val gen = aux.generated.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",")
     s"""{"checkpointAux":{"version":$version,"constraints":{$cons},""" +
-      s""""streamTxn":{$cur}}}"""
+      s""""generated":{$gen},"streamTxn":{$cur}}}"""
   }
 
   private def parseAuxHeader(line: String): Option[(Long, CkptAux)] = {
@@ -372,7 +383,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           case JObject(fs) => fs.collect { case (n, JInt(b)) => n -> b.toLong }.toMap
           case _ => Map.empty[String, Long]
         }
-        Some(v.toLong -> CkptAux(cons, cur))
+        // absent in pre-round-12 checkpoints -> empty (backward parse)
+        val gen = (a \ "generated") match {
+          case JObject(fs) => fs.collect { case (n, JString(e)) => n -> e }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Some(v.toLong -> CkptAux(cons, cur, gen))
       case _ => None
     }
   }
@@ -472,7 +488,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * nullability is ignored via `catalogString`. */
   private def enforceSchema(df: DataFrame, mergeSchema: Boolean,
       verb: String): Unit =
-    latestSchema().foreach { cur =>
+    // a metadata-only commit on an EMPTY table records an empty struct —
+    // that is "no schema yet", not "every column is new"
+    latestSchema().filter(_.fields.nonEmpty).foreach { cur =>
       val curT = cur.fields.map(f => f.name -> f.dataType.catalogString).toMap
       val conflicts = df.schema.fields.flatMap(f =>
         curT.get(f.name).filter(_ != f.dataType.catalogString)
@@ -494,7 +512,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * shrink the recorded table schema, exactly as a Delta append leaves
     * metaData untouched. */
   private def evolvedSchemaJson(df: DataFrame): String =
-    latestSchema() match {
+    latestSchema().filter(_.fields.nonEmpty) match {
       case None => df.schema.json
       case Some(cur) =>
         val have = cur.fieldNames.toSet
@@ -517,12 +535,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       snapshot: Boolean, mergeSchema: Boolean): Unit = {
     if (isCommitted(batchId)) return // replay after crash → no-op
     enforceSchema(df, mergeSchema, s"process(batchId=$batchId)")
+    val gdf = applyGenerated(df)
     Files.createDirectories(dataDir)
 
     // 1. stage data files (invisible to readers — they go through the log)
     val staging = Paths.get(tableDir, s".staging-$batchId")
-    val adds = stage(df, staging, partitionBy)
-    val stats = fileStats(df.sparkSession, staging)
+    val adds = stage(gdf, staging, partitionBy)
+    val stats = fileStats(gdf.sparkSession, staging)
 
     // 2. move into place under the batch's own directory
     val target = dataDir.resolve(s"batch=$batchId")
@@ -540,7 +559,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
     // 3. commit; a lost claim means a concurrent replay already committed
     //    this batchId — exactly-once either way
-    claim(batchId, entryJsonS(evolvedSchemaJson(df), batchId,
+    claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
       s"batch=$batchId", partitionBy, snapshot, moved, stats))
   }
 
@@ -569,28 +588,30 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       bloomBy: Seq[String] = Nil, bloomBits: Int = 4096,
       mergeSchema: Boolean = false): Long = {
     enforceSchema(df, mergeSchema, "commitAppend")
+    val gdf = applyGenerated(df)
     Files.createDirectories(dataDir)
     // A clustered append runs TWO actions over the input (the quantile
     // sketch pass inside ZOrder.key, then the staged write): persist the
     // input so an expensive upstream query feeding the append computes
-    // once, not twice. Released after staging.
-    val pinned = if (clusterBy.isEmpty) None else Some(df.persist())
+    // once, not twice. Released after staging. Generation runs FIRST so
+    // clusterBy/partitionBy may name a generated column.
+    val pinned = if (clusterBy.isEmpty) None else Some(gdf.persist())
     val clustered = pinned
       .map(graft.operators.ZOrder.cluster(_, clusterBy, clusterFiles))
-      .getOrElse(df)
+      .getOrElse(gdf)
     val uuid = java.util.UUID.randomUUID().toString
     val staging = Paths.get(tableDir, s".staging-$uuid")
     val adds = stage(clustered, staging, partitionBy)
     pinned.foreach(_.unpersist(blocking = false))
-    val stats = fileStats(df.sparkSession, staging)
-    val blooms = fileBlooms(df.sparkSession, staging, bloomBy, bloomBits)
+    val stats = fileStats(gdf.sparkSession, staging)
+    val blooms = fileBlooms(gdf.sparkSession, staging, bloomBy, bloomBits)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)
     Files.createDirectories(target.getParent)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     touchNow(target)
     var v = nextVersion()
-    while (!claim(v, entryJsonS(evolvedSchemaJson(df), v, dir, partitionBy,
+    while (!claim(v, entryJsonS(evolvedSchemaJson(gdf), v, dir, partitionBy,
         snapshot = false, adds, stats, blooms = blooms))) {
       v = math.max(v + 1, nextVersion()) // lost the race — next version
     }
@@ -626,7 +647,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     var attempt = 0
     while (true) {
       val expected = nextVersion()
-      val (out, changes) = f(liveData(spark))
+      val (out0, changes) = f(liveData(spark))
+      // re-derive generated columns the transform may have dropped (a
+      // narrower merge frame) and validate the ones it carried
+      val out = applyGenerated(out0)
       val uuid = java.util.UUID.randomUUID().toString
       val staging = Paths.get(tableDir, s".staging-$uuid")
       val adds = stage(out, staging, Nil)
@@ -672,7 +696,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       streamTxn: Option[(String, Long)] = None,
       restoreDirs: Seq[String] = Nil,
       removes: Seq[String] = Nil,
-      dvs: Map[String, Array[Long]] = Map.empty) {
+      dvs: Map[String, Array[Long]] = Map.empty,
+      generated: Option[Map[String, String]] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -745,6 +770,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         Some(fields.collect { case (n, JString(e)) => n -> e }.toMap)
       case _ => None
     }
+    val gen = (j \ "metaData" \ "generated") match {
+      case JObject(fields) =>
+        Some(fields.collect { case (n, JString(e)) => n -> e }.toMap)
+      case _ => None
+    }
     val adds = (j \ "add") match {
       case JArray(items) => items.map {
         case JString(p) => AddFile(p, Map.empty)
@@ -790,7 +820,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case _ => Map.empty[String, Array[Long]]
     }
     Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
-      removes, dvs)
+      removes, dvs, gen)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -1264,6 +1294,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private object logTail {
     private var seen = Long.MinValue // MinValue = not yet seeded
     private var constraints = Map.empty[String, String]
+    private var generated = Map.empty[String, String]
     private val streamCursor =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -1277,6 +1308,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           .collectFirst { case (cv, Some((aux, _))) => cv -> aux }
           .foreach { case (cv, aux) =>
             constraints = aux.constraints
+            generated = aux.generated
             aux.cursors.foreach { case (a, b) => streamCursor.put(a, b) }
             seen = cv
           }
@@ -1285,6 +1317,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       committedVersions().filter(_ > seen).foreach { v =>
         val c = parseCommit(v)
         c.constraints.foreach(m => constraints = m)
+        c.generated.foreach(m => generated = m)
         c.streamTxn.foreach { case (a, b) =>
           streamCursor.merge(a, b, (x, y) => if (x >= y) x else y)
         }
@@ -1294,6 +1327,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
 
     def activeConstraints(): Map[String, String] = refreshed(constraints)
+    def activeGenerated(): Map[String, String] = refreshed(generated)
     def lastBatch(appId: String): Option[Long] =
       refreshed(Option(streamCursor.get(appId)).map(_.longValue))
   }
@@ -1380,11 +1414,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * (the streaming case by construction). CDC change rows (insert /
     * update_preimage / update_postimage) are recorded exactly as
     * [[merge]] records them. */
-  def mergeDV(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+  def mergeDV(spark: SparkSession, updates0: DataFrame, keys: Seq[String],
       dvMaxRows: Int = 100000, maxRetries: Int = 20,
       streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    enforceSchema(updates, mergeSchema = false, "mergeDV")
+    enforceSchema(updates0, mergeSchema = false, "mergeDV")
+    val updates = applyGenerated(updates0)
     if (visibleCommits(None).forall(_.adds.isEmpty))
       return merge(spark, updates, keys, streamTxn)
     // the source's per-key-column bounds prune the probe to files whose
@@ -1663,6 +1698,80 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * IF EXISTS). */
   def dropConstraint(name: String): Long =
     constraintCommit(_ - name)
+
+  // ---------------------------------------------------------------------
+  // generated columns (Delta GENERATED ALWAYS AS analog)
+  // ---------------------------------------------------------------------
+
+  /** The table's active generated columns: name → SQL expression over
+    * the other columns. Same latest-wins metaData replay as
+    * constraints. */
+  def activeGenerated(): Map[String, String] = logTail.activeGenerated()
+
+  /** Declare `name` GENERATED ALWAYS AS (`exprSql`): every subsequent
+    * write computes the column when the frame omits it, and VALIDATES
+    * it per row (write-aborting, like CHECK) when the frame supplies it
+    * — so a derived partition/skipping column (`day` from a timestamp,
+    * a bucket from a key) is always present and always right, and
+    * `commitAppend(partitionBy/clusterBy = Seq(name))` plus
+    * `readSkipping` on it prune exactly as Delta's partition-evolution
+    * story intends. On a NON-empty table the column must already exist
+    * and match the expression on every committed row (validated here,
+    * one scan — the Delta restriction that generated columns are
+    * declared before data is relaxed to "or provably consistent"). */
+  def setGeneratedColumn(spark: SparkSession, name: String,
+      exprSql: String): Long = {
+    import org.apache.spark.sql.functions._
+    val live = liveData(spark)
+    if (!live.isEmpty) {
+      require(live.columns.contains(name),
+        s"setGeneratedColumn '$name': committed rows lack the column; " +
+          "declare generated columns before data lands, or backfill first")
+      val bad = live.filter(!(col(name) <=> expr(exprSql))).count()
+      require(bad == 0,
+        s"setGeneratedColumn '$name': $bad committed rows do not match ($exprSql)")
+    }
+    generatedCommit(_ + (name -> exprSql))
+  }
+
+  /** Drop the generation rule (the column and its data stay). */
+  def dropGeneratedColumn(name: String): Long =
+    generatedCommit(_ - name)
+
+  /** Write-side application ([[stage]]-adjacent, but BEFORE schema
+    * recording so the commit's metaData sees the computed column):
+    * compute absent generated columns; validate present ones per row
+    * with the same write-abort as CHECK constraints. A NULL value
+    * counts as "not provided" and is computed — that is both Delta's
+    * generated-column behavior and what a whole-row upsert needs after
+    * its narrower frame was null-padded by the union. */
+  private def applyGenerated(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gen = logTail.activeGenerated()
+    if (gen.isEmpty) df
+    else gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else d.withColumn(n,
+        when(col(n) <=> expr(e), col(n))
+          .when(col(n).isNull, expr(e))
+          .otherwise(raise_error(concat(
+            lit(s"generated column '$n' ($e) mismatch on row: "),
+            to_json(struct(d.columns.map(col): _*))))))
+    }
+  }
+
+  private def generatedCommit(f: Map[String, String] => Map[String, String]): Long = {
+    Files.createDirectories(logDir)
+    val schemaJson = latestSchema().map(_.json)
+      .getOrElse("""{"type":"struct","fields":[]}""")
+    var v = nextVersion()
+    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
+        Nil, Map.empty, "SET GENERATED", None, Map.empty,
+        generated = Some(f(activeGenerated()))))) {
+      v = math.max(v + 1, nextVersion())
+    }
+    v
+  }
 
   private def constraintCommit(f: Map[String, String] => Map[String, String]): Long = {
     Files.createDirectories(logDir)
