@@ -110,8 +110,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         lit(s"CHECK constraint '$n' ($e) violated by row: "),
         to_json(struct(df.columns.map(col): _*))))))
     }
-    val writer = checked.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    // LAST step before the write: logical -> physical rename (column
+    // mapping) — constraints and generation above speak logical names.
+    // Applied on EVERY staging (change rows included) so stored frames
+    // are uniformly physical regardless of the rename era they were
+    // written in; already-physical frames translate as a no-op.
+    val physical = toPhysical(checked)
+    val parts = partitionBy.map(physicalOf)
+    val writer = physical.write.mode("overwrite")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(staging.toString)
     Files.walk(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
@@ -241,7 +248,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       restoreDirs: Seq[String] = Nil,
       removes: Seq[String] = Nil,
       dvs: Map[String, Array[Long]] = Map.empty,
-      generated: Option[Map[String, String]] = None): String = {
+      generated: Option[Map[String, String]] = None,
+      columnMapping: Option[Map[String, String]] = None,
+      droppedCols: Option[Seq[String]] = None): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -276,10 +285,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       ",\"generated\":{" + m.toSeq.sortBy(_._1)
         .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",") + "}"
     }.getOrElse("")
+    // column mapping (rename/drop without rewrite): logical -> physical
+    // (sparse; only renamed columns), plus physically-dropped names —
+    // same latest-wins metaData replay as constraints/generated
+    val mapJson = columnMapping.map { m =>
+      ",\"columnMapping\":{" + m.toSeq.sortBy(_._1)
+        .map { case (l, ph) => s"${jstr(l)}:${jstr(ph)}" }.mkString(",") + "}"
+    }.getOrElse("")
+    val dropJson = droppedCols.map { s =>
+      ",\"droppedColumns\":[" + s.sorted.map(jstr).mkString(",") + "]"
+    }.getOrElse("")
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
       s""""snapshot":$snapshot,""" +
       s""""metaData":{"schemaString":$schemaJson,""" +
-      s""""partitionColumns":[$parts]$consJson$genJson},""" +
+      s""""partitionColumns":[$parts]$consJson$genJson$mapJson$dropJson},""" +
       s""""dir":${jstr(dir)},""" +
       (if (restoreDirs.isEmpty) ""
        else s""""restoreDirs":[${restoreDirs.map(jstr).mkString(",")}],""") +
@@ -346,7 +365,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * persist `txn` and `metaData` actions, not just `add`s. */
   private case class CkptAux(constraints: Map[String, String],
       cursors: Map[String, Long],
-      generated: Map[String, String] = Map.empty)
+      generated: Map[String, String] = Map.empty,
+      columnMapping: Map[String, String] = Map.empty,
+      droppedCols: Seq[String] = Nil)
 
   private def foldAux(seed: CkptAux, entries: Seq[Commit]): CkptAux =
     entries.sortBy(_.version).foldLeft(seed) { (acc, c) =>
@@ -355,7 +376,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         c.streamTxn.fold(acc.cursors) { case (a, b) =>
           acc.cursors.updated(a, math.max(b, acc.cursors.getOrElse(a, Long.MinValue)))
         },
-        c.generated.getOrElse(acc.generated))
+        c.generated.getOrElse(acc.generated),
+        c.columnMapping.getOrElse(acc.columnMapping),
+        c.droppedCols.getOrElse(acc.droppedCols))
     }
 
   private def auxHeader(version: Long, aux: CkptAux): String = {
@@ -365,8 +388,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .map { case (a, b) => s"${jstr(a)}:$b" }.mkString(",")
     val gen = aux.generated.toSeq.sortBy(_._1)
       .map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }.mkString(",")
+    val cmap = aux.columnMapping.toSeq.sortBy(_._1)
+      .map { case (l, ph) => s"${jstr(l)}:${jstr(ph)}" }.mkString(",")
+    val dcols = aux.droppedCols.sorted.map(jstr).mkString(",")
     s"""{"checkpointAux":{"version":$version,"constraints":{$cons},""" +
-      s""""generated":{$gen},"streamTxn":{$cur}}}"""
+      s""""generated":{$gen},"columnMapping":{$cmap},""" +
+      s""""droppedColumns":[$dcols],"streamTxn":{$cur}}}"""
   }
 
   private def parseAuxHeader(line: String): Option[(Long, CkptAux)] = {
@@ -388,7 +415,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           case JObject(fs) => fs.collect { case (n, JString(e)) => n -> e }.toMap
           case _ => Map.empty[String, String]
         }
-        Some(v.toLong -> CkptAux(cons, cur, gen))
+        val cmap = (a \ "columnMapping") match {
+          case JObject(fs) => fs.collect { case (l, JString(ph)) => l -> ph }.toMap
+          case _ => Map.empty[String, String]
+        }
+        val dcols = (a \ "droppedColumns") match {
+          case JArray(items) => items.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        Some(v.toLong -> CkptAux(cons, cur, gen, cmap, dcols))
       case _ => None
     }
   }
@@ -503,6 +538,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         sys.error(s"$verb: columns ${extra.mkString(", ")} are not in the " +
           "committed table schema; pass mergeSchema=true to evolve it " +
           "(schema enforcement, the Delta write-path default)")
+      // column-mapping reservation: a physical name backing a renamed
+      // column, or a dropped column's physical name, cannot re-enter as
+      // a new logical column — old files' bytes would reappear under it
+      val (m, droppedSet) = colMap()
+      val reserved = m.values.toSet ++ droppedSet
+      val clash = extra.filter(reserved)
+      if (clash.nonEmpty)
+        sys.error(s"$verb: columns ${clash.mkString(", ")} are reserved " +
+          "by column mapping (physical name of a renamed or dropped " +
+          "column); choose a different name")
     }
 
   /** The TABLE schema this write's metaData action must record: the
@@ -604,7 +649,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val adds = stage(clustered, staging, partitionBy)
     pinned.foreach(_.unpersist(blocking = false))
     val stats = fileStats(gdf.sparkSession, staging)
-    val blooms = fileBlooms(gdf.sparkSession, staging, bloomBy, bloomBits)
+    val blooms = fileBlooms(gdf.sparkSession, staging,
+      bloomBy.map(physicalOf), bloomBits)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)
     Files.createDirectories(target.getParent)
@@ -697,7 +743,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       restoreDirs: Seq[String] = Nil,
       removes: Seq[String] = Nil,
       dvs: Map[String, Array[Long]] = Map.empty,
-      generated: Option[Map[String, String]] = None) {
+      generated: Option[Map[String, String]] = None,
+      columnMapping: Option[Map[String, String]] = None,
+      droppedCols: Option[Seq[String]] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -775,6 +823,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         Some(fields.collect { case (n, JString(e)) => n -> e }.toMap)
       case _ => None
     }
+    val cmap = (j \ "metaData" \ "columnMapping") match {
+      case JObject(fields) =>
+        Some(fields.collect { case (l, JString(ph)) => l -> ph }.toMap)
+      case _ => None
+    }
+    val dcols = (j \ "metaData" \ "droppedColumns") match {
+      case JArray(items) =>
+        Some(items.collect { case JString(s) => s })
+      case _ => None
+    }
     val adds = (j \ "add") match {
       case JArray(items) => items.map {
         case JString(p) => AddFile(p, Map.empty)
@@ -820,7 +878,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case _ => Map.empty[String, Array[Long]]
     }
     Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
-      removes, dvs, gen)
+      removes, dvs, gen, cmap, dcols)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -874,7 +932,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     if (ts.isEmpty)
       // fast path — a table never touched by merge-on-read keeps its
       // plain per-dir scans (no metadata columns, no anti-joins)
-      commits.map { c =>
+      toLogical(commits.map { c =>
         // a RESTORE commit re-points at its source commits' dirs (one
         // read per source dir keeps hive partition-column discovery
         // working exactly as it did for the original commit)
@@ -883,7 +941,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             .parquet(dataDir.resolve(d).toString))
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
           .withColumn("batch", lit(c.version).cast("int"))
-      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
     else {
       val scanned = scanWithPos(spark, commits, ts, mergeSchema)
       if (scanned.columns.isEmpty) scanned // every file removed
@@ -942,7 +1000,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       base.map(_.withColumn("batch", lit(c.version).cast("int")))
     }
     if (frames.isEmpty) spark.emptyDataFrame
-    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else toLogical(
+      frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
   }
 
   /** Subtract tombstones from a [[scanWithPos]] frame: one broadcast
@@ -1039,7 +1098,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }
     }
     if (frames.isEmpty) spark.emptyDataFrame
-    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else toLogical(
+      frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
   }
 
   /** STREAMING CDC tail — the "Delta table as a streaming SOURCE"
@@ -1121,6 +1181,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       lower: Double, upper: Double): DataFrame =
     readSkippingAll(spark, Seq((column, lower, upper)))
 
+  /** Time travel by WALL CLOCK (the Delta `timestampAsOf` analog): the
+    * state as of the newest commit whose claim time (log-file mtime —
+    * claim-time stamping keeps these monotone in version order) is at
+    * or before `ts`. Fails loudly when `ts` predates the oldest
+    * retained commit — exactly like a version below the cleanupLog
+    * window — rather than silently serving a later state. */
+  def read(spark: SparkSession, timestampAsOf: java.sql.Timestamp): DataFrame = {
+    val cut = timestampAsOf.getTime
+    val vs = committedVersions()
+      .filter(v => Files.getLastModifiedTime(logFile(v)).toMillis <= cut)
+    if (vs.isEmpty)
+      sys.error(s"timestampAsOf=$timestampAsOf predates the oldest " +
+        "retained commit (or the table is empty)")
+    read(spark, versionAsOf = Some(vs.max))
+  }
+
   /** DESCRIBE HISTORY analog: one row per commit this table can still
     * serve, newest first — the operational metadata an admin reads
     * before time travel / RESTORE / VACUUM. Driver-side metadata only
@@ -1173,8 +1249,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         catch { case _: NumberFormatException => true }
       case _ => true
     }
+    val phys = preds.map { case (c, lo, hi) => (physicalOf(c), lo, hi) }
     readAddFiles(spark) { a =>
-      preds.forall { case (col, lo, hi) => intersects(a.stats.get(col), lo, hi) }
+      phys.forall { case (col, lo, hi) => intersects(a.stats.get(col), lo, hi) }
     }
   }
 
@@ -1190,8 +1267,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val hashes = spark.range(1).select(
       (0 until 3).map(j => xxhash64(lit(j), lit(value)).as(s"h$j")): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
+    val ph = physicalOf(column)
     readAddFiles(spark) { a =>
-      a.bloom.get(column).forall { words =>
+      a.bloom.get(ph).forall { words =>
         val bits = words.length * 64L
         hashes.forall { h =>
           val p = ((h % bits) + bits) % bits
@@ -1202,8 +1280,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   }
 
   private def readSkippingWith(spark: SparkSession, column: String)
-      (keep: Option[(Option[String], Option[String])] => Boolean): DataFrame =
-    readAddFiles(spark)(a => keep(a.stats.get(column)))
+      (keep: Option[(Option[String], Option[String])] => Boolean): DataFrame = {
+    val ph = physicalOf(column)
+    readAddFiles(spark)(a => keep(a.stats.get(ph)))
+  }
 
   /** Shared pruned-read core: scan the visible add files passing `keep`
     * (stat/bloom pruning), minus merge-on-read tombstones — removed
@@ -1220,13 +1300,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }.filterNot(ts.removed)
     if (keys.isEmpty) spark.emptyDataFrame
     else {
-      val base = spark.read.parquet(keys.map(k => dataDir.resolve(k).toString): _*)
-      if (!keys.exists(ts.dv.contains)) base
-      else applyTombstones(
-          base.withColumn(FileCol, relKeyCol)
-            .withColumn(RidxCol, col("_metadata.row_index")),
-          Tombstones(Set.empty, ts.dv))
-        .drop(FileCol, RidxCol)
+      // one scan over files from different commits: explicit physical
+      // schema so evolution across them cannot silently drop columns
+      val base = flatReader(spark)
+        .parquet(keys.map(k => dataDir.resolve(k).toString): _*)
+      toLogical(
+        if (!keys.exists(ts.dv.contains)) base
+        else applyTombstones(
+            base.withColumn(FileCol, relKeyCol)
+              .withColumn(RidxCol, col("_metadata.row_index")),
+            Tombstones(Set.empty, ts.dv))
+          .drop(FileCol, RidxCol))
     }
   }
 
@@ -1295,6 +1379,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     private var seen = Long.MinValue // MinValue = not yet seeded
     private var constraints = Map.empty[String, String]
     private var generated = Map.empty[String, String]
+    private var columnMapping = Map.empty[String, String]
+    private var droppedCols = Seq.empty[String]
     private val streamCursor =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -1309,6 +1395,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           .foreach { case (cv, aux) =>
             constraints = aux.constraints
             generated = aux.generated
+            columnMapping = aux.columnMapping
+            droppedCols = aux.droppedCols
             aux.cursors.foreach { case (a, b) => streamCursor.put(a, b) }
             seen = cv
           }
@@ -1318,6 +1406,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         val c = parseCommit(v)
         c.constraints.foreach(m => constraints = m)
         c.generated.foreach(m => generated = m)
+        c.columnMapping.foreach(m => columnMapping = m)
+        c.droppedCols.foreach(s => droppedCols = s)
         c.streamTxn.foreach { case (a, b) =>
           streamCursor.merge(a, b, (x, y) => if (x >= y) x else y)
         }
@@ -1328,6 +1418,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
     def activeConstraints(): Map[String, String] = refreshed(constraints)
     def activeGenerated(): Map[String, String] = refreshed(generated)
+    def activeMapping(): (Map[String, String], Set[String]) =
+      refreshed((columnMapping, droppedCols.toSet))
     def lastBatch(appId: String): Option[Long] =
       refreshed(Option(streamCursor.get(appId)).map(_.longValue))
   }
@@ -1517,7 +1609,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (live.isEmpty) None
       else if (c.adds.forall(a => !a.path.contains("/")))
         // flat layout: scan only the surviving files of this commit
-        Some(withPos(spark.read.parquet(
+        Some(withPos(flatReader(spark).parquet(
           live.map(a => dataDir.resolve(addKey(c, a)).toString): _*)))
       else
         // a RESTORE commit's dirs come from DIFFERENT source commits —
@@ -1526,7 +1618,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           c.dataDirs.map(d => dataDir.resolve(d).toString): _*)))
     }
     if (frames.isEmpty) spark.emptyDataFrame
-    else frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    else toLogical(
+      frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
   }
 
   private def morCommit(spark: SparkSession, op: String, dvMaxRows: Int,
@@ -1544,7 +1637,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // present in a file is inside that file's [min,max], so files
       // pruned by the source's key bounds can contain NO matched rows —
       // skipping them changes nothing)
-      val probe = probeScan(spark, commits, ts0, keyBounds)
+      val probe = probeScan(spark, commits, ts0,
+        keyBounds.map { case (k, v) => physicalOf(k) -> v })
       val statePos =
         if (probe.columns.isEmpty) {
           // every file pruned: nothing can match, but f still needs a
@@ -1588,10 +1682,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         // state scan), minus their existing DV rows and this commit's
         // doomed rows
         val kept = if (rewriteKeys.isEmpty) None else Some {
-          val scan = spark.read
+          val scan = toLogical(flatReader(spark)
             .parquet(rewriteKeys.map(k => dataDir.resolve(k).toString): _*)
             .withColumn(FileCol, relKeyCol)
-            .withColumn(RidxCol, col("_metadata.row_index"))
+            .withColumn(RidxCol, col("_metadata.row_index")))
           applyTombstones(scan, Tombstones(Set.empty,
               ts0.dv.filter(kv => rewriteKeys.contains(kv._1))))
             .join(doomed.select(col(FileCol), col(RidxCol)),
@@ -1737,6 +1831,146 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   /** Drop the generation rule (the column and its data stay). */
   def dropGeneratedColumn(name: String): Long =
     generatedCommit(_ - name)
+
+  // ---------------------------------------------------------------------
+  // column mapping (Delta RENAME/DROP COLUMN without rewrite)
+  // ---------------------------------------------------------------------
+
+  /** Active mapping: (logical → PHYSICAL name, sparse — only renamed
+    * columns) plus the physically-dropped column names. Physical names
+    * are frozen at first write (Delta freezes a UUID; we freeze the
+    * original name): a rename is a metadata-only commit re-labelling
+    * the logical view, data files are never touched. */
+  private def colMap(): (Map[String, String], Set[String]) =
+    logTail.activeMapping()
+
+  /** The on-disk (parquet/stats/bloom) name serving logical column `c`. */
+  private def physicalOf(c: String): String = colMap()._1.getOrElse(c, c)
+
+  /** The explicit schema for FLAT physical-file scans: the table's
+    * logical schema under physical names. An explicit-schema parquet
+    * read null-pads columns a pre-evolution file lacks and ignores a
+    * dropped column's bytes — exactly the evolution + mapping read
+    * semantics — with NO footer-merge schema inference pass, which is
+    * the scalable path (mergeSchema lists and merges every footer).
+    * Only for flat scans: an explicit schema would null out hive
+    * partition columns, which live in dir names, not footers. */
+  private def physicalReadSchema(): Option[org.apache.spark.sql.types.StructType] =
+    latestSchema().filter(_.fields.nonEmpty).map(s =>
+      org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(name = physicalOf(f.name)))))
+
+  /** A parquet reader for flat committed files: explicit physical
+    * schema when the table has one, mergeSchema fallback otherwise. */
+  private def flatReader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
+    physicalReadSchema() match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+
+  /** Rename a LOGICAL frame to its physical on-disk names (last step
+    * before staging — after constraints/generation, which speak
+    * logical). One simultaneous select, not a rename fold: under chained
+    * renames a physical target can equal ANOTHER column's logical name
+    * (a→b after b→c), and sequential renames would collide mid-fold. */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val m = colMap()._1
+    if (m.isEmpty || !df.columns.exists(m.contains)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Present a PHYSICAL scan frame logically: drop dead columns, apply
+    * renames (simultaneous, same collision argument as [[toPhysical]]).
+    * Helper columns (batch, file/pos) pass through. No-op (and no cost)
+    * while the table has no mapping. */
+  private def toLogical(df: DataFrame): DataFrame = {
+    val (m, dropped) = colMap()
+    if (m.isEmpty && dropped.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val rev = m.map(_.swap) // physical -> logical
+      val keep = df.columns.filterNot(dropped.contains)
+      if (keep.sameElements(df.columns) && !keep.exists(rev.contains)) df
+      else df.select(keep.map(c => col(c).as(rev.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Guard for rename/drop: refuse while a CHECK constraint or a
+    * generated-column expression references the column (Delta blocks
+    * the same way — the expr would silently stop resolving). */
+  private def requireUnreferenced(name: String, verb: String): Unit = {
+    val refs = (activeConstraints() ++ activeGenerated()).filter {
+      case (n, e) => n == name ||
+        ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+          .findFirstIn(e).isDefined
+    }
+    require(refs.isEmpty,
+      s"$verb '$name': referenced by constraint/generated expr ${refs.keys.mkString(", ")}")
+  }
+
+  /** RENAME COLUMN (metadata-only, the Delta column-mapping analog):
+    * re-labels `oldName` as `newName` in the logical schema and maps
+    * the new logical name onto the frozen physical name. Writes keep
+    * landing under the physical name; reads present the logical one;
+    * stats/bloom skipping keeps pruning (the footers carry physical
+    * names, [[readSkippingAll]] translates). Time travel BEFORE this
+    * commit shows the old name, after it the new — exactly a metadata
+    * transition. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val cur = latestSchema().getOrElse(sys.error(
+      s"renameColumn: no committed schema to rename in"))
+    require(cur.fieldNames.contains(oldName),
+      s"renameColumn: no column '$oldName' in ${cur.fieldNames.mkString(",")}")
+    require(!cur.fieldNames.contains(newName),
+      s"renameColumn: '$newName' already exists")
+    requireUnreferenced(oldName, "renameColumn")
+    val (m, dropped) = colMap()
+    val ph = m.getOrElse(oldName, oldName)
+    require(!dropped.contains(ph), s"renameColumn: '$oldName' was dropped")
+    // logical and physical namespaces must stay disjoint-or-identical:
+    // renaming ONTO a frozen physical name (e.g. a→b after b→c) would
+    // make raw physical frames ambiguous under translation
+    val physicals = cur.fieldNames.map(f => m.getOrElse(f, f)).toSet ++ dropped
+    require(!physicals.contains(newName),
+      s"renameColumn: '$newName' is a frozen physical name of this table")
+    val schema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    mappingCommit(schema.json, (m - oldName) + (newName -> ph), dropped.toSeq,
+      s"RENAME COLUMN")
+  }
+
+  /** DROP COLUMN (metadata-only): removes the column from the logical
+    * schema and tombstones its physical name — data files keep the
+    * bytes, readers never see them, and the name cannot be re-added
+    * (enforced in [[enforceSchema]]: resurrecting it would make old
+    * files' bytes reappear under the new column). */
+  def dropColumn(name: String): Long = {
+    val cur = latestSchema().getOrElse(sys.error(
+      s"dropColumn: no committed schema to drop from"))
+    require(cur.fieldNames.contains(name),
+      s"dropColumn: no column '$name' in ${cur.fieldNames.mkString(",")}")
+    requireUnreferenced(name, "dropColumn")
+    val (m, dropped) = colMap()
+    val ph = m.getOrElse(name, name)
+    val schema = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name))
+    mappingCommit(schema.json, m - name, (dropped + ph).toSeq, "DROP COLUMN")
+  }
+
+  private def mappingCommit(schemaJson: String, m: Map[String, String],
+      dropped: Seq[String], op: String): Long = {
+    Files.createDirectories(logDir)
+    var v = nextVersion()
+    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
+        Nil, Map.empty, op, None, Map.empty,
+        columnMapping = Some(m), droppedCols = Some(dropped)))) {
+      v = math.max(v + 1, nextVersion())
+    }
+    v
+  }
 
   /** Write-side application ([[stage]]-adjacent, but BEFORE schema
     * recording so the commit's metaData sees the computed column):
@@ -1893,7 +2127,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * delete can never be lost. Returns the committed version, or -1
     * when fewer than `minFiles` candidates exist. */
   def compactSmall(spark: SparkSession, targetBytes: Long = 128L << 20,
-      minFiles: Int = 2, maxRetries: Int = 20): Long = {
+      minFiles: Int = 2, maxRetries: Int = 20,
+      clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     var attempt = 0
     while (true) {
@@ -1909,24 +2144,36 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (cands.size < minFiles) return -1L
       val nOut = math.max(1,
         math.ceil(cands.map(_._2).sum.toDouble / targetBytes).toInt)
-      // one scan over files from DIFFERENT commits: schema evolution can
-      // make their footers differ, and without mergeSchema parquet would
-      // silently adopt one file's schema and DROP the others' columns
-      val scan = spark.read.option("mergeSchema", "true")
+      // one scan over files from DIFFERENT commits: explicit physical
+      // schema — without it parquet would silently adopt one file's
+      // schema and DROP the other commits' evolved columns
+      val scan = flatReader(spark)
         .parquet(cands.map(c => dataDir.resolve(c._1).toString): _*)
         .withColumn(FileCol, relKeyCol)
         .withColumn(RidxCol, col("_metadata.row_index"))
-      val packed = applyTombstones(scan, Tombstones(Set.empty, ts.dv))
-        .drop(FileCol, RidxCol).coalesce(nOut)
+      val live0 = applyTombstones(scan, Tombstones(Set.empty, ts.dv))
+        .drop(FileCol, RidxCol)
+      // OPTIMIZE ... ZORDER BY, incrementally: z-order just the packed
+      // small files (the scan frame carries PHYSICAL names — translate
+      // the clustering columns). Big files keep their existing layout.
+      val packed =
+        if (clusterBy.isEmpty) live0.coalesce(nOut)
+        else graft.operators.ZOrder.cluster(live0,
+          clusterBy.map(physicalOf), math.max(nOut, 2))
       val uuid = java.util.UUID.randomUUID().toString
       val staging = Paths.get(tableDir, s".staging-$uuid")
-      val adds = stage(packed, staging, Nil)
+      // check=false: a physical rewrite of already-validated committed
+      // rows (and the frame carries PHYSICAL names — constraint exprs
+      // would not even resolve against them)
+      val adds = stage(packed, staging, Nil, check = false)
       val stats = fileStats(spark, staging)
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
       touchNow(dataDir.resolve(dir))
-      if (claim(expected, entryJsonS(packed.schema.json, expected, dir, Nil,
+      if (claim(expected, entryJsonS(
+          latestSchema().map(_.json).getOrElse(packed.schema.json),
+          expected, dir, Nil,
           snapshot = false, adds, stats, "COMPACT_INC", None,
           removes = cands.map(_._1))))
         return expected

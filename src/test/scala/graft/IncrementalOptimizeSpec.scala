@@ -85,4 +85,44 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
     assert(big.subsetOf(liveFiles(sink)), "big files must not be rewritten")
     assert(ids(sink.read(spark)).size === 5002)
   }
+
+  test("compactSmall(clusterBy) z-orders the packed output; skipping prunes") {
+    val (sink, _) = newSink("zpack")
+    val rnd = new scala.util.Random(5)
+    (0 until 8).foreach { k =>
+      val rows = Seq.tabulate(500)(i =>
+        (k * 500L + i, rnd.nextInt(100).toLong, rnd.nextDouble() * 1000))
+      sink.commitAppend(rows.toDF("id", "u", "v").coalesce(1))
+    }
+    val before = sink.read(spark).select("id", "u", "v").collect().toSet
+    val v = sink.compactSmall(spark, clusterBy = Seq("u", "v"))
+    assert(v >= 0)
+    // state byte-identical
+    assert(sink.read(spark).select("id", "u", "v").collect().toSet == before)
+    // the clustered output prunes on BOTH columns
+    val total = sink.read(spark).inputFiles.toSet.size
+    val pruned = sink.readSkippingAll(spark,
+      Seq(("u", 10.0, 20.0), ("v", 100.0, 300.0))).inputFiles.toSet.size
+    assert(total >= 2, s"packing produced $total file(s); nothing to prune")
+    assert(pruned < total, s"z-ordered pack pruned nothing ($pruned/$total)")
+  }
+
+  test("read(timestampAsOf) maps claim times to versions; too-early fails loudly") {
+    val (sink, dir) = newSink("tsread")
+    (0 until 4).foreach(k =>
+      sink.commitAppend(Seq((k.toLong, s"v$k")).toDF("id", "x")))
+    // pin deterministic, strictly increasing claim times
+    val log = Paths.get(dir, "_graft_log")
+    val base = 1700000000000L
+    (0L until 4L).foreach { v =>
+      Files.setLastModifiedTime(log.resolve(f"$v%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(base + v * 60000))
+    }
+    def at(ms: Long) = ids(sink.read(spark, new java.sql.Timestamp(ms)))
+    assert(at(base) == Set(0L))
+    assert(at(base + 61000) == Set(0L, 1L))
+    assert(at(base + 10 * 60000) == Set(0L, 1L, 2L, 3L))
+    val e = intercept[RuntimeException](at(base - 1))
+    assert(e.getMessage.contains("predates"))
+  }
 }
