@@ -2067,12 +2067,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     var attempt = 0
     while (true) {
       val expected = nextVersion()
-      val current = liveData(spark)
+      val current0 = liveData(spark)
+      // an everything-deleted live state reads as a schemaless empty
+      // frame; diff it as zero rows of the target's shape
+      val current = if (current0.columns.isEmpty) target.limit(0) else current0
+      // align schemas before the positional exceptAll: a restore across
+      // schema evolution diffs frames with different column sets, so
+      // null-pad each side to the union schema in ONE column order
+      val tAl = target.unionByName(current.limit(0), allowMissingColumns = true)
+      val cAl = current.unionByName(target.limit(0), allowMissingColumns = true)
+        .select(tAl.columns.map(col): _*)
       // logical diff current -> target (multiset semantics): what a CDC
       // consumer must apply to follow the rollback
-      val changes = target.exceptAll(current).withColumn("_change_type", lit("insert"))
+      val changes = tAl.exceptAll(cAl).withColumn("_change_type", lit("insert"))
         .unionByName(
-          current.exceptAll(target).withColumn("_change_type", lit("delete")))
+          cAl.exceptAll(tAl).withColumn("_change_type", lit("delete")))
       val uuid = java.util.UUID.randomUUID().toString
       val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
       stage(changes, chStaging, Nil, check = false)

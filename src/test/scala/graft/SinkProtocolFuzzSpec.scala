@@ -17,13 +17,15 @@ import graft.streaming.ExactlyOnceSink
 class SinkProtocolFuzzSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def df(rows: Seq[(Long, String)]) = rows.toDF("id", "x")
+  private def df(rows: Seq[(Long, String)], xName: String = "x") =
+    rows.toDF("id", xName)
 
   /** Collect (id → x), tolerating the schemaless empty frame a
     * delete-everything history leaves behind. */
-  private def state(d: org.apache.spark.sql.DataFrame): Map[Long, String] =
+  private def state(d: org.apache.spark.sql.DataFrame,
+      xName: String = "x"): Map[Long, String] =
     if (!d.columns.contains("id")) Map.empty
-    else d.select("id", "x").collect()
+    else d.select("id", xName).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
   /** The evolved column's state: (id → y) for rows carrying a non-null
@@ -47,23 +49,27 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       var history = Vector.empty[(Long, Map[Long, String], Map[Long, String])]
       var nextId = 0L
       var anchor = 0L // versions below this are outside retained history
+      // current LOGICAL name of the x column (arm 14 renames it once;
+      // reads at EVERY version present the current mapping, so the
+      // model needs no per-version name history)
+      var xName = "x"
 
       def freshRows(n: Int): Seq[(Long, String)] =
         (0 until n).map { _ => nextId += 1; (nextId, s"s$seed-v$nextId") }
 
       def checkRead(): Unit = {
         val d = sink.read(spark)
-        assert(state(d) === live,
+        assert(state(d, xName) === live,
           s"live state diverged after ${history.size} commits")
         assert(yState(d) === ys,
           s"evolved-column state diverged after ${history.size} commits")
       }
 
       (1 to 24).foreach { step =>
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
-            val v = sink.commitAppend(df(rows))
+            val v = sink.commitAppend(df(rows, xName))
             live = live ++ rows
             history :+= ((v, live, ys))
           case 4 | 5 => // merge: update some existing + insert some fresh
@@ -75,8 +81,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               // alternate copy-on-write and merge-on-read upserts — the
               // model is identical, only the physical protocol differs
               val v = if (rnd.nextBoolean())
-                sink.mergeDV(spark, df(rows), Seq("id"))
-              else sink.merge(spark, df(rows), Seq("id"))
+                sink.mergeDV(spark, df(rows, xName), Seq("id"))
+              else sink.merge(spark, df(rows, xName), Seq("id"))
               live = live ++ rows
               ys = ys -- rows.map(_._1) // whole-row upsert omits y -> null
               history :+= ((v, live, ys))
@@ -126,7 +132,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               case h if h.nonEmpty =>
                 val (v, expect, expectY) = h(rnd.nextInt(h.size))
                 val past = sink.read(spark, versionAsOf = Some(v))
-                assert(state(past) === expect, s"time travel to $v diverged")
+                assert(state(past, xName) === expect, s"time travel to $v diverged")
                 assert(yState(past) === expectY,
                   s"time travel to $v diverged on the evolved column")
               case _ => ()
@@ -144,11 +150,19 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           case 13 => // schema evolution: append WIDENED rows (id, x, y)
             val rows = freshRows(1 + rnd.nextInt(2))
             val wide = rows.map { case (i, s) => (i, s, s"y$i") }
-              .toDF("id", "x", "y")
+              .toDF("id", xName, "y")
             val v = sink.commitAppend(wide, mergeSchema = true)
             live = live ++ rows
             ys = ys ++ rows.map { case (i, _) => i -> s"y$i" }
             history :+= ((v, live, ys))
+          case 14 => // column mapping: rename x ONCE, mid-history —
+            // every later verb must keep translating; reads at every
+            // version present the renamed view
+            if (xName == "x" && history.nonEmpty) {
+              val v = sink.renameColumn("x", "x2")
+              xName = "x2"
+              history :+= ((v, live, ys))
+            }
         }
         checkRead()
       }
@@ -156,7 +170,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // a cold reader (fresh instance, checkpoint-seeded) sees the same
       // final state, and time travel below retention fails loudly
       val cold = new ExactlyOnceSink(dir)
-      assert(state(cold.read(spark)) === live,
+      assert(state(cold.read(spark), xName) === live,
         "cold replay diverged from the model")
       if (anchor > 0)
         history.filter(_._1 < anchor).lastOption.foreach { case (v, _, _) =>
