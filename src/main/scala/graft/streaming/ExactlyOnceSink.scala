@@ -1121,7 +1121,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def tailChanges(spark: SparkSession, checkpointDir: String,
       fromVersion: Long = -1L,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxVersionsPerTrigger: Int = Int.MaxValue)
       (f: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
@@ -1129,9 +1130,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // partial-parse only the version; the entry JSON stays the log's
     val entrySchema = StructType(Seq(StructField("txn",
       StructType(Seq(StructField("version", LongType))))))
+    // one log entry = one file = one version, so the file-stream rate
+    // limit IS a per-trigger version budget — the backfill knob a
+    // consumer needs when attaching to a long history (Delta's
+    // maxFilesPerTrigger analog)
     val entries = spark.readStream
       .schema(entrySchema)
       .option("pathGlobFilter", "*.json") // never .checkpoint files
+      .option("maxFilesPerTrigger", maxVersionsPerTrigger)
       .json(logDir.toString)
     entries.writeStream
       .option("checkpointLocation", checkpointDir)

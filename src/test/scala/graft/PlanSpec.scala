@@ -38,6 +38,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("LessThanOrEqual(value,200"), p.takeRight(2000))
   }
 
+  test("q_sink_dv_read subtracts tombstones via broadcast anti-join, not SMJ") {
+    // the tombstone side is driver-held metadata (bounded by the DV size
+    // cap) — shipping it as a broadcast anti-join is what keeps the
+    // merge-on-read read O(scan) at scale; a sort-merge anti-join would
+    // shuffle the whole table on the file-key
+    val p = finalPhysical("q_sink_dv_read")
+    if (p.contains("LeftAnti")) {
+      assert(p.contains("BroadcastHashJoin"), p.take(3000))
+      assert(!p.contains("SortMergeJoin"), p.take(3000))
+    } // post-compactSmall the removes prune at file-listing time and no
+      // anti-join remains in the plan at all — even better
+  }
+
   test("q_scan_project prunes the read schema to selected+sort columns") {
     val p = physical("q_scan_project")
     assert(p.contains("ReadSchema"))

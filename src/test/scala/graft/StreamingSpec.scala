@@ -1245,6 +1245,25 @@ class StreamingSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toMap)
   }
 
+  test("tailChanges rate limit: maxVersionsPerTrigger bounds each micro-batch") {
+    val srcDir = Files.createTempDirectory("graft-tailrl-src").toString
+    val ckpt = Files.createTempDirectory("graft-tailrl-ckpt").toString
+    val sink = new ExactlyOnceSink(srcDir)
+    (0 until 5).foreach(k =>
+      sink.commitAppend(Seq((k.toLong, s"v$k")).toDF("id", "x")))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    val qy = sink.tailChanges(spark, ckpt, maxVersionsPerTrigger = 1) {
+      (ch, _) =>
+        batches += ch.select("batch").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        ()
+    }
+    qy.awaitTermination(120000)
+    assert(batches.flatten.sorted == (0 until 5), s"feed incomplete: $batches")
+    assert(batches.forall(_.size == 1),
+      s"a micro-batch exceeded the 1-version budget: $batches")
+  }
+
   test("table-to-table replication: tailChanges feeding merge-on-read apply") {
     val srcDir = Files.createTempDirectory("graft-repl-src").toString
     val dstDir = Files.createTempDirectory("graft-repl-dst").toString
