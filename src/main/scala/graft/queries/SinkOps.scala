@@ -159,6 +159,57 @@ object SinkOps {
       dir.toString
     }))
 
+  /** Bloom-probe target user (mirrored in the oracle): user 7 exists at
+    * every fixture SF (15+ users). */
+  private val BloomUser = 7L
+
+  /** One bloom-indexed committed table per (JVM, sfDir): `events` in 16
+    * user-striped appends (`user_id % 16` — every file's [min,max] user
+    * range spans nearly the whole domain, so RANGE stats cannot prune
+    * a user probe) with `bloomBy=user_id` recording a ~1 KB per-file
+    * bloom in the log. The probe then prunes ~15/16 of the files where
+    * stats prune none — the equality-lookup case blooms exist for.
+    * Cache discipline identical to [[clusteredEvents]]. */
+  private val builtBloom = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bloomEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    new ExactlyOnceSink(builtBloom.computeIfAbsent(d, _ => synchronized {
+      val ev = Tables(s, d, "events")
+      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
+        sum(floor(col("value") * 100 + 0.5))).head()
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bloom-${new java.io.File(d).getName}-$pathTag")
+      val marker = dir.resolve("_graft_built")
+      val want = s"$d fp=${fp.mkString(",")} proto=16xuserstripe,bloom(user_id)"
+      Files.createDirectories(dir.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.getParent.resolve(s".${dir.getFileName}.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)) == want
+        if (!fresh) {
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          Files.createDirectories(dir)
+          val sink = new ExactlyOnceSink(dir.toString)
+          (0 until 16).foreach { k =>
+            sink.commitAppend(
+              ev.filter(pmod(col("user_id"), lit(16)) === k).coalesce(1),
+              bloomBy = Seq("user_id"))
+          }
+          Files.write(marker, want.getBytes)
+        }
+      } finally { lock.release(); lockCh.close() }
+      dir.toString
+    }))
+
   val queries: Map[String, QueryFn] = Map(
     // Two-column range aggregate over the clustered committed table: file
     // pruning via footer stats on BOTH z-ordered columns, then the exact
@@ -217,6 +268,21 @@ object SinkOps {
         .groupBy(col("_change_type"), col("batch"), col("event_type"))
         .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
         .orderBy("batch", "event_type")
+    }),
+
+    // Bloom point probe on the user-striped table: every file's user
+    // RANGE spans the domain (stats prune nothing) but its bloom holds
+    // only its stripe's users, so ~15/16 of the files drop at the
+    // metadata layer. Pruning is conservative and the exact predicate
+    // re-applies, so the result equals the full scan — DuckDB-checked.
+    "q_sink_bloom_lookup" -> ((s, d) => {
+      val pruned = bloomEvents(s, d).readLookup(s, "user_id", BloomUser.toString)
+      val src = if (pruned.columns.isEmpty)
+        graft.Tables(s, d, "events").filter(lit(false)) else pruned
+      src.filter(col("user_id") === BloomUser)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -252,6 +318,12 @@ object SinkOps {
             FROM events WHERE NOT (user_id = $DvUser) AND value > $DvValCut
           )
           GROUP BY _change_type, batch, event_type
-          ORDER BY batch, event_type"""
+          ORDER BY batch, event_type""",
+    "q_sink_bloom_lookup" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          WHERE user_id = $BloomUser
+          GROUP BY event_type ORDER BY event_type"""
   )
 }

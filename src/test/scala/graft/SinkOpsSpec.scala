@@ -57,6 +57,38 @@ class SinkOpsSpec extends SparkSpecBase {
     assert(q("q_sink_zorder_skip").collect().toSeq == direct.collect().toSeq)
   }
 
+  test("bloom lookup prunes user-striped files where range stats cannot") {
+    val events = Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft-bloom-spec").toString
+    val sink = new ExactlyOnceSink(dir)
+    (0 until 8).foreach { k =>
+      sink.commitAppend(events.filter(pmod(col("user_id"), lit(8)) === k)
+        .coalesce(1), bloomBy = Seq("user_id"))
+    }
+    val total = sink.read(spark).inputFiles.toSet
+    val pruned = sink.readLookup(spark, "user_id", "7").inputFiles.toSet
+    // every file's user RANGE spans ~the whole domain, so only the
+    // bloom can prune — and it must keep the stripe holding user 7
+    assert(pruned.size < total.size,
+      s"bloom pruned nothing (${pruned.size}/${total.size})")
+    val viaBloom = sink.readLookup(spark, "user_id", "7")
+      .filter(col("user_id") === 7).agg(count(lit(1)), sum("value")).head()
+    val direct = events.filter(col("user_id") === 7)
+      .agg(count(lit(1)), sum("value")).head()
+    assert(viaBloom == direct)
+    assert(direct.getLong(0) > 0, "probe user missing — not probative")
+  }
+
+  test("q_sink_bloom_lookup matches the direct events aggregate") {
+    val direct = Tables(spark, sf, "events")
+      .filter(col("user_id") === 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.sumMoney(col("value")).as("val_sum"))
+      .orderBy("event_type")
+    assert(q("q_sink_bloom_lookup").collect().toSeq == direct.collect().toSeq)
+  }
+
   test("q_sink_timetravel sees exactly the first two chunked appends") {
     val direct = Tables(spark, sf, "events")
       .filter(pmod(col("event_id"), lit(4)) < 2)
