@@ -99,7 +99,21 @@ object IngestBench {
     * spec, so a bench run can never silently measure a broken
     * pipeline. */
   def runDocs(spark: SparkSession, sfDir: String, scale: Int,
-      batches: Int, curated: Boolean): IngestResult = {
+      batches: Int, curated: Boolean): IngestResult =
+    runDocsMode(spark, sfDir, scale, batches,
+      if (curated) "curated" else "plain")
+
+  /** Near-dup (MinHash-LSH) streaming ingest — the most expensive
+    * curation stage, measured on the exact code StreamingSpec proves
+    * near-dup-free ([[graft.streaming.CurationPipeline.nearDupBatch]]).
+    * `kept` counts committed distinct docs (the state table holds one
+    * signature row per (doc, band)). */
+  def runDocsNearDup(spark: SparkSession, sfDir: String, scale: Int,
+      batches: Int): IngestResult =
+    runDocsMode(spark, sfDir, scale, batches, "neardup")
+
+  private def runDocsMode(spark: SparkSession, sfDir: String, scale: Int,
+      batches: Int, mode: String): IngestResult = {
     import org.apache.spark.sql.functions.{col, max, md5}
     val topicDir = Files.createTempDirectory("graft-ingdoc-topic").toString
     val tableDir = Files.createTempDirectory("graft-ingdoc-table").toString
@@ -128,22 +142,38 @@ object IngestBench {
         .option("checkpointLocation", ckptDir)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (df: DataFrame, id: Long) =>
-          if (curated) graft.streaming.CurationPipeline.curateBatch(df, sink, id)
-          else sink.process(df, id)
+          mode match {
+            case "curated" =>
+              graft.streaming.CurationPipeline.curateBatch(df, sink, id)
+            case "neardup" =>
+              graft.streaming.CurationPipeline.nearDupBatch(df, sink, id)
+            case _ => sink.process(df, id)
+          }
         }
         .start()
       qy.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
 
       val ingested = docs0.count() * scale
-      val kept = sink.read(spark).count()
-      if (curated) {
-        // every unique gated text exactly once — scaled copies collapse
-        val expect = docs0
-          .filter(graft.streaming.CurationPipeline.gate(col("text")))
-          .select(md5(col("text"))).distinct().count()
-        require(kept == expect, s"curated ingest corpus wrong: $kept != $expect")
-      } else require(kept == ingested, s"ingest lost rows: $kept != $ingested")
+      val kept = mode match {
+        case "neardup" => sink.read(spark).select("doc_id").distinct().count()
+        case _ => sink.read(spark).count()
+      }
+      mode match {
+        case "curated" =>
+          // every unique gated text exactly once — scaled copies collapse
+          val expect = docs0
+            .filter(graft.streaming.CurationPipeline.gate(col("text")))
+            .select(md5(col("text"))).distinct().count()
+          require(kept == expect, s"curated ingest corpus wrong: $kept != $expect")
+        case "neardup" =>
+          // exact copies are near-dups by construction, so the corpus
+          // must shrink; an empty corpus means the gate ate everything
+          require(kept > 0 && kept < ingested,
+            s"near-dup ingest corpus implausible: kept=$kept of $ingested")
+        case _ =>
+          require(kept == ingested, s"ingest lost rows: $kept != $ingested")
+      }
       IngestResult(ingested, wall, ingested / wall,
         sink.committedVersions().size, kept)
     } finally {
@@ -180,6 +210,9 @@ object IngestBench {
     val dc = runDocs(spark, sfDir, scale, batches, curated = true)
     println(
       f"""{"metric":"ingest_curated_rps","value":${dc.rps}%.0f,"unit":"records/sec","rows":${dc.rows},"kept":${dc.kept},"wall_s":${dc.wallSec}%.2f,"batches":${dc.batches},"curation_cost_x":${dp.rps / dc.rps}%.2f,"sf":"$sfDir"}""")
+    val nd = runDocsNearDup(spark, sfDir, scale, batches)
+    println(
+      f"""{"metric":"ingest_neardup_rps","value":${nd.rps}%.0f,"unit":"records/sec","rows":${nd.rows},"kept":${nd.kept},"wall_s":${nd.wallSec}%.2f,"batches":${nd.batches},"neardup_cost_x":${dp.rps / nd.rps}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,56 @@ object CurationPipeline {
     regexp_replace(regexp_replace(text, EmailPat, "<EMAIL>"),
       "[0-9]+", "<NUM>")
 
+  /** Near-dup (MinHash-LSH) streaming dedup stage — the incremental
+    * form of q_llm_minhash_lsh, factored out of the StreamingSpec flow
+    * so the spec proves the invariant and IngestBench measures the
+    * cost on the SAME code. Each micro-batch: signature docs with the
+    * identical portable MinHash kernel the batch query uses,
+    * candidate-join (band, bkey) against the committed SIGNATURE table,
+    * verify exact hashed-shingle Jaccard >= 0.5, drop near-dups
+    * (conservative greedy: any doc matching a smaller-id batch doc or
+    * ANY committed doc), append the survivors' signatures exactly-once.
+    * The committed corpus stays near-dup-free forever at per-batch cost
+    * O(batch + candidates) — never a corpus rescan. */
+  def nearDupBatch(batch: DataFrame, sink: ExactlyOnceSink,
+      batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    def hinter(a: Column, b: Column) =
+      graft.functions.SortedIntersectSize.sortedIntersectSize(bs, a, b)
+    val bands = graft.queries.TextOps.signatures(bs, batch.select("doc_id", "text"))
+      .select(col("doc_id"), col("hs"), col("sz"),
+        explode(graft.queries.TextOps.bandKeys).as("bk"))
+      .select(col("doc_id"), col("hs"), col("sz"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist()
+    def verified(cand: DataFrame) = cand
+      .filter(hinter(col("hs_a"), col("hs_b")) * 3 >= col("sz_a") + col("sz_b"))
+      .select(col("da")).distinct()
+    val inBatch = verified(bands.alias("a").join(bands.alias("b"),
+      col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+        && col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.hs").as("hs_a"),
+        col("a.sz").as("sz_a"), col("b.hs").as("hs_b"), col("b.sz").as("sz_b"))
+      .distinct())
+    val committed = sink.read(bs)
+    val vsCommitted =
+      if (committed.columns.isEmpty)
+        bs.emptyDataFrame.withColumn("da", lit(0L)).limit(0).select("da")
+      else verified(bands.alias("a").join(
+        committed.select(col("band"), col("bkey"),
+          col("hs").as("hs_b"), col("sz").as("sz_b")),
+        Seq("band", "bkey"))
+        .select(col("doc_id").as("da"), col("hs").as("hs_a"),
+          col("sz").as("sz_a"), col("hs_b"), col("sz_b"))
+        .distinct())
+    val dropped = inBatch.union(vsCommitted).distinct()
+    val survivors = bands.join(dropped,
+      bands("doc_id") === dropped("da"), "left_anti")
+      .select("doc_id", "band", "bkey", "hs", "sz")
+    sink.process(survivors, batchId)
+    bands.unpersist(blocking = false)
+  }
+
   /** One curated micro-batch (stages 1-6 above). `batch` must carry
     * doc_id + text (extra metadata columns ride along untouched). */
   def curateBatch(batch: DataFrame, sink: ExactlyOnceSink,

@@ -791,41 +791,10 @@ class StreamingSpec extends SparkSpecBase {
       .writeStream.option("checkpointLocation", tmp("graft-nd-ckpt"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-        // foreachBatch hands a CLONED session — kernel functions must
-        // resolve against it, not the outer one
-        val bs = df.sparkSession
-        val hinter = hinterIn(bs) _
-        val bands = graft.queries.TextOps.signatures(bs, df)
-          .select(col("doc_id"), col("hs"), col("sz"),
-            explode(graft.queries.TextOps.bandKeys).as("bk"))
-          .select(col("doc_id"), col("hs"), col("sz"),
-            col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-          .persist()
-        def verified(cand: org.apache.spark.sql.DataFrame) = cand
-          .filter(hinter(col("hs_a"), col("hs_b")) * 3 >= col("sz_a") + col("sz_b"))
-          .select(col("da")).distinct()
-        val inBatch = verified(bands.alias("a").join(bands.alias("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("b.doc_id") < col("a.doc_id"))
-          .select(col("a.doc_id").as("da"), col("a.hs").as("hs_a"),
-            col("a.sz").as("sz_a"), col("b.hs").as("hs_b"), col("b.sz").as("sz_b"))
-          .distinct())
-        val committed = sink.read(bs)
-        val vsCommitted =
-          if (committed.isEmpty) bs.emptyDataFrame.withColumn("da", lit(0L)).limit(0).select("da")
-          else verified(bands.alias("a").join(
-            committed.select(col("band"), col("bkey"),
-              col("hs").as("hs_b"), col("sz").as("sz_b")),
-            Seq("band", "bkey"))
-            .select(col("doc_id").as("da"), col("hs").as("hs_a"),
-              col("sz").as("sz_a"), col("hs_b"), col("sz_b"))
-            .distinct())
-        val dropped = inBatch.union(vsCommitted).distinct()
-        val survivors = bands.join(dropped,
-          bands("doc_id") === dropped("da"), "left_anti")
-          .select("doc_id", "band", "bkey", "hs", "sz")
-        sink.process(survivors, id)
-        bands.unpersist(blocking = false)
+        // the factored pipeline stage (CurationPipeline.nearDupBatch)
+        // resolves kernels against the CLONED foreachBatch session;
+        // this spec proves the invariant, IngestBench measures the cost
+        graft.streaming.CurationPipeline.nearDupBatch(df, sink, id)
         ()
       }
       .start()
