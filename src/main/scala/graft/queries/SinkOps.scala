@@ -210,6 +210,57 @@ object SinkOps {
       dir.toString
     }))
 
+  /** Generated-column partition probe (mirrored in the oracle):
+    * bucket 3 is non-empty at every fixture SF (15+ users mod 8). */
+  private val GenBucket = 3L
+
+  /** One generated-column committed table per (JVM, sfDir): declare
+    * `bucket GENERATED ALWAYS AS (user_id % 8)` on the empty table,
+    * then commit `events` in 4 chunked appends PARTITIONED BY the
+    * generated column — the writer computes it (the frames never carry
+    * it), every file lands under its hive `bucket=k` dir, and the read
+    * recovers it from the layout. Cache discipline identical to
+    * [[clusteredEvents]]. */
+  private val builtGen = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def genEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    new ExactlyOnceSink(builtGen.computeIfAbsent(d, _ => synchronized {
+      val ev = Tables(s, d, "events")
+      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
+        sum(floor(col("value") * 100 + 0.5))).head()
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-gen-${new java.io.File(d).getName}-$pathTag")
+      val marker = dir.resolve("_graft_built")
+      val want = s"$d fp=${fp.mkString(",")} proto=gen(bucket=user%8),4xappend,partitionBy"
+      Files.createDirectories(dir.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.getParent.resolve(s".${dir.getFileName}.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)) == want
+        if (!fresh) {
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          Files.createDirectories(dir)
+          val sink = new ExactlyOnceSink(dir.toString)
+          sink.setGeneratedColumn(s, "bucket", "user_id % 8")
+          (0 until 4).foreach { k =>
+            sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k),
+              partitionBy = Seq("bucket"))
+          }
+          Files.write(marker, want.getBytes)
+        }
+      } finally { lock.release(); lockCh.close() }
+      dir.toString
+    }))
+
   val queries: Map[String, QueryFn] = Map(
     // Two-column range aggregate over the clustered committed table: file
     // pruning via footer stats on BOTH z-ordered columns, then the exact
@@ -283,6 +334,19 @@ object SinkOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
         .orderBy("event_type")
+    }),
+
+    // Read one hive partition of the generated-column table: the writer
+    // COMPUTED bucket (the appended frames never carried it), the layout
+    // recovered it, and the result must equal deriving the same
+    // expression over the raw fixture — generation correctness lands in
+    // the oracle gate, not just GeneratedColumnSpec.
+    "q_sink_gen_read" -> ((s, d) => {
+      genEvents(s, d).read(s)
+        .filter(col("bucket") === GenBucket)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -324,6 +388,12 @@ object SinkOps {
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
           FROM events
           WHERE user_id = $BloomUser
+          GROUP BY event_type ORDER BY event_type""",
+    "q_sink_gen_read" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          WHERE user_id % 8 = $GenBucket
           GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -2143,7 +2143,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * when fewer than `minFiles` candidates exist. */
   def compactSmall(spark: SparkSession, targetBytes: Long = 128L << 20,
       minFiles: Int = 2, maxRetries: Int = 20,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Long = {
     import org.apache.spark.sql.functions.col
     var attempt = 0
     while (true) {
@@ -2173,8 +2173,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // the clustering columns). Big files keep their existing layout.
       val packed =
         if (clusterBy.isEmpty) live0.coalesce(nOut)
-        else graft.operators.ZOrder.cluster(live0,
-          clusterBy.map(physicalOf), math.max(nOut, 2))
+        else graft.operators.ZOrder.cluster(live0, clusterBy.map(physicalOf),
+          if (clusterFiles > 0) clusterFiles else math.max(nOut, 2))
       val uuid = java.util.UUID.randomUUID().toString
       val staging = Paths.get(tableDir, s".staging-$uuid")
       // check=false: a physical rewrite of already-validated committed

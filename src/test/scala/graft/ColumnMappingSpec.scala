@@ -118,5 +118,10 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(got.columns.contains("w") && !got.columns.contains("v"),
       "mapping lost after cleanupLog")
     assert(cold.latestSchema().get.fieldNames.contains("w"))
+    // the metadata verbs are first-class history entries
+    val ops = cold.history(spark).select("operation").collect()
+      .map(_.getString(0)).toSet
+    assert(ops.contains("RENAME COLUMN") && ops.contains("SET CONSTRAINT"),
+      s"metadata ops missing from history: $ops")
   }
 }

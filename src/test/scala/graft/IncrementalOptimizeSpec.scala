@@ -95,7 +95,8 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
       sink.commitAppend(rows.toDF("id", "u", "v").coalesce(1))
     }
     val before = sink.read(spark).select("id", "u", "v").collect().toSet
-    val v = sink.compactSmall(spark, clusterBy = Seq("u", "v"))
+    val v = sink.compactSmall(spark, clusterBy = Seq("u", "v"),
+      clusterFiles = 8)
     assert(v >= 0)
     // state byte-identical
     assert(sink.read(spark).select("id", "u", "v").collect().toSet == before)
@@ -103,7 +104,7 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
     val total = sink.read(spark).inputFiles.toSet.size
     val pruned = sink.readSkippingAll(spark,
       Seq(("u", 10.0, 20.0), ("v", 100.0, 300.0))).inputFiles.toSet.size
-    assert(total >= 2, s"packing produced $total file(s); nothing to prune")
+    assert(total >= 8, s"packing produced $total file(s); nothing to prune")
     assert(pruned < total, s"z-ordered pack pruned nothing ($pruned/$total)")
   }
 

@@ -89,6 +89,16 @@ class SinkOpsSpec extends SparkSpecBase {
     assert(q("q_sink_bloom_lookup").collect().toSeq == direct.collect().toSeq)
   }
 
+  test("q_sink_gen_read matches deriving the generated expression over raw events") {
+    val direct = Tables(spark, sf, "events")
+      .filter(pmod(col("user_id"), lit(8)) === 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.sumMoney(col("value")).as("val_sum"))
+      .orderBy("event_type")
+    assert(q("q_sink_gen_read").collect().toSeq == direct.collect().toSeq)
+  }
+
   test("q_sink_timetravel sees exactly the first two chunked appends") {
     val direct = Tables(spark, sf, "events")
       .filter(pmod(col("event_id"), lit(4)) < 2)
