@@ -75,6 +75,39 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(sink.read(spark).count() == kept, "replay changed the corpus")
   }
 
+  /** Same one-sided collapse gate for the NEAR-DUP arm — the most
+    * expensive streaming curation stage (signature kernel + band
+    * self-join + committed-signature candidate join per batch); a
+    * silently quadratic candidate path must not ship as prose. */
+  test("near-dup ingest throughput has not collapsed vs the committed golden") {
+    val goldenPath = java.nio.file.Paths.get("golden/neardup_r12.json")
+    val r = IngestBench.runDocsNearDup(spark, "/root/testdata/sf0.01",
+      scale = 4, batches = 4)
+    assert(r.batches >= 4, "per-batch near-dup cost not exercised")
+    val json =
+      f"""{
+  "config": "local[4] sf=/root/testdata/sf0.01 scale=4 batches=4 neardup",
+  "rows": ${r.rows}%d,
+  "kept": ${r.kept}%d,
+  "test.rps": ${r.rps}%.0f
+}
+"""
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN") || !Files.exists(goldenPath)) {
+      Files.createDirectories(goldenPath.getParent)
+      Files.writeString(goldenPath, json)
+      info(s"golden regenerated at $goldenPath: rps=${r.rps.toInt}")
+    } else {
+      val committed = Files.readString(goldenPath)
+      val rps = """"test\.rps":\s*([0-9.eE]+)""".r
+        .findFirstMatchIn(committed)
+        .getOrElse(fail(s"no test.rps in $goldenPath")).group(1).toDouble
+      info(f"measured ${r.rps}%.0f docs/s vs golden $rps%.0f docs/s")
+      assert(r.rps >= 0.5 * rps,
+        f"near-dup ingest collapsed: ${r.rps}%.0f docs/s < 50%% of golden " +
+          f"$rps%.0f; if intentional, regenerate with GRAFT_REGEN_GOLDEN=1")
+    }
+  }
+
   /** One-sided collapse gate like GoldenIngestSpec: the curated docs arm
     * runs IngestBench.runDocs' exact code path at a small fixed config
     * and fails below 50% of golden/curated_r12.json — a silently
