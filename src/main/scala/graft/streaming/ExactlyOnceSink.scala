@@ -316,18 +316,67 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       s""""commitInfo":{"operation":"$opName","version":$version}}"""
   }
 
+  /** Largest in-commit timestamp this JVM has stamped or observed —
+    * the same-process leg of the monotonicity clamp in [[nextIct]]. */
+  private val lastIct = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Head-parse a committed entry's in-commit timestamp without reading
+    * the whole entry (entries carry per-file stats and can be large;
+    * the stamp is spliced at byte 1 precisely so this stays O(1)).
+    * None for pre-ICT entries or a reclaimed/unreadable file. */
+  private def ictOf(version: Long): Option[Long] =
+    try {
+      val in = Files.newInputStream(logFile(version))
+      try {
+        val buf = new Array[Byte](40)
+        val n = in.read(buf)
+        val head = new String(buf, 0, math.max(n, 0), "UTF-8")
+        val m = """^\{"ict":(\d+),""".r.findFirstMatchIn(head)
+        m.map(_.group(1).toLong)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The in-commit timestamp for a claim of `version`: wall clock,
+    * clamped strictly above the predecessor commit's stamp (claims are
+    * sequential by construction — a writer only targets `version` after
+    * seeing `version-1` committed — so reading the predecessor's stamp
+    * is race-free). Monotone in version order even across processes and
+    * clock skew, which is exactly what mtime-based timestamps are not:
+    * the Delta in-commit-timestamp rationale. Falls back to the
+    * predecessor's mtime (pre-ICT entry) or this JVM's high-water mark
+    * (predecessor reclaimed by cleanupLog). */
+  private def nextIct(version: Long): Long = {
+    val prev =
+      if (version <= 0) None
+      else ictOf(version - 1).orElse(
+        try Some(Files.getLastModifiedTime(logFile(version - 1)).toMillis)
+        catch { case scala.util.control.NonFatal(_) => None })
+    val floor = math.max(prev.getOrElse(0L), lastIct.get)
+    math.max(System.currentTimeMillis(), floor + 1)
+  }
+
   /** THE commit point: exclusive creation of the version's log file via
     * an atomic hard-link of the staged entry. Returns false if the
-    * version was already claimed (by a replay or another writer). */
+    * version was already claimed (by a replay or another writer).
+    * Every entry is stamped with an in-commit timestamp at claim time
+    * (spliced as the FIRST field so [[ictOf]] can head-parse it):
+    * time travel and history read the stamp from the entry itself, so
+    * they survive log-file copies and cleanupLog — the checkpoint
+    * carries entries verbatim, stamp included. */
   private def claim(version: Long, entry: String): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".claim-$appId-${java.util.UUID.randomUUID()}.tmp")
-    Files.writeString(tmp, entry)
+    val ict = nextIct(version)
+    val stamped =
+      if (entry.startsWith("{")) s"""{"ict":$ict,""" + entry.substring(1)
+      else entry
+    Files.writeString(tmp, stamped)
     val won =
       try { Files.createLink(logFile(version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
       finally { Files.deleteIfExists(tmp) }
     if (won) {
+      lastIct.getAndUpdate(v => math.max(v, ict))
       // re-stamp to COMMIT time: the hard link inherits the tmp file's
       // write mtime, which for a writer that lost earlier claim races
       // predates rivals' entries — mtime-ordered log consumers
@@ -745,7 +794,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       dvs: Map[String, Array[Long]] = Map.empty,
       generated: Option[Map[String, String]] = None,
       columnMapping: Option[Map[String, String]] = None,
-      droppedCols: Option[Seq[String]] = None) {
+      droppedCols: Option[Seq[String]] = None,
+      ict: Option[Long] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -877,8 +927,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }.toMap
       case _ => Map.empty[String, Array[Long]]
     }
+    val ict = (j \ "ict") match {
+      case JInt(t) => Some(t.toLong)
+      case _ => None
+    }
     Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
-      removes, dvs, gen, cmap, dcols)
+      removes, dvs, gen, cmap, dcols, ict)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -959,14 +1013,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   /** The scan-side file identity matching [[addKey]]: `_metadata
     * .file_path` with everything through the table's `data/` root
     * stripped — computed in the scan so tombstones can be subtracted by
-    * (file, row position) without reconstructing absolute URIs. */
+    * (file, row position) without reconstructing absolute URIs.
+    *
+    * FOREIGN files (a shallow clone's references into its source's data
+    * root, recorded as absolute paths — the Delta absolute-`add`-path
+    * rule) are keyed by their absolute filesystem path instead: the
+    * URI scheme is stripped and the rest IS the log's key, so clone-
+    * local deletion vectors and removes subtract source files without
+    * the clone ever knowing the source root as table state. */
   private def relKeyCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, instr, lit}
+    import org.apache.spark.sql.functions.{col, instr, lit, regexp_replace, when}
     // plain substring search (no per-row regex): the absolute data/ path
     // is rooted, so its first occurrence in the file URI is the prefix
     val marker = dataDir.toAbsolutePath.toString.replace("\\", "/") + "/"
     val fp = col("_metadata.file_path")
-    fp.substr(instr(fp, marker) + lit(marker.length), lit(1 << 20))
+    val pos = instr(fp, marker)
+    when(pos > lit(0), fp.substr(pos + lit(marker.length), lit(1 << 20)))
+      .otherwise(regexp_replace(fp, "^[a-z][a-zA-Z0-9+.\\-]*:(//)?", ""))
   }
 
   /** Per-commit scan like [[read]]'s fast path, plus the file key and
@@ -1187,16 +1250,28 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       lower: Double, upper: Double): DataFrame =
     readSkippingAll(spark, Seq((column, lower, upper)))
 
+  /** The commit's effective wall-clock timestamp: its in-commit stamp
+    * (claim-time, monotone in version by [[nextIct]]'s clamp) when
+    * present; log-file mtime for pre-ICT entries whose raw file
+    * survives; None for a pre-ICT commit living only in a checkpoint. */
+  private def commitTime(c: Commit): Option[Long] =
+    c.ict.orElse(
+      if (Files.exists(logFile(c.version)))
+        Some(Files.getLastModifiedTime(logFile(c.version)).toMillis)
+      else None)
+
   /** Time travel by WALL CLOCK (the Delta `timestampAsOf` analog): the
-    * state as of the newest commit whose claim time (log-file mtime —
-    * claim-time stamping keeps these monotone in version order) is at
-    * or before `ts`. Fails loudly when `ts` predates the oldest
-    * retained commit — exactly like a version below the cleanupLog
-    * window — rather than silently serving a later state. */
+    * state as of the newest commit whose IN-COMMIT timestamp (stamped
+    * into the entry at claim time — monotone in version order,
+    * resilient to file copies and cleanupLog; mtime fallback for
+    * pre-ICT entries) is at or before `ts`. Fails loudly when `ts`
+    * predates the oldest retained commit — exactly like a version below
+    * the cleanupLog window — rather than silently serving a later
+    * state. */
   def read(spark: SparkSession, timestampAsOf: java.sql.Timestamp): DataFrame = {
     val cut = timestampAsOf.getTime
-    val vs = committedVersions()
-      .filter(v => Files.getLastModifiedTime(logFile(v)).toMillis <= cut)
+    val vs = allKnownCommits()
+      .filter(c => commitTime(c).exists(_ <= cut)).map(_.version)
     if (vs.isEmpty)
       sys.error(s"timestampAsOf=$timestampAsOf predates the oldest " +
         "retained commit (or the table is empty)")
@@ -1208,17 +1283,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * before time travel / RESTORE / VACUUM. Driver-side metadata only
     * (folds the same checkpoint-seeded log [[allKnownCommits]] every
     * lookup uses; no data files touched). `timestamp` is the commit's
-    * claim time (log-file mtime — claim-time stamping keeps it monotone
-    * in version order); null for commits whose raw entry was reclaimed
-    * by [[cleanupLog]] and survives only through a checkpoint. */
+    * in-commit stamp (claim time, spliced into the entry — so it
+    * survives cleanupLog through the checkpoint's verbatim entries);
+    * mtime fallback for pre-ICT raw entries, null only for a pre-ICT
+    * commit surviving solely through a checkpoint. */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
     allKnownCommits().map { c =>
-      val ts =
-        if (Files.exists(logFile(c.version)))
-          Some(new java.sql.Timestamp(
-            Files.getLastModifiedTime(logFile(c.version)).toMillis))
-        else None
+      val ts = commitTime(c).map(new java.sql.Timestamp(_))
       (c.version, ts, c.op, c.snapshot, c.adds.size, c.removes.size,
         c.dvs.size, c.streamTxn.map(_._1), c.streamTxn.map(_._2))
     }.toDF("version", "timestamp", "operation", "snapshot",
@@ -2044,6 +2116,113 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * Runs through the OCC claim loop — a concurrent commit invalidates
     * the computed diff, so re-read and recompute. Returns the committed
     * version. */
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` analog):
+    * materialize a new, independently-writable table at `targetDir`
+    * that references THIS table's data files without copying a byte.
+    * The clone gets a full copy of the source's commit LOG (every raw
+    * entry, checkpoint, and truncation marker — so the clone serves
+    * the same time travel, CDC and history as the source at clone
+    * time), with every data path rewritten to an ABSOLUTE path into
+    * the source's data root — the Delta absolute-`add`-path mechanism.
+    * Relative paths always resolve under a table's own `data/`;
+    * absolute paths pass through (`Path.resolve` semantics), so every
+    * read verb — scans, skipping, bloom lookup, CDC, merge-on-read
+    * subtraction ([[relKeyCol]]'s absolute branch) — works unchanged.
+    *
+    * Writes after the clone diverge: new commits (append / merge /
+    * deleteDV / OPTIMIZE) land in the CLONE's data root and log, never
+    * the source's; a copy-on-write verb or [[compact]] on the clone
+    * rewrites referenced source data into clone-local files, after
+    * which the clone is physically independent. [[vacuum]] on the
+    * clone lists only the clone's own data root, so it can never
+    * reclaim source files. The one live coupling, exactly as in Delta:
+    * VACUUM or destructive history operations ON THE SOURCE can remove
+    * files the clone still references — run [[compact]] on the clone
+    * first if the source's lifecycle is not under your control.
+    *
+    * The target must not already have a log. Uses direct log-file
+    * writes (no OCC claims — the target is required to be fresh, and
+    * the source log files are immutable once committed). Returns the
+    * clone's latest version. Chained clones work: already-absolute
+    * paths are preserved verbatim. */
+  def cloneTo(targetDir: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val tgtLog = Paths.get(targetDir, "_graft_log")
+    require(!Files.isDirectory(tgtLog) ||
+      !Files.list(tgtLog).iterator().hasNext,
+      s"cloneTo: $targetDir already has a commit log")
+    val vs = committedVersions()
+    require(vs.nonEmpty || checkpointVersions().nonEmpty,
+      "cloneTo: source table has no commits")
+    val srcRoot = dataDir.toAbsolutePath.normalize.toString.replace("\\", "/")
+    def abs(rel: String): String =
+      if (rel.isEmpty || rel.startsWith("/")) rel else s"$srcRoot/$rel"
+    // Rewrite ONE commit entry's data references to absolute. Top-level
+    // fields only — never recursive, so user columns named "dir"/"dv"/
+    // "remove" inside schemaString or per-file stats are untouched.
+    def rewriteEntry(text: String): String = {
+      val j = JsonMethods.parse(text)
+      val fields = j match {
+        case JObject(fs) => fs
+        case _ => return text // unparseable shapes are copied verbatim
+      }
+      // restore/lifted entries key their adds at data-root granularity
+      // (dir empty or re-pointed dirs); ordinary commits key adds
+      // relative to their own dir, which itself goes absolute
+      val keySpaceAdds = fields.exists {
+        case ("restoreDirs", JArray(items)) => items.nonEmpty
+        case _ => false
+      } || fields.collectFirst { case ("dir", JString(d)) => d }.forall(_.isEmpty)
+      val out = fields.map {
+        case ("dir", JString(d)) => ("dir", JString(abs(d)))
+        case ("restoreDirs", JArray(items)) =>
+          ("restoreDirs", JArray(items.map {
+            case JString(s) => JString(abs(s)); case x => x
+          }))
+        case ("changeDir", JString(d)) => ("changeDir", JString(abs(d)))
+        case ("remove", JArray(items)) =>
+          ("remove", JArray(items.map {
+            case JString(s) => JString(abs(s)); case x => x
+          }))
+        case ("dv", JObject(fs)) =>
+          ("dv", JObject(fs.map { case (k, v) => (abs(k), v) }))
+        case ("add", JArray(items)) if keySpaceAdds =>
+          ("add", JArray(items.map {
+            case JObject(afs) => JObject(afs.map {
+              case ("path", JString(p)) => ("path", JString(abs(p)))
+              case other => other
+            })
+            case x => x
+          }))
+        case other => other
+      }
+      JsonMethods.compact(JsonMethods.render(JObject(out)))
+    }
+    Files.createDirectories(tgtLog)
+    Files.createDirectories(Paths.get(targetDir, "data"))
+    vs.foreach { v =>
+      Files.writeString(tgtLog.resolve(f"$v%020d.json"),
+        rewriteEntry(Files.readString(logFile(v))))
+    }
+    // checkpoints: line 1 is the aux header (no data paths), the rest
+    // are commit entries — rewritten like the raw log so a clone of a
+    // cleanupLog'd source still replays from its checkpoint
+    checkpointVersions().foreach { cv =>
+      val lines = Files.readAllLines(checkpointFile(cv)).asScala
+        .filter(_.nonEmpty).toSeq
+      if (lines.nonEmpty) {
+        val body = lines.head +: lines.tail.map(rewriteEntry)
+        Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
+          body.mkString("\n") + "\n")
+      }
+    }
+    if (Files.exists(truncMarker))
+      Files.copy(truncMarker, tgtLog.resolve(truncMarker.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+    (vs ++ checkpointVersions()).max
+  }
+
   def restore(spark: SparkSession, toVersion: Long, maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(isCommitted(toVersion), s"restore: version $toVersion is not committed")

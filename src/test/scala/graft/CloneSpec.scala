@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.streaming.ExactlyOnceSink
+
+/** Shallow clone ([[ExactlyOnceSink.cloneTo]]) and in-commit timestamps:
+  * zero-copy table references, post-clone divergence, merge-on-read over
+  * foreign files, physical independence after compact, and the stamped
+  * commit clock that time travel and history read from the entries
+  * themselves. */
+class CloneSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ids(sink: ExactlyOnceSink): Seq[Long] =
+    sink.read(spark).select("id").as[Long].collect().sorted.toSeq
+
+  private def dataFilesUnder(dir: String): Seq[String] =
+    if (!Files.isDirectory(Paths.get(dir, "data"))) Nil
+    else Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+
+  test("clone sees the source state at clone time without copying a byte") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 100).toDF("id").withColumn("v", lit(1L)))
+    src.commitAppend(spark.range(100, 150).toDF("id").withColumn("v", lit(2L)))
+
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+
+    assert(ids(clone) == (0L until 150L).toSeq)
+    assert(dataFilesUnder(cloneDir).isEmpty, "shallow clone must copy no data files")
+    // version history carries over: time travel on the clone
+    assert(clone.read(spark, versionAsOf = Some(0L))
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 100L).toSeq)
+  }
+
+  test("writes after the clone diverge in both directions") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 10).toDF("id"))
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+
+    src.commitAppend(spark.range(10, 20).toDF("id"))   // source-only
+    clone.commitAppend(spark.range(100, 105).toDF("id")) // clone-only
+
+    assert(ids(src) == (0L until 20L).toSeq)
+    assert(ids(clone) == ((0L until 10L) ++ (100L until 105L)).toSeq)
+    // the clone's new commit landed in ITS data root, not the source's
+    assert(dataFilesUnder(cloneDir).nonEmpty)
+  }
+
+  test("deletion vectors on the clone tombstone foreign source files; source unaffected") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 50).toDF("id").withColumn("v", lit(7L)))
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+
+    // row-level DV delete against files that physically live in the source
+    clone.deleteDV(spark, col("id") < 20)
+    assert(ids(clone) == (20L until 50L).toSeq)
+    assert(ids(src) == (0L until 50L).toSeq, "source must not see clone deletes")
+    // and the skipping read still prunes on the clone
+    val skipped = clone.readSkipping(spark, "id", 40L, 49L)
+      .filter(col("id") >= 40L).select("id").as[Long].collect().sorted.toSeq
+    assert(skipped == (40L until 50L).toSeq)
+  }
+
+  test("clone of a merge-on-read source carries its deletion vectors") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 30).toDF("id"))
+    src.deleteDV(spark, col("id") % 3 === 0)
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+    assert(ids(clone) == (0L until 30L).filter(_ % 3 != 0).toSeq)
+  }
+
+  test("compact localizes the clone: survives source data deletion afterwards") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 40).toDF("id"))
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+    clone.commitAppend(spark.range(40, 45).toDF("id"))
+
+    clone.compact(spark) // copy-on-write rewrite into clone-local files
+    // destroy the source's data entirely — the documented Delta caveat,
+    // now harmless because the clone no longer references it
+    Files.walk(Paths.get(srcDir, "data")).iterator().asScala.toSeq
+      .reverse.foreach(Files.delete)
+    assert(ids(clone) == (0L until 45L).toSeq)
+  }
+
+  test("vacuum on the clone never reclaims source files") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 25).toDF("id"))
+    val srcFiles = dataFilesUnder(srcDir).toSet
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+    clone.vacuum(retainHistory = false, minAgeMs = 0)
+    assert(dataFilesUnder(srcDir).toSet == srcFiles)
+    assert(ids(clone) == (0L until 25L).toSeq)
+  }
+
+  test("chained clone: a clone of a clone still reads the original data") {
+    val aDir = tmp("graft-clone-a")
+    val a = new ExactlyOnceSink(aDir)
+    a.commitAppend(spark.range(0, 15).toDF("id"))
+    val bDir = tmp("graft-clone-b")
+    a.cloneTo(bDir)
+    val b = new ExactlyOnceSink(bDir)
+    b.commitAppend(spark.range(15, 18).toDF("id"))
+    val cDir = tmp("graft-clone-c")
+    b.cloneTo(cDir)
+    val c = new ExactlyOnceSink(cDir)
+    assert(ids(c) == (0L until 18L).toSeq)
+    assert(dataFilesUnder(cDir).isEmpty)
+  }
+
+  test("cloneTo refuses a target that already has a log") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 5).toDF("id"))
+    val otherDir = tmp("graft-clone-other")
+    new ExactlyOnceSink(otherDir).commitAppend(spark.range(0, 3).toDF("id"))
+    val e = intercept[IllegalArgumentException] { src.cloneTo(otherDir) }
+    assert(e.getMessage.contains("already has a commit log"))
+  }
+
+  test("clone preserves a partitioned source's hive layout reads") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(
+      spark.range(0, 60).toDF("id").withColumn("part", col("id") % 3),
+      partitionBy = Seq("part"))
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+    val got = clone.read(spark).filter(col("part") === 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 60L).filter(_ % 3 == 1).toSeq)
+  }
+
+  // -------------------------------------------------------------------
+  // in-commit timestamps
+  // -------------------------------------------------------------------
+
+  test("in-commit timestamps are strictly monotone in version order") {
+    val dir = tmp("graft-ict")
+    val sink = new ExactlyOnceSink(dir)
+    (0 until 5).foreach(i => sink.commitAppend(spark.range(i, i + 1).toDF("id")))
+    val ts = sink.history(spark)
+      .select("version", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sortBy(_._1)
+    assert(ts.length == 5)
+    assert(ts.forall(_._2 > 0))
+    ts.sliding(2).foreach { case Array((v1, t1), (v2, t2)) =>
+      assert(t2 > t1, s"ICT not strictly increasing: v$v1=$t1 v$v2=$t2")
+    }
+  }
+
+  test("timestamps survive cleanupLog through the checkpoint (no null history)") {
+    val dir = tmp("graft-ict")
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 4)
+    (0 until 9).foreach(i => sink.commitAppend(spark.range(i, i + 1).toDF("id")))
+    assert(sink.cleanupLog(minAgeMs = 0) > 0, "expected raw entries reclaimed")
+    val hist = sink.history(spark).select("version", "timestamp").collect()
+    assert(hist.forall(r => r.getTimestamp(1) != null),
+      "ICT must survive log cleanup via checkpoint entries")
+  }
+
+  test("timestampAsOf serves the stamped clock and fails loudly below the retained window") {
+    val dir = tmp("graft-ict")
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 2)
+    (0 until 5).foreach(i => sink.commitAppend(spark.range(i, i + 1).toDF("id")))
+    val hist = sink.history(spark).select("version", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sortBy(_._1).toSeq
+    sink.cleanupLog(minAgeMs = 0) // anchor = checkpoint at v4; raw < 4 reclaimed
+    // as-of the NEWEST stamp: full state, resolved from the stamps alone
+    val atLatest = sink.read(spark, new java.sql.Timestamp(hist.last._2))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(atLatest == (0L until 5L).toSeq)
+    // as-of a stamp below the retained window: loud failure, exactly as
+    // versionAsOf below the window — never a silently later state
+    val e = intercept[RuntimeException] {
+      sink.read(spark,
+        new java.sql.Timestamp(hist.find(_._1 == 2L).get._2)).count()
+    }
+    assert(e.getMessage.contains("predates retained history"))
+  }
+
+  test("a clone inherits the source's commit timestamps verbatim") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    (0 until 3).foreach(i => src.commitAppend(spark.range(i, i + 1).toDF("id")))
+    val srcTs = src.history(spark).select("version", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+    val cloneTs = clone.history(spark).select("version", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
+    assert(cloneTs == srcTs)
+  }
+}
