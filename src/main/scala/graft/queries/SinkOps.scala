@@ -261,6 +261,70 @@ object SinkOps {
       dir.toString
     }))
 
+  /** Clone-read predicates (mirrored in the oracle): the DV delete on
+    * the CLONE drops the high-value tail; the clone-local append then
+    * re-adds user 5's rows (including its high-value ones — appends
+    * after a delete are untouched by earlier tombstones). Both bite at
+    * every fixture SF (value tops ~330 at sf0.001; 15+ users). */
+  private val CloneValCut = 280.0
+  private val CloneUser = 5L
+
+  /** One (source, shallow clone) pair per (JVM, sfDir): `events` in 2
+    * appends committed to a SOURCE table, [[ExactlyOnceSink.cloneTo]]
+    * into a sibling dir, then two divergent writes ON THE CLONE — a
+    * deletion-vector delete that tombstones FOREIGN files (they
+    * physically live in the source's data root; the clone's log
+    * references them by absolute path) and a clone-local append. The
+    * declared query reads the clone, so zero-copy cloning, the
+    * absolute-path file-key branch, cross-root DV subtraction, and
+    * post-clone divergence are all hash-checked against DuckDB on the
+    * raw fixture. Cache discipline identical to [[clusteredEvents]]. */
+  private val builtClone = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cloneEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    new ExactlyOnceSink(builtClone.computeIfAbsent(d, _ => synchronized {
+      val ev = Tables(s, d, "events")
+      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
+        sum(floor(col("value") * 100 + 0.5))).head()
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val srcDir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-clonesrc-${new java.io.File(d).getName}-$pathTag")
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-clone-${new java.io.File(d).getName}-$pathTag")
+      val marker = dir.resolve("_graft_built")
+      val want = s"$d fp=${fp.mkString(",")} " +
+        s"proto=2xappend,clone,dv(value>$CloneValCut),append(user=$CloneUser)"
+      Files.createDirectories(dir.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.getParent.resolve(s".${dir.getFileName}.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)) == want
+        if (!fresh) {
+          import scala.jdk.CollectionConverters._
+          Seq(dir, srcDir).filter(Files.exists(_)).foreach { p =>
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          Files.createDirectories(srcDir)
+          Files.createDirectories(dir)
+          val src = new ExactlyOnceSink(srcDir.toString)
+          (0 until 2).foreach { k =>
+            src.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === k))
+          }
+          src.cloneTo(dir.toString)
+          val clone = new ExactlyOnceSink(dir.toString)
+          clone.deleteDV(s, col("value") > CloneValCut)
+          clone.commitAppend(ev.filter(col("user_id") === CloneUser))
+          Files.write(marker, want.getBytes)
+        }
+      } finally { lock.release(); lockCh.close() }
+      dir.toString
+    }))
+
   val queries: Map[String, QueryFn] = Map(
     // Two-column range aggregate over the clustered committed table: file
     // pruning via footer stats on BOTH z-ordered columns, then the exact
@@ -336,6 +400,19 @@ object SinkOps {
         .orderBy("event_type")
     }),
 
+    // Read the shallow clone after divergent writes: the result must
+    // equal (source minus the clone's DV-deleted tail) plus the
+    // clone-local append — with the deleted rows living in FOREIGN files
+    // the clone references by absolute path and never copied. Zero-copy
+    // reference, cross-root tombstone subtraction, and divergence are
+    // all physically invisible to the reader — DuckDB-checked.
+    "q_sink_clone_read" -> ((s, d) => {
+      cloneEvents(s, d).read(s)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
     // Read one hive partition of the generated-column table: the writer
     // COMPUTED bucket (the appended frames never carried it), the layout
     // recovered it, and the result must equal deriving the same
@@ -388,6 +465,15 @@ object SinkOps {
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
           FROM events
           WHERE user_id = $BloomUser
+          GROUP BY event_type ORDER BY event_type""",
+    "q_sink_clone_read" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM (
+            SELECT event_type, value FROM events WHERE NOT (value > $CloneValCut)
+            UNION ALL
+            SELECT event_type, value FROM events WHERE user_id = $CloneUser
+          )
           GROUP BY event_type ORDER BY event_type""",
     "q_sink_gen_read" ->
       s"""SELECT event_type, count(*) AS n,
