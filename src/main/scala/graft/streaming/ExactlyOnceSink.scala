@@ -627,9 +627,32 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
   private def process(df: DataFrame, batchId: Long, partitionBy: Seq[String],
       snapshot: Boolean, mergeSchema: Boolean): Unit = {
-    if (isCommitted(batchId)) return // replay after crash → no-op
+    if (isCommitted(batchId)) {
+      // replay after crash → no-op, but ONLY when the occupying commit
+      // really is this stream's batch: a metadata or OCC commit sitting
+      // at that version would otherwise swallow the batch silently
+      // (version = batchId is this protocol's invariant — tables with a
+      // pre-stream log need [[appendBatch]], which cursors on streamTxn
+      // instead of version numbers)
+      require(parseCommit(batchId).dir == s"batch=$batchId",
+        s"process(batchId=$batchId): version $batchId is occupied by a " +
+          "non-streaming commit; this table's log did not start with the " +
+          "stream — use appendBatch (streamTxn-cursored) instead")
+      return
+    }
     enforceSchema(df, mergeSchema, s"process(batchId=$batchId)")
-    val gdf = applyGenerated(df)
+    val gdf0 = applyGenerated(df)
+    // identity assignment: the stream is the SINGLE writer, so there is
+    // no watermark race — a crash-replay of this batch re-reads the
+    // previous batch's committed watermark and the claim's idempotence
+    // keeps exactly-once either way
+    val idr = identityRules()
+    val (gdf, advancedGen, releaseId) =
+      if (idr.isEmpty) (gdf0, None, () => ())
+      else {
+        val (adf, adv, rel) = assignIdentity(gdf0, idr)
+        (adf, Some(logTail.activeGenerated() ++ adv), rel)
+      }
     Files.createDirectories(dataDir)
 
     // 1. stage data files (invisible to readers — they go through the log)
@@ -654,7 +677,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // 3. commit; a lost claim means a concurrent replay already committed
     //    this batchId — exactly-once either way
     claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
-      s"batch=$batchId", partitionBy, snapshot, moved, stats))
+      s"batch=$batchId", partitionBy, snapshot, moved, stats,
+      generated = advancedGen))
+    releaseId()
   }
 
   // ---------------------------------------------------------------------
@@ -680,9 +705,88 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 8,
       bloomBy: Seq[String] = Nil, bloomBits: Int = 4096,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      streamTxn: Option[(String, Long)] = None): Long = {
     enforceSchema(df, mergeSchema, "commitAppend")
     val gdf = applyGenerated(df)
+    val idr0 = identityRules()
+    if (idr0.isEmpty) {
+      val st = stageAppend(gdf, partitionBy, clusterBy, clusterFiles,
+        bloomBy, bloomBits)
+      var v = nextVersion()
+      while (!claim(v, entryJsonS(st.schemaJson, v, st.dir, partitionBy,
+          snapshot = false, st.adds, st.stats, blooms = st.blooms,
+          streamTxn = streamTxn))) {
+        v = math.max(v + 1, nextVersion()) // lost the race — next version
+      }
+      v
+    } else {
+      // identity appends CAN conflict (two writers reading one watermark
+      // would assign overlapping ranges), so the blind re-target above is
+      // not safe here. Proper OCC: read (watermark, next version) as ONE
+      // log view and claim EXACTLY that version — claims are dense, so
+      // any rival commit after the read occupies that version and our
+      // claim fails; on failure re-read, and only re-assign + re-stage
+      // when the watermark actually moved (a rival identity append).
+      var staged: Option[(Seq[(String, Long, Long, Long)], Map[String, String],
+        StagedAppend)] = None
+      while (true) {
+        val (gen, expected) = logTail.generatedState()
+        val rules = gen.toSeq.sortBy(_._1).collect {
+          case (n, IdentityRule(s, k, w)) => (n, s.toLong, k.toLong, w.toLong)
+        }
+        if (!staged.exists(_._1 == rules)) {
+          // first attempt, or stale range — (re)assign and (re)stage;
+          // an abandoned staged dir is an orphan vacuum reclaims
+          val (adf, advanced, release) = assignIdentity(gdf, rules)
+          try staged = Some((rules, gen ++ advanced,
+            stageAppend(adf, partitionBy, clusterBy, clusterFiles,
+              bloomBy, bloomBits)))
+          finally release()
+        }
+        val (_, genOut, st) = staged.get
+        if (claim(expected, entryJsonS(st.schemaJson, expected, st.dir,
+            partitionBy, snapshot = false, st.adds, st.stats,
+            blooms = st.blooms, generated = Some(genOut),
+            streamTxn = streamTxn)))
+          return expected
+      }
+      -1L // unreachable
+    }
+  }
+
+  /** Streaming APPEND cursored on the (appId, batchId) txn action — the
+    * Delta idempotent-writer pattern, and the streaming entry point for
+    * tables whose log did not start with the stream (metadata commits,
+    * OCC writers, identity declarations shift version numbers away from
+    * batchIds, which the [[process]] protocol cannot tolerate). A
+    * replayed micro-batch sees its batchId at or below the committed
+    * cursor and no-ops; otherwise the batch commits through the full
+    * [[commitAppend]] OCC path — identity assignment included — with
+    * the cursor riding the same commit atomically. One streaming writer
+    * per `streamAppId` (Spark's guarantee); concurrent OCC writers on
+    * other appIds are safe. Returns the committed version, or -1 for a
+    * replay no-op. */
+  def appendBatch(df: DataFrame, batchId: Long,
+      streamAppId: String = appId, partitionBy: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
+    if (lastStreamBatch(streamAppId).exists(_ >= batchId)) return -1L
+    commitAppend(df, partitionBy, mergeSchema = mergeSchema,
+      streamTxn = Some(streamAppId -> batchId))
+  }
+
+  private case class StagedAppend(dir: String, adds: Seq[Path],
+      stats: Map[String, Map[String, (String, String)]],
+      blooms: Map[String, Map[String, Array[Long]]],
+      schemaJson: String)
+
+  /** Stage one optimistic append's data files under a writer-unique dir
+    * and collect its per-file stats/blooms — everything a claim needs,
+    * claiming left to the caller (plain appends blind-retry versions;
+    * identity appends pin the version to their watermark read). */
+  private def stageAppend(gdf: DataFrame, partitionBy: Seq[String],
+      clusterBy: Seq[String], clusterFiles: Int,
+      bloomBy: Seq[String], bloomBits: Int): StagedAppend = {
     Files.createDirectories(dataDir)
     // A clustered append runs TWO actions over the input (the quantile
     // sketch pass inside ZOrder.key, then the staged write): persist the
@@ -705,12 +809,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Files.createDirectories(target.getParent)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     touchNow(target)
-    var v = nextVersion()
-    while (!claim(v, entryJsonS(evolvedSchemaJson(gdf), v, dir, partitionBy,
-        snapshot = false, adds, stats, blooms = blooms))) {
-      v = math.max(v + 1, nextVersion()) // lost the race — next version
-    }
-    v
+    StagedAppend(dir, adds, stats, blooms, evolvedSchemaJson(gdf))
   }
 
   /** Optimistic read-modify-write transaction (Delta's OCC loop): reads
@@ -1496,6 +1595,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
     def activeConstraints(): Map[String, String] = refreshed(constraints)
     def activeGenerated(): Map[String, String] = refreshed(generated)
+    /** The generated map TOGETHER with the next version at the moment
+      * of the read — one atomic log view, so an identity writer can
+      * claim exactly that version and know no commit it has not seen
+      * could have advanced the watermark (claims are dense: any rival
+      * commit after the read occupies the returned version and makes
+      * the claim fail). */
+    def generatedState(): (Map[String, String], Long) =
+      refreshed((generated, seen + 1))
     def activeMapping(): (Map[String, String], Set[String]) =
       refreshed((columnMapping, droppedCols.toSet))
     def lastBatch(appId: String): Option[Long] =
@@ -2059,7 +2166,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * its narrower frame was null-padded by the union. */
   private def applyGenerated(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val gen = logTail.activeGenerated()
+    // identity rules are NOT expressions: assignment happens in the
+    // append paths (assignIdentity), and snapshot transforms carry the
+    // already-assigned values through untouched
+    val gen = logTail.activeGenerated().filterNot(_._2.startsWith("IDENTITY("))
     if (gen.isEmpty) df
     else gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
       if (!d.columns.contains(n)) d.withColumn(n, expr(e))
@@ -2070,6 +2180,94 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             lit(s"generated column '$n' ($e) mismatch on row: "),
             to_json(struct(d.columns.map(col): _*))))))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // identity columns (Delta GENERATED ALWAYS AS IDENTITY)
+  // ---------------------------------------------------------------------
+
+  /** An identity rule rides the generated-column metaData slot as
+    * `IDENTITY(start,step,watermark)` — declaration, latest-wins log
+    * replay, and checkpoint-aux survival all come for free. `watermark`
+    * is the LAST VALUE USED; the next assigned value is
+    * watermark + step. */
+  private val IdentityRule = """IDENTITY\((-?\d+),(-?\d+),(-?\d+)\)""".r
+
+  /** Active identity rules as (column, start, step, watermark),
+    * name-sorted for deterministic multi-column assignment order. */
+  private def identityRules(): Seq[(String, Long, Long, Long)] =
+    logTail.activeGenerated().toSeq.sortBy(_._1).collect {
+      case (n, IdentityRule(s, k, w)) => (n, s.toLong, k.toLong, w.toLong)
+    }
+
+  /** Assign contiguous identity values to every row of `df` from each
+    * rule's watermark. Two passes over a persisted frame: (1) count
+    * rows per partition, (2) value = watermark + step × (rows in
+    * earlier partitions + row index within this partition), with the
+    * within-partition index recovered from the low 33 bits of
+    * `monotonically_increasing_id` (its documented layout) and the
+    * per-partition base offsets broadcast-joined in — no global sort,
+    * no driver round-trip of data, contiguous ids (Delta guarantees
+    * only uniqueness/monotonicity; contiguity keeps the watermark
+    * growth bounded by row count). Returns the assigned frame, the
+    * advanced rules for the commit's metaData, and a release handle
+    * for the persist pin. */
+  private def assignIdentity(df: DataFrame,
+      rules: Seq[(String, Long, Long, Long)])
+      : (DataFrame, Map[String, String], () => Unit) = {
+    import org.apache.spark.sql.functions._
+    rules.foreach { case (n, _, _, _) =>
+      require(!df.columns.contains(n),
+        s"identity column '$n' is GENERATED ALWAYS — remove it from the frame")
+    }
+    val pinned = df.persist()
+    val counts = pinned.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offRows = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    val sp = df.sparkSession
+    import sp.implicits._
+    val offDf = offRows.toSeq.toDF("__pid", "__off")
+    // __pid/__rip are projected over the PERSISTED blocks before the
+    // broadcast join, so they see the exact partitioning the count pass
+    // measured
+    var out = pinned
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rip",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offDf), "__pid")
+    rules.foreach { case (n, _, step, wm) =>
+      out = out.withColumn(n,
+        lit(wm + step) + lit(step) * (col("__off") + col("__rip")))
+    }
+    val assigned = out.drop("__pid", "__rip", "__off")
+    val advanced = rules.map { case (n, s0, k, wm) =>
+      n -> s"IDENTITY($s0,$k,${wm + k * total})"
+    }.toMap
+    (assigned, advanced, () => { pinned.unpersist(blocking = false); () })
+  }
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * STEP `step`): every append assigns the column automatically —
+    * unique, increasing by `step`, contiguous per batch — and a frame
+    * that carries the column is REJECTED (the ALWAYS semantics). The
+    * high watermark rides each assigning commit's metaData, so it
+    * replays from the log (and survives cleanupLog via the checkpoint
+    * aux) — two sink instances over the same table continue the same
+    * sequence. Must be declared before data lands (the Delta
+    * restriction). Snapshot transforms (merge/compact/restore) carry
+    * assigned values through untouched; unlike Delta, MERGE does not
+    * assign to its inserted rows — route new rows through an append.
+    * Concurrent appends are safe: a writer that loses its claim race
+    * re-reads the watermark and re-assigns before retrying, so ranges
+    * never collide ([[commitAppend]]'s identity loop). */
+  def setIdentityColumn(spark: SparkSession, name: String,
+      start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0, "setIdentityColumn: step must be non-zero")
+    require(liveData(spark).isEmpty,
+      s"setIdentityColumn '$name': declare identity columns before data lands")
+    generatedCommit(_ + (name -> s"IDENTITY($start,$step,${start - step})"))
   }
 
   private def generatedCommit(f: Map[String, String] => Map[String, String]): Long = {

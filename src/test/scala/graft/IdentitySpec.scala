@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.ExactlyOnceSink
+
+/** Identity columns ([[ExactlyOnceSink.setIdentityColumn]]): automatic
+  * unique increasing assignment on append, the ALWAYS rejection rule,
+  * watermark persistence through the log, custom start/step, coexistence
+  * with expression-generated columns, and non-collision under concurrent
+  * writers racing one watermark. */
+class IdentitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-identity").toString
+
+  private def idVals(sink: ExactlyOnceSink, col0: String = "rid"): Seq[Long] =
+    sink.read(spark).select(col0).as[Long].collect().sorted.toSeq
+
+  test("appends assign contiguous increasing values across partitions") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid")
+    sink.commitAppend(spark.range(0, 100).toDF("x").repartition(7))
+    assert(idVals(sink) == (1L to 100L).toSeq)
+    sink.commitAppend(spark.range(0, 50).toDF("x").repartition(3))
+    assert(idVals(sink) == (1L to 150L).toSeq)
+  }
+
+  test("GENERATED ALWAYS: a frame carrying the column is rejected") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid")
+    val e = intercept[IllegalArgumentException] {
+      sink.commitAppend(spark.range(0, 5).toDF("rid"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("custom start and step") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid", start = 100L, step = 10L)
+    sink.commitAppend(spark.range(0, 5).toDF("x"))
+    assert(idVals(sink) == Seq(100L, 110L, 120L, 130L, 140L))
+  }
+
+  test("watermark persists across sink instances (log replay)") {
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.setIdentityColumn(spark, "rid")
+    a.commitAppend(spark.range(0, 10).toDF("x"))
+    val b = new ExactlyOnceSink(dir) // fresh instance, same table
+    b.commitAppend(spark.range(0, 10).toDF("x"))
+    assert(idVals(b) == (1L to 20L).toSeq)
+  }
+
+  test("identity must be declared before data lands; step must be non-zero") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.commitAppend(spark.range(0, 3).toDF("x"))
+    val e = intercept[IllegalArgumentException] {
+      sink.setIdentityColumn(spark, "rid")
+    }
+    assert(e.getMessage.contains("before data lands"))
+    val sink2 = new ExactlyOnceSink(tmp())
+    intercept[IllegalArgumentException] {
+      sink2.setIdentityColumn(spark, "rid", step = 0L)
+    }
+  }
+
+  test("coexists with an expression-generated column") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid")
+    sink.setGeneratedColumn(spark, "bucket", "x % 4")
+    sink.commitAppend(spark.range(0, 20).toDF("x"))
+    val rows = sink.read(spark).select("x", "rid", "bucket")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).sorted.toSeq == (1L to 20L).toSeq)
+    assert(rows.forall { case (x, _, b) => b == x % 4 })
+  }
+
+  test("concurrent appends racing one watermark never collide") {
+    val dir = tmp()
+    val setup = new ExactlyOnceSink(dir)
+    setup.setIdentityColumn(spark, "rid")
+    // 4 writers, each its own sink instance (cold watermark cache),
+    // appending 25 rows concurrently — every assigned range must be
+    // disjoint even though all four may read the same starting watermark
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val s = new ExactlyOnceSink(dir, appId = s"writer-$w")
+            s.commitAppend(spark.range(w * 100, w * 100 + 25).toDF("x"))
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val ids = idVals(new ExactlyOnceSink(dir))
+    assert(ids.size == 100)
+    assert(ids.distinct.size == 100, "identity values collided under racing writers")
+    assert(ids == (1L to 100L).toSeq, s"expected contiguous 1..100, got ${ids.take(10)}...")
+  }
+
+  test("streaming appendBatch assigns and replays idempotently") {
+    // identity declaration claims version 0, so batchIds and versions
+    // diverge — the streamTxn-cursored appendBatch is the streaming
+    // entry point for such tables
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.setIdentityColumn(spark, "rid")
+    assert(sink.appendBatch(spark.range(0, 10).toDF("x"), batchId = 0L) >= 0)
+    assert(sink.appendBatch(spark.range(0, 10).toDF("x"), batchId = 0L) == -1L) // replay
+    assert(sink.appendBatch(spark.range(10, 15).toDF("x"), batchId = 1L) >= 0)
+    assert(idVals(sink) == (1L to 15L).toSeq)
+    // a fresh instance replays the cursor from the log
+    assert(new ExactlyOnceSink(dir)
+      .appendBatch(spark.range(0, 10).toDF("x"), batchId = 1L) == -1L)
+  }
+
+  test("process() fails loudly when its batch version is occupied by a non-stream commit") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.setIdentityColumn(spark, "rid") // occupies version 0
+    val e = intercept[IllegalArgumentException] {
+      sink.process(spark.range(0, 10).toDF("x"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("appendBatch"))
+  }
+
+  test("identity values survive a compact (snapshot carries them through)") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid")
+    sink.commitAppend(spark.range(0, 30).toDF("x"))
+    sink.commitAppend(spark.range(30, 60).toDF("x"))
+    sink.compact(spark)
+    assert(idVals(sink) == (1L to 60L).toSeq)
+    // and the watermark still advances correctly afterwards
+    sink.commitAppend(spark.range(60, 65).toDF("x"))
+    assert(idVals(sink) == (1L to 65L).toSeq)
+  }
+}
