@@ -36,12 +36,21 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
     else d.filter(col("y").isNotNull).select("id", "y").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  for (seed <- Seq(7L, 23L, 101L))
-    test(s"protocol fuzz seed=$seed: reads, time travel and retention match the model") {
+  // the last variant FORCES the clone fork at step 8 — the arm is
+  // otherwise probabilistic and a no-fork run would leave the
+  // clone × {merge, DV, restore, evolution, rename, retention} product
+  // untested for that seed
+  for ((seed, forceCloneAt) <- Seq((7L, -1), (23L, -1), (101L, -1), (55L, 8)))
+    test(s"protocol fuzz seed=$seed" +
+        (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt)" else "") +
+        ": reads, time travel and retention match the model") {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
       val interval = 3
-      val sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
+      var sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
+      var curDir = dir // the table the verbs currently target
+      // set once by the clone arm: (source dir, its frozen model state)
+      var clonedFrom: Option[(String, Map[Long, String], Map[Long, String], String)] = None
 
       var live = Map.empty[Long, String] // the model's committed state
       var ys = Map.empty[Long, String] // evolved column (empty before arm 13)
@@ -66,7 +75,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 24).foreach { step =>
-        rnd.nextInt(15) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(16)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
@@ -163,13 +172,42 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               xName = "x2"
               history :+= ((v, live, ys))
             }
+          case 15 => // SHALLOW CLONE once, mid-history: fork the table
+            // and run EVERY remaining verb against the clone — merges,
+            // DV deletes, restores, evolution, renames, retention and
+            // maintenance all operate over foreign (source-rooted)
+            // files; the source must stay byte-frozen (checked at the
+            // end). Model state carries over unchanged: a clone IS the
+            // source's state at clone time.
+            if (clonedFrom.isEmpty && history.nonEmpty) {
+              val cloneDir =
+                Files.createTempDirectory(s"graft-fuzz-$seed-clone").toString
+              // createTempDirectory pre-creates the dir; cloneTo only
+              // rejects an existing LOG, so this is fine
+              sink.cloneTo(cloneDir)
+              clonedFrom = Some((dir, live, ys, xName))
+              curDir = cloneDir
+              sink = new ExactlyOnceSink(cloneDir,
+                checkpointInterval = interval)
+            }
         }
         checkRead()
       }
 
+      // if the run forked onto a clone, the SOURCE must read exactly its
+      // frozen at-clone state — no later verb may have leaked across
+      clonedFrom.foreach { case (srcDir, frozen, frozenY, frozenX) =>
+        val src = new ExactlyOnceSink(srcDir)
+        val d = src.read(spark)
+        assert(state(d, frozenX) === frozen,
+          "source table diverged after the clone forked")
+        assert(yState(d) === frozenY,
+          "source evolved-column state diverged after the clone forked")
+      }
+
       // a cold reader (fresh instance, checkpoint-seeded) sees the same
       // final state, and time travel below retention fails loudly
-      val cold = new ExactlyOnceSink(dir)
+      val cold = new ExactlyOnceSink(curDir)
       assert(state(cold.read(spark), xName) === live,
         "cold replay diverged from the model")
       if (anchor > 0)
