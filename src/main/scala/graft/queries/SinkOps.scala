@@ -325,6 +325,59 @@ object SinkOps {
       dir.toString
     }))
 
+  /** One identity-column committed table per (JVM, sfDir): declare
+    * `rid GENERATED ALWAYS AS IDENTITY`, then ingest `events` in 2
+    * streaming micro-batches through the streamTxn-cursored
+    * [[ExactlyOnceSink.appendBatch]] (the metadata commit occupies
+    * version 0, so the version-pinned process() protocol cannot serve
+    * this table — exactly the case appendBatch exists for). The
+    * declared query reads the table and pins the assignment's
+    * INVARIANTS — count, distinct count, min, max, sum of the assigned
+    * ids — which for a contiguous 1..N assignment are all pure
+    * functions of N and therefore DuckDB-expressible over the raw
+    * fixture: uniqueness, contiguity and range all land in the
+    * per-round correctness gate. Cache discipline identical to
+    * [[clusteredEvents]]. */
+  private val builtId = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def identityEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    new ExactlyOnceSink(builtId.computeIfAbsent(d, _ => synchronized {
+      val ev = Tables(s, d, "events")
+      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
+        sum(floor(col("value") * 100 + 0.5))).head()
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-identity-${new java.io.File(d).getName}-$pathTag")
+      val marker = dir.resolve("_graft_built")
+      val want = s"$d fp=${fp.mkString(",")} proto=identity(rid),2xappendBatch"
+      Files.createDirectories(dir.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        dir.getParent.resolve(s".${dir.getFileName}.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)) == want
+        if (!fresh) {
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+          Files.createDirectories(dir)
+          val sink = new ExactlyOnceSink(dir.toString)
+          sink.setIdentityColumn(s, "rid")
+          (0 until 2).foreach { k =>
+            sink.appendBatch(
+              ev.filter(pmod(col("event_id"), lit(2)) === k), batchId = k)
+          }
+          Files.write(marker, want.getBytes)
+        }
+      } finally { lock.release(); lockCh.close() }
+      dir.toString
+    }))
+
   val queries: Map[String, QueryFn] = Map(
     // Two-column range aggregate over the clustered committed table: file
     // pruning via footer stats on BOTH z-ordered columns, then the exact
@@ -413,6 +466,19 @@ object SinkOps {
         .orderBy("event_type")
     }),
 
+    // Read the identity-column table: a contiguous 1..N assignment makes
+    // every aggregate of the assigned ids a pure function of N, so
+    // uniqueness (distinct = count), contiguity (sum = N(N+1)/2) and
+    // range (min 1, max N) hash-check against DuckDB on the raw fixture.
+    "q_sink_identity_read" -> ((s, d) => {
+      identityEvents(s, d).read(s)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("rid")).as("rid_n"),
+          min(col("rid")).as("rid_min"),
+          max(col("rid")).as("rid_max"),
+          sum(col("rid")).as("rid_sum"))
+    }),
+
     // Read one hive partition of the generated-column table: the writer
     // COMPUTED bucket (the appended frames never carried it), the layout
     // recovered it, and the result must equal deriving the same
@@ -475,6 +541,13 @@ object SinkOps {
             SELECT event_type, value FROM events WHERE user_id = $CloneUser
           )
           GROUP BY event_type ORDER BY event_type""",
+    "q_sink_identity_read" ->
+      s"""SELECT count(*) AS n,
+                 count(*) AS rid_n,
+                 CAST(1 AS BIGINT) AS rid_min,
+                 count(*) AS rid_max,
+                 (count(*) * (count(*) + 1)) // 2 AS rid_sum
+          FROM events""",
     "q_sink_gen_read" ->
       s"""SELECT event_type, count(*) AS n,
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum

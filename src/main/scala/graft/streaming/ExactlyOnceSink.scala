@@ -2347,9 +2347,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val tgtLog = Paths.get(targetDir, "_graft_log")
-    require(!Files.isDirectory(tgtLog) ||
-      !Files.list(tgtLog).iterator().hasNext,
-      s"cloneTo: $targetDir already has a commit log")
+    val tgtEmpty = !Files.isDirectory(tgtLog) || {
+      val s = Files.list(tgtLog)
+      try !s.iterator().hasNext finally s.close()
+    }
+    require(tgtEmpty, s"cloneTo: $targetDir already has a commit log")
     val vs = committedVersions()
     require(vs.nonEmpty || checkpointVersions().nonEmpty,
       "cloneTo: source table has no commits")

@@ -108,22 +108,25 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
     assert(pruned < total, s"z-ordered pack pruned nothing ($pruned/$total)")
   }
 
-  test("read(timestampAsOf) maps claim times to versions; too-early fails loudly") {
+  test("read(timestampAsOf) maps commit stamps to versions; too-early fails loudly") {
     val (sink, dir) = newSink("tsread")
     (0 until 4).foreach(k =>
       sink.commitAppend(Seq((k.toLong, s"v$k")).toDF("id", "x")))
-    // pin deterministic, strictly increasing claim times
+    // the clock now lives IN the entries (in-commit timestamps): pinning
+    // log-file mtimes must have no effect on time travel — prove it by
+    // skewing them wildly and still resolving via the stamps
     val log = Paths.get(dir, "_graft_log")
-    val base = 1700000000000L
     (0L until 4L).foreach { v =>
       Files.setLastModifiedTime(log.resolve(f"$v%020d.json"),
-        java.nio.file.attribute.FileTime.fromMillis(base + v * 60000))
+        java.nio.file.attribute.FileTime.fromMillis(1000L + (3 - v) * 60000))
     }
+    val stamps = sink.history(spark).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
     def at(ms: Long) = ids(sink.read(spark, new java.sql.Timestamp(ms)))
-    assert(at(base) == Set(0L))
-    assert(at(base + 61000) == Set(0L, 1L))
-    assert(at(base + 10 * 60000) == Set(0L, 1L, 2L, 3L))
-    val e = intercept[RuntimeException](at(base - 1))
+    assert(at(stamps(0L)) == Set(0L))
+    assert(at(stamps(1L)) == Set(0L, 1L))
+    assert(at(stamps(3L) + 600000) == Set(0L, 1L, 2L, 3L))
+    val e = intercept[RuntimeException](at(stamps(0L) - 1))
     assert(e.getMessage.contains("predates"))
   }
 }

@@ -160,16 +160,20 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(byV(13L).getString(2) == "COMPACT_INC")
     assert(byV(13L).getInt(5) > 0, "bin-packing retires files via removes")
     assert(byV(0L).getInt(4) == 1 && byV(0L).getInt(5) == 0)
-    // claim-time stamping keeps timestamps monotone in version order
+    // in-commit timestamps are strictly monotone in version order
     val ts = h.reverse.map(_.getTimestamp(1).getTime)
-    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
-    // after cleanup, checkpoint-served commits still appear — with the
-    // reclaimed raw entries' timestamps gone, not fabricated
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b })
+    // after cleanup, checkpoint-served commits still appear WITH their
+    // timestamps: the in-commit stamp rides the checkpoint's verbatim
+    // entries, so history keeps the full clock (pre-ICT entries would
+    // read null here — that hole is closed)
     sink.cleanupLog(minAgeMs = 0)
     val h2 = sink.history(spark).collect()
     assert(h2.map(_.getLong(0)).toSeq == (13L to 0L by -1L))
-    assert(h2.filter(_.getLong(0) < 10L).forall(_.isNullAt(1)))
-    assert(h2.filter(_.getLong(0) >= 10L).forall(!_.isNullAt(1)))
+    assert(h2.forall(!_.isNullAt(1)),
+      "in-commit timestamps must survive log cleanup via the checkpoint")
+    val ts2 = h2.reverse.map(_.getTimestamp(1).getTime)
+    assert(ts2.toSeq == ts.toSeq, "cleanup must not alter the recorded clock")
   }
 
   test("cleanupLog: constraints and streamTxn cursors survive via the aux header") {
