@@ -36,7 +36,7 @@ object IngestBench {
     * created and reclaimed here — repeated runs would otherwise
     * accumulate GBs of scaled topic/table/checkpoint in java.io.tmpdir. */
   def run(spark: SparkSession, sfDir: String, scale: Int,
-      batches: Int): IngestResult = {
+      batches: Int, identity: Boolean = false): IngestResult = {
     val topicDir = Files.createTempDirectory("graft-ingest-topic").toString
     val tableDir = Files.createTempDirectory("graft-ingest-table").toString
     val ckptDir = Files.createTempDirectory("graft-ingest-ckpt").toString
@@ -62,6 +62,10 @@ object IngestBench {
       val perTrigger = math.max(1, (chunks + batches - 1) / batches)
 
       val sink = new ExactlyOnceSink(tableDir, appId = "graft-ingest-bench")
+      // the identity arm declares the column BEFORE the stream (a
+      // metadata commit at version 0), so the batches go through the
+      // streamTxn-cursored appendBatch — the protocol such tables need
+      if (identity) sink.setIdentityColumn(spark, "rid")
       val stream = KafkaEnvelope.decode(
           KafkaEnvelope.readStream(spark, topicDir, perTrigger))
         .select("event_id", "ts", "user_id", "event_type", "event_value")
@@ -70,7 +74,10 @@ object IngestBench {
       val qy = stream.writeStream
         .option("checkpointLocation", ckptDir)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch((df: DataFrame, id: Long) => sink.process(df, id))
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (identity) { sink.appendBatch(df, id); () }
+          else sink.process(df, id)
+        }
         .start()
       qy.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -78,6 +85,13 @@ object IngestBench {
       val rows = sink.read(spark).count()
       val expected = ev0.count() * scale
       require(rows == expected, s"ingest lost rows: $rows != $expected")
+      if (identity) {
+        // the assignment's invariants must hold at full throughput too:
+        // contiguous 1..rows (sum check pins uniqueness + contiguity)
+        val mx = sink.read(spark)
+          .agg(org.apache.spark.sql.functions.max("rid")).head().getLong(0)
+        require(mx == rows, s"identity ingest: max rid $mx != rows $rows")
+      }
       IngestResult(rows, wall, rows / wall, sink.committedVersions().size)
     } finally {
       import scala.jdk.CollectionConverters._
@@ -203,6 +217,12 @@ object IngestBench {
     val nCores = cpus.toInt
     println(
       f"""{"metric":"ingest_rps","value":${r.rps}%.0f,"unit":"records/sec","rows":${r.rows},"wall_s":${r.wallSec}%.2f,"batches":${r.batches},"cpus":$nCores,"rps_per_core":${r.rps / nCores}%.0f,"sf":"$sfDir"}""")
+    // Identity arm: same events pipeline with GENERATED ALWAYS AS
+    // IDENTITY assignment per micro-batch — the ratio is the cost of
+    // the two-pass ordinal assignment + metaData watermark commit.
+    val ri = run(spark, sfDir, scale, batches, identity = true)
+    println(
+      f"""{"metric":"ingest_identity_rps","value":${ri.rps}%.0f,"unit":"records/sec","rows":${ri.rows},"wall_s":${ri.wallSec}%.2f,"batches":${ri.batches},"identity_cost_x":${r.rps / ri.rps}%.2f,"sf":"$sfDir"}""")
     // Docs arms: plain vs curated — the ratio is the curation cost.
     val dp = runDocs(spark, sfDir, scale, batches, curated = false)
     println(
