@@ -55,4 +55,36 @@ class GoldenIngestSpec extends SparkSpecBase {
           "regenerate with GRAFT_REGEN_GOLDEN=1")
     }
   }
+
+  private val goldenIdPath = Paths.get("golden/identity_r12.json")
+
+  test("identity-assignment ingest throughput has not collapsed vs the committed golden") {
+    // Same pipeline with a GENERATED ALWAYS AS IDENTITY ordinal assigned
+    // per micro-batch (streamTxn-cursored appendBatch): the run itself
+    // asserts the contiguity invariant, this gate catches a silent cost
+    // explosion in the two-pass assignment or the watermark commit.
+    val r = IngestBench.run(spark, sfDir, scale, batches, identity = true)
+    val json =
+      f"""{
+  "config": "local[4] sf=$sfDir%s scale=$scale%d batches=$batches%d identity",
+  "rows": ${r.rows}%d,
+  "test.rps": ${r.rps}%.0f
+}
+"""
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN") || !Files.exists(goldenIdPath)) {
+      Files.createDirectories(goldenIdPath.getParent)
+      Files.writeString(goldenIdPath, json)
+      info(s"golden regenerated at $goldenIdPath: rps=${r.rps.toInt}")
+    } else {
+      val committed = Files.readString(goldenIdPath)
+      val rps = """"test\.rps":\s*([0-9.eE]+)""".r
+        .findFirstMatchIn(committed)
+        .getOrElse(fail(s"no test.rps in $goldenIdPath")).group(1).toDouble
+      info(f"measured ${r.rps}%.0f rec/s vs golden $rps%.0f rec/s")
+      assert(r.rps >= 0.5 * rps,
+        f"identity ingest throughput collapsed: ${r.rps}%.0f rec/s < 50%% " +
+          f"of golden $rps%.0f rec/s; if the protocol changed " +
+          "intentionally, regenerate with GRAFT_REGEN_GOLDEN=1")
+    }
+  }
 }
