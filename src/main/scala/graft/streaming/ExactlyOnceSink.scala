@@ -170,6 +170,25 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }.toMap
   }
 
+  /** Per-file row counts from the staged parquet FOOTERS — the Delta
+    * numRecords stat. Metadata-only like [[fileStats]]; recorded on
+    * every add action so [[rowCount]] and history metrics never need a
+    * data scan. */
+  private def fileRowCounts(spark: SparkSession, staging: Path)
+      : Map[String, Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    Files.walk(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).map { file =>
+        val rel = staging.relativize(file).toString.replace("\\", "/")
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toUri), conf))
+        try rel -> r.getFooter.getBlocks.asScala.map(_.getRowCount.longValue).sum
+        finally r.close()
+      }.toMap
+  }
+
   /** Per-file bloom filters for point-lookup file skipping (the Delta
     * bloom-filter-index analog): min/max stats cannot prune an equality
     * probe on a high-cardinality column whose per-file ranges overlap
@@ -232,9 +251,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       changeDir: Option[String] = None,
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
       constraints: Option[Map[String, String]] = None,
-      streamTxn: Option[(String, Long)] = None): String =
+      streamTxn: Option[(String, Long)] = None,
+      rows: Map[String, Long] = Map.empty): String =
     entryJsonS(df.schema.json, version, dir, partitionBy, snapshot, adds,
-      stats, op, changeDir, blooms, constraints, streamTxn)
+      stats, op, changeDir, blooms, constraints, streamTxn, rows = rows)
 
   private def entryJsonS(schemaJson: String, version: Long, dir: String,
       partitionBy: Seq[String], snapshot: Boolean,
@@ -250,7 +270,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       dvs: Map[String, Array[Long]] = Map.empty,
       generated: Option[Map[String, String]] = None,
       columnMapping: Option[Map[String, String]] = None,
-      droppedCols: Option[Seq[String]] = None): String = {
+      droppedCols: Option[Seq[String]] = None,
+      rows: Map[String, Long] = Map.empty): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -269,7 +290,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           s"${jstr(c)}:${jstr(ws.map(w => f"$w%016x").mkString)}"
       }.mkString(",")
       val blJson = if (bl.isEmpty) "" else s""","bloom":{$bl}"""
-      s"""{"path":${jstr(rel)},"stats":{$st}$blJson}"""
+      // per-file row count (the Delta numRecords stat): metadata-only
+      // COUNT(*) and history metrics read it from the log
+      val rw = rows.get(rel).map(n => s""","rows":$n""").getOrElse("")
+      s"""{"path":${jstr(rel)},"stats":{$st}$blJson$rw}"""
     }.mkString(",")
     val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
     // constraints ride the metaData action (Delta's table-config slot): a
@@ -659,6 +683,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val staging = Paths.get(tableDir, s".staging-$batchId")
     val adds = stage(gdf, staging, partitionBy)
     val stats = fileStats(gdf.sparkSession, staging)
+    val rowsM = fileRowCounts(gdf.sparkSession, staging)
 
     // 2. move into place under the batch's own directory
     val target = dataDir.resolve(s"batch=$batchId")
@@ -678,7 +703,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     //    this batchId — exactly-once either way
     claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
       s"batch=$batchId", partitionBy, snapshot, moved, stats,
-      generated = advancedGen))
+      generated = advancedGen, rows = rowsM))
     releaseId()
   }
 
@@ -716,7 +741,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       var v = nextVersion()
       while (!claim(v, entryJsonS(st.schemaJson, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
-          streamTxn = streamTxn))) {
+          streamTxn = streamTxn, rows = st.rows))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
       }
       v
@@ -748,7 +773,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         if (claim(expected, entryJsonS(st.schemaJson, expected, st.dir,
             partitionBy, snapshot = false, st.adds, st.stats,
             blooms = st.blooms, generated = Some(genOut),
-            streamTxn = streamTxn)))
+            streamTxn = streamTxn, rows = st.rows)))
           return expected
       }
       -1L // unreachable
@@ -778,7 +803,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private case class StagedAppend(dir: String, adds: Seq[Path],
       stats: Map[String, Map[String, (String, String)]],
       blooms: Map[String, Map[String, Array[Long]]],
-      schemaJson: String)
+      schemaJson: String, rows: Map[String, Long])
 
   /** Stage one optimistic append's data files under a writer-unique dir
     * and collect its per-file stats/blooms — everything a claim needs,
@@ -804,12 +829,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val stats = fileStats(gdf.sparkSession, staging)
     val blooms = fileBlooms(gdf.sparkSession, staging,
       bloomBy.map(physicalOf), bloomBits)
+    val rowsM = fileRowCounts(gdf.sparkSession, staging)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)
     Files.createDirectories(target.getParent)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     touchNow(target)
-    StagedAppend(dir, adds, stats, blooms, evolvedSchemaJson(gdf))
+    StagedAppend(dir, adds, stats, blooms, evolvedSchemaJson(gdf), rowsM)
   }
 
   /** Optimistic read-modify-write transaction (Delta's OCC loop): reads
@@ -849,6 +875,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val staging = Paths.get(tableDir, s".staging-$uuid")
       val adds = stage(out, staging, Nil)
       val stats = fileStats(spark, staging)
+      val rowsM = fileRowCounts(spark, staging)
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -863,7 +890,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         rel
       }
       if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
-          adds, stats, op, changeDir, streamTxn = streamTxn)))
+          adds, stats, op, changeDir, streamTxn = streamTxn, rows = rowsM)))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
       // computed on stale state. Abandon the staged dirs (never visible —
@@ -881,7 +908,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
   private case class AddFile(path: String,
       stats: Map[String, (Option[String], Option[String])],
-      bloom: Map[String, Array[Long]] = Map.empty)
+      bloom: Map[String, Array[Long]] = Map.empty,
+      rows: Option[Long] = None)
 
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
       adds: Seq[AddFile],
@@ -1003,7 +1031,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             }.toMap
             case _ => Map.empty[String, Array[Long]]
           }
-          AddFile(path, stats, bloom)
+          val rows = (o \ "rows") match {
+            case JInt(n) => Some(n.toLong)
+            case _ => None
+          }
+          AddFile(path, stats, bloom, rows)
         case _ => AddFile("", Map.empty)
       }
       case _ => Nil
@@ -1377,6 +1409,31 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     read(spark, versionAsOf = Some(vs.max))
   }
 
+  /** Metadata-only COUNT(*) (the Delta numRecords optimization): the
+    * table's live row count computed ENTIRELY from the commit log —
+    * Σ live adds' recorded per-file row counts minus live deletion-
+    * vector cardinalities, with whole-file removes simply dropping
+    * their add from the live set. No file is opened, no scan planned;
+    * at 100 TB this is the difference between answering a count in
+    * milliseconds from the driver and scheduling a full-table job.
+    * Falls back to `read().count()` when any live add predates row-
+    * count recording (legacy entries) — correct either way, the
+    * metadata path is the fast one. Model-checked after every verb by
+    * the protocol fuzz. */
+  def rowCount(spark: SparkSession, versionAsOf: Option[Long] = None): Long = {
+    val all = visibleCommits(versionAsOf)
+    val commits = all.filter(_.adds.nonEmpty)
+    if (commits.isEmpty) return 0L
+    val ts = tombstones(all)
+    val addRows = commits.flatMap(c => c.adds.map(a => addKey(c, a) -> a.rows))
+    val live = addRows.filterNot { case (k, _) => ts.removed.contains(k) }
+    if (live.forall(_._2.isDefined))
+      live.map(_._2.get).sum -
+        live.map { case (k, _) => ts.dv.get(k).map(_.length.toLong).getOrElse(0L) }.sum
+    else
+      read(spark, versionAsOf).count() // legacy adds without counts
+  }
+
   /** DESCRIBE HISTORY analog: one row per commit this table can still
     * serve, newest first — the operational metadata an admin reads
     * before time travel / RESTORE / VACUUM. Driver-side metadata only
@@ -1390,11 +1447,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     import spark.implicits._
     allKnownCommits().map { c =>
       val ts = commitTime(c).map(new java.sql.Timestamp(_))
+      // operation metric (Delta's numOutputRows): from the recorded
+      // per-add counts; null for pre-rows-era commits
+      val outRows =
+        if (c.adds.nonEmpty && c.adds.forall(_.rows.isDefined))
+          Some(c.adds.flatMap(_.rows).sum)
+        else None
       (c.version, ts, c.op, c.snapshot, c.adds.size, c.removes.size,
-        c.dvs.size, c.streamTxn.map(_._1), c.streamTxn.map(_._2))
+        c.dvs.size, c.streamTxn.map(_._1), c.streamTxn.map(_._2), outRows)
     }.toDF("version", "timestamp", "operation", "snapshot",
         "num_added_files", "num_removed_files", "num_deletion_vectors",
-        "stream_app_id", "stream_batch_id")
+        "stream_app_id", "stream_batch_id", "num_output_rows")
       .orderBy(org.apache.spark.sql.functions.col("version").desc)
   }
 
@@ -1885,10 +1948,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         val dir = s"files/$uuid"
         var adds: Seq[Path] = Nil
         var stats: Map[String, Map[String, (String, String)]] = Map.empty
+        var rowsM: Map[String, Long] = Map.empty
         newRows.foreach { nr =>
           val staging = Paths.get(tableDir, s".staging-$uuid")
           adds = stage(nr, staging, Nil)
           stats = fileStats(spark, staging)
+          rowsM = fileRowCounts(spark, staging)
           Files.createDirectories(dataDir.resolve("files"))
           Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
           touchNow(dataDir.resolve(dir))
@@ -1904,7 +1969,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         if (claim(expected, entryJsonS(schemaJson, expected,
             if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
             stats, op, Some(changeRel), streamTxn = streamTxn,
-            removes = removeKeys ++ rewriteKeys, dvs = dvNew)))
+            removes = removeKeys ++ rewriteKeys, dvs = dvNew,
+            rows = rowsM)))
           return expected
       } finally doomed.unpersist(blocking = false)
       attempt += 1
@@ -2209,9 +2275,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * per-partition base offsets broadcast-joined in — no global sort,
     * no driver round-trip of data, contiguous ids (Delta guarantees
     * only uniqueness/monotonicity; contiguity keeps the watermark
-    * growth bounded by row count). Returns the assigned frame, the
-    * advanced rules for the commit's metaData, and a release handle
-    * for the persist pin. */
+    * growth bounded by row count). Both passes read the PERSISTED
+    * blocks, so they see one partitioning; the standard
+    * monotonically_increasing_id caveat applies — a nondeterministic
+    * upstream whose evicted blocks recompute differently between the
+    * passes should be checkpointed by the caller first. Returns the
+    * assigned frame, the advanced rules for the commit's metaData,
+    * and a release handle for the persist pin. */
   private def assignIdentity(df: DataFrame,
       rules: Seq[(String, Long, Long, Long)])
       : (DataFrame, Map[String, String], () => Unit) = {
@@ -2477,6 +2547,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           target.schema.json, expected, "", Nil, snapshot = true,
           adds.map(a => Paths.get(a.path)), stats, "RESTORE",
           Some(changeRel), blooms, restoreDirs = dirs,
+          // row counts carry over with the lifted adds (restore cannot
+          // change them), keeping the metadata COUNT(*) path alive
+          rows = adds.flatMap(a => a.rows.map(a.path -> _)).toMap,
           // removed files are excluded from the lifted adds, but the
           // re-pointed DIRS still physically contain them — the restore
           // commit re-states the removes so the dir-granular scan keeps
@@ -2561,6 +2634,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // would not even resolve against them)
       val adds = stage(packed, staging, Nil, check = false)
       val stats = fileStats(spark, staging)
+      val rowsM = fileRowCounts(spark, staging)
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -2569,7 +2643,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           latestSchema().map(_.json).getOrElse(packed.schema.json),
           expected, dir, Nil,
           snapshot = false, adds, stats, "COMPACT_INC", None,
-          removes = cands.map(_._1))))
+          removes = cands.map(_._1), rows = rowsM)))
         return expected
       attempt += 1
       if (attempt > maxRetries)

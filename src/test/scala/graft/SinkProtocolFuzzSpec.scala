@@ -72,6 +72,12 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           s"live state diverged after ${history.size} commits")
         assert(yState(d) === ys,
           s"evolved-column state diverged after ${history.size} commits")
+        // metadata-only COUNT(*) must equal the model after EVERY verb —
+        // appends, CoW/MOR merges, DV deletes (remove/vector/rewrite
+        // tiers), restore, compaction, retention, and post-clone verbs
+        // over foreign files
+        assert(sink.rowCount(spark) === live.size.toLong,
+          s"metadata rowCount diverged after ${history.size} commits")
       }
 
       (1 to 24).foreach { step =>
