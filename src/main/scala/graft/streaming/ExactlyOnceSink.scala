@@ -1434,6 +1434,34 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       read(spark, versionAsOf).count() // legacy adds without counts
   }
 
+  /** Metadata-only column MIN/MAX (the companion to [[rowCount]]): the
+    * live table's range for `column`, folded from the per-file footer
+    * stats the commit log records — no scan. Numeric stats fold
+    * numerically, others lexicographically (the same discipline
+    * readSkipping applies). Returns None — and the caller must fall
+    * back to a scan — when any live add lacks the stat, or when ANY
+    * tombstone exists: a deletion vector or remove may have deleted
+    * precisely the row carrying the extreme, so file-level stats can
+    * no longer answer exactly (Delta's stats have the same blind
+    * spot). Model-checked opportunistically by the protocol fuzz. */
+  def columnStats(column: String, versionAsOf: Option[Long] = None)
+      : Option[(String, String)] = {
+    val all = visibleCommits(versionAsOf)
+    val commits = all.filter(_.adds.nonEmpty)
+    if (commits.isEmpty || !tombstones(all).isEmpty) return None
+    val ph = physicalOf(column)
+    val perFile = commits.flatMap(_.adds).map(_.stats.get(ph))
+    if (perFile.exists(s => s.isEmpty || s.get._1.isEmpty || s.get._2.isEmpty))
+      return None
+    val ranges = perFile.map(_.get).map { case (lo, hi) => (lo.get, hi.get) }
+    val numeric = ranges.forall { case (lo, hi) =>
+      lo.toDoubleOption.isDefined && hi.toDoubleOption.isDefined }
+    if (numeric)
+      Some((ranges.minBy(_._1.toDouble)._1, ranges.maxBy(_._2.toDouble)._2))
+    else
+      Some((ranges.map(_._1).min, ranges.map(_._2).max))
+  }
+
   /** DESCRIBE HISTORY analog: one row per commit this table can still
     * serve, newest first — the operational metadata an admin reads
     * before time travel / RESTORE / VACUUM. Driver-side metadata only

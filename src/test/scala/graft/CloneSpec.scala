@@ -205,6 +205,27 @@ class CloneSpec extends SparkSpecBase {
     assert(e.getMessage.contains("predates retained history"))
   }
 
+  test("the clone serves the source's CDC history and metadata counts") {
+    val srcDir = tmp("graft-clone-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 10).toDF("id"))
+    src.deleteDV(spark, col("id") < 3) // records delete change rows
+    val cloneDir = tmp("graft-clone-tgt")
+    val clone = new ExactlyOnceSink(cloneDir)
+    src.cloneTo(cloneDir)
+    // the CDC feed over the cloned history reads the source-rooted
+    // change dirs (rewritten absolute) — identical to the source's feed
+    def feed(s: ExactlyOnceSink) = s.readChanges(spark, fromVersion = -1L)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(feed(clone) == feed(src))
+    assert(feed(clone).count(_._1 == "delete") == 3)
+    // metadata-only COUNT(*) works across foreign files + clone DVs
+    assert(clone.rowCount(spark) == 7L)
+    clone.deleteDV(spark, col("id") === 9L)
+    assert(clone.rowCount(spark) == 6L)
+    assert(src.rowCount(spark) == 7L)
+  }
+
   test("a clone inherits the source's commit timestamps verbatim") {
     val srcDir = tmp("graft-clone-src")
     val src = new ExactlyOnceSink(srcDir)

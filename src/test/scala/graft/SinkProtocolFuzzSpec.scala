@@ -78,6 +78,15 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         // over foreign files
         assert(sink.rowCount(spark) === live.size.toLong,
           s"metadata rowCount diverged after ${history.size} commits")
+        // metadata MIN/MAX: only served when no tombstones exist — when
+        // it answers, it must be exact
+        sink.columnStats("id").foreach { case (lo, hi) =>
+          assert(live.nonEmpty, "columnStats answered on an empty table")
+          assert(lo.toDouble.toLong == live.keys.min &&
+            hi.toDouble.toLong == live.keys.max,
+            s"metadata columnStats ($lo,$hi) diverged from model " +
+              s"(${live.keys.min},${live.keys.max})")
+        }
       }
 
       (1 to 24).foreach { step =>
