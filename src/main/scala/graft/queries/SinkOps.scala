@@ -479,6 +479,24 @@ object SinkOps {
           sum(col("rid")).as("rid_sum"))
     }),
 
+    // The METADATA-ONLY answer path: count from the log's per-add row
+    // counts (rowCount), ranges from the folded per-file footer stats
+    // (columnStats) — no scan planned, the 100 TB "answer from the
+    // driver in milliseconds" path — hash-checked against DuckDB
+    // actually scanning the raw fixture. Reuses the identity table
+    // (append-only, so stats may answer exactly).
+    "q_sink_meta_stats" -> ((s, d) => {
+      val sink = identityEvents(s, d)
+      val n = sink.rowCount(s)
+      val (idLo, idHi) = sink.columnStats("event_id")
+        .getOrElse(sys.error("metadata stats unavailable for event_id"))
+      val (vLo, vHi) = sink.columnStats("value")
+        .getOrElse(sys.error("metadata stats unavailable for value"))
+      import s.implicits._
+      Seq((n, idLo.toLong, idHi.toLong, vLo.toDouble, vHi.toDouble))
+        .toDF("n", "id_min", "id_max", "val_min", "val_max")
+    }),
+
     // Read one hive partition of the generated-column table: the writer
     // COMPUTED bucket (the appended frames never carried it), the layout
     // recovered it, and the result must equal deriving the same
@@ -547,6 +565,11 @@ object SinkOps {
                  CAST(1 AS BIGINT) AS rid_min,
                  count(*) AS rid_max,
                  (count(*) * (count(*) + 1)) // 2 AS rid_sum
+          FROM events""",
+    "q_sink_meta_stats" ->
+      s"""SELECT count(*) AS n,
+                 min(event_id) AS id_min, max(event_id) AS id_max,
+                 min(value) AS val_min, max(value) AS val_max
           FROM events""",
     "q_sink_gen_read" ->
       s"""SELECT event_type, count(*) AS n,
