@@ -319,7 +319,24 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val dropJson = droppedCols.map { s =>
       ",\"droppedColumns\":[" + s.sorted.map(jstr).mkString(",") + "]"
     }.getOrElse("")
+    // Reader features (the Delta protocol-versioning analog): list the
+    // capabilities WITHOUT WHICH this entry would be silently MISREAD —
+    // deletion vectors / removes (ignoring them resurrects deleted
+    // rows), column mapping (ignoring it reads dropped bytes), restore
+    // re-pointing. Additive-safe fields (ict, rows, generated — ignored
+    // harmlessly by an old reader) are deliberately NOT listed, exactly
+    // Delta's reader-vs-writer feature split. parseCommitText refuses
+    // entries carrying a feature it does not know.
+    val feats = Seq(
+      if (removes.nonEmpty || dvs.nonEmpty) Some("dv") else None,
+      if (columnMapping.exists(_.nonEmpty) || droppedCols.exists(_.nonEmpty))
+        Some("columnMapping") else None,
+      if (restoreDirs.nonEmpty) Some("restore") else None).flatten
+    val protoJson =
+      if (feats.isEmpty) ""
+      else s""""protocol":{"readerFeatures":[${feats.map(jstr).mkString(",")}]},"""
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
+      protoJson +
       s""""snapshot":$snapshot,""" +
       s""""metaData":{"schemaString":$schemaJson,""" +
       s""""partitionColumns":[$parts]$consJson$genJson$mapJson$dropJson},""" +
@@ -963,6 +980,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     parseCommitText(Files.readString(logFile(v)), v)
   }
 
+  /** Reader capabilities this implementation understands; an entry
+    * declaring a feature outside this set fails loudly at parse time
+    * instead of being silently misread — the Delta protocol-versioning
+    * contract. */
+  private val SupportedReaderFeatures =
+    Set("dv", "columnMapping", "restore", "absolutePaths")
+
   /** Parse one commit-entry JSON. The version comes from the entry's own
     * txn action (every entry this sink writes records it); `vHint` — the
     * log file name — covers only pre-txn-era entries. */
@@ -973,6 +997,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val v = (j \ "txn" \ "version") match {
       case JInt(x) => x.toLong
       case _ => vHint
+    }
+    (j \ "protocol" \ "readerFeatures") match {
+      case JArray(items) =>
+        val unknown = items.collect { case JString(s) => s }
+          .filterNot(SupportedReaderFeatures)
+        require(unknown.isEmpty,
+          s"commit $v requires reader feature(s) ${unknown.mkString(", ")} " +
+            "this reader does not support — refusing to misread the table " +
+            "(upgrade the reader)")
+      case _ => () // pre-protocol entry, or none needed
     }
     val dir = (j \ "dir") match {
       case JString(s) => s
@@ -2495,7 +2529,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           }))
         case other => other
       }
-      JsonMethods.compact(JsonMethods.render(JObject(out)))
+      // a cloned entry references foreign roots by absolute path — a
+      // reader must understand pass-through resolution, so declare it
+      val feats0 = out.collectFirst { case ("protocol", o: JObject) =>
+        (o \ "readerFeatures") match {
+          case JArray(items) => items.collect { case JString(s) => s }
+          case _ => Nil
+        }
+      }.getOrElse(Nil)
+      val proto = ("protocol", JObject(List(("readerFeatures",
+        JArray((feats0 :+ "absolutePaths").distinct.map(JString(_)))))))
+      // keep "ict" as the FIRST field — ictOf head-parses it in O(1)
+      val fields2 = out.filterNot(_._1 == "protocol") match {
+        case (h @ ("ict", _)) :: rest => h :: proto :: rest
+        case rest => proto :: rest
+      }
+      JsonMethods.compact(JsonMethods.render(JObject(fields2)))
     }
     Files.createDirectories(tgtLog)
     Files.createDirectories(Paths.get(targetDir, "data"))

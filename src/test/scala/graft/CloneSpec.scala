@@ -158,6 +158,42 @@ class CloneSpec extends SparkSpecBase {
   }
 
   // -------------------------------------------------------------------
+  // protocol reader features
+  // -------------------------------------------------------------------
+
+  test("an entry declaring an unknown reader feature fails loudly, never misreads") {
+    val dir = tmp("graft-proto")
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(spark.range(0, 5).toDF("id"))
+    // hand-write a future-format commit: a feature this reader lacks
+    val log = Paths.get(dir, "_graft_log")
+    Files.writeString(log.resolve(f"${1L}%020d.json"),
+      """{"txn":{"appId":"future-writer","version":1},""" +
+        """"protocol":{"readerFeatures":["v2Checkpoints"]},""" +
+        """"snapshot":false,"dir":"files/x","add":[]}""")
+    val e = intercept[IllegalArgumentException] { sink.read(spark).count() }
+    assert(e.getMessage.contains("v2Checkpoints"))
+    assert(e.getMessage.contains("reader feature"))
+  }
+
+  test("DV and clone commits declare their reader features; known ones parse") {
+    val srcDir = tmp("graft-proto-src")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 10).toDF("id"))
+    src.deleteDV(spark, col("id") < 2)
+    val dvEntry = Files.readString(
+      Paths.get(srcDir, "_graft_log").resolve(f"${1L}%020d.json"))
+    assert(dvEntry.contains(""""readerFeatures":["dv"]"""))
+    val cloneDir = tmp("graft-proto-tgt")
+    src.cloneTo(cloneDir)
+    val cloned = new ExactlyOnceSink(cloneDir)
+    val clonedEntry = Files.readString(
+      Paths.get(cloneDir, "_graft_log").resolve(f"${1L}%020d.json"))
+    assert(clonedEntry.contains("absolutePaths"))
+    assert(ids(cloned) == (2L until 10L).toSeq) // features known → reads fine
+  }
+
+  // -------------------------------------------------------------------
   // in-commit timestamps
   // -------------------------------------------------------------------
 
