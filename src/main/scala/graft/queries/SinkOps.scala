@@ -294,7 +294,7 @@ object SinkOps {
         s"graft-clone-${new java.io.File(d).getName}-$pathTag")
       val marker = dir.resolve("_graft_built")
       val want = s"$d fp=${fp.mkString(",")} " +
-        s"proto=2xappend,clone,dv(value>$CloneValCut),append(user=$CloneUser)"
+        s"proto=2xappend,clone,dv(value>$CloneValCut),append(user=$CloneUser) fmt=rows1"
       Files.createDirectories(dir.getParent)
       val lockCh = java.nio.channels.FileChannel.open(
         dir.getParent.resolve(s".${dir.getFileName}.lock"),
@@ -350,7 +350,7 @@ object SinkOps {
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-identity-${new java.io.File(d).getName}-$pathTag")
       val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} proto=identity(rid),2xappendBatch"
+      val want = s"$d fp=${fp.mkString(",")} proto=identity(rid),2xappendBatch fmt=rows1"
       Files.createDirectories(dir.getParent)
       val lockCh = java.nio.channels.FileChannel.open(
         dir.getParent.resolve(s".${dir.getFileName}.lock"),
