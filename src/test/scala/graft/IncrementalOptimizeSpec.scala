@@ -52,10 +52,12 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
     assert(v >= 0)
     val expect = ((0L until 10L).toSet ++ (100L until 110L).toSet) -- Set(3L, 105L)
     assert(ids(sink.read(spark)) === expect)
-    // the packed commit's entry carries removes but NO dv actions, and
-    // the packed files physically lack the deleted rows
+    // the packed commit's entry carries removes but NO dv actions (the
+    // protocol readerFeatures list legitimately names "dv" — removes
+    // alone require the capability — so probe the ACTION key), and the
+    // packed files physically lack the deleted rows
     val entry = Files.readString(Paths.get(dir, "_graft_log", f"$v%020d.json"))
-    assert(entry.contains("\"remove\"") && !entry.contains("\"dv\""))
+    assert(entry.contains("\"remove\"") && !entry.contains("\"dv\":{"))
     val cold = new ExactlyOnceSink(dir)
     assert(ids(cold.read(spark)) === expect)
   }
