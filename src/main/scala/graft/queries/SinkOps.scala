@@ -52,30 +52,32 @@ object SinkOps {
     * double build would duplicate rows). */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def clusteredEvents(s: SparkSession, d: String): ExactlyOnceSink =
-    new ExactlyOnceSink(built.computeIfAbsent(d, _ => synchronized {
+  /** The shared build-once discipline every cached sink table uses:
+    * content fingerprint of the fixture (count + id-sum + cent-exact
+    * value sum) so a driver-side refresh forces a rebuild instead of
+    * silently serving stale data; on-disk dir keyed by fixture basename
+    * PLUS an MD5 tag of the full path (two fixtures sharing a basename
+    * must not alias one cached table); a marker recording the exact
+    * build recipe; and an exclusive cross-process flock so a second
+    * JVM's delete-walk can never interleave with another's read of a
+    * half-built table. `build(ev, dir)` runs only when the marker is
+    * stale; sibling dirs a build creates (the clone's source table) are
+    * wiped through `alsoWipe`. */
+  private def buildOnce(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      s: SparkSession, d: String, prefix: String, proto: String,
+      alsoWipe: Path => Seq[Path] = _ => Nil)(
+      build: (org.apache.spark.sql.DataFrame, Path) => Unit): ExactlyOnceSink =
+    new ExactlyOnceSink(cache.computeIfAbsent(d, _ => synchronized {
       val ev = Tables(s, d, "events")
-      // Content fingerprint, not just row count: a driver-side fixture
-      // refresh can keep the cardinality while changing the data, and a
-      // stale clustered table would then silently fail the oracle. One
-      // cheap aggregate pass (count + id-sum + cent-exact value sum)
-      // pins the content well enough.
       val fp = ev.agg(count(lit(1)), sum(col("event_id")),
         sum(floor(col("value") * 100 + 0.5))).head()
-      // Key the on-disk dir by basename PLUS a hash of the full fixture
-      // path: two fixtures sharing a basename (/a/sf0.1 vs /b/sf0.1) must
-      // not alias one cached table, or the second build would silently
-      // serve the first fixture's readers stale data.
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-zorder-${new java.io.File(d).getName}-$pathTag")
+        s"$prefix-${new java.io.File(d).getName}-$pathTag")
       val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} clusterBy=user_id,value files=16"
-      // The in-JVM locks above don't cover a second JVM (sbt test while a
-      // bench main runs): take an exclusive cross-process flock for the
-      // check-and-build so one process's delete-walk can never interleave
-      // with another's read of a half-built table.
+      val want = s"$d fp=${fp.mkString(",")} $proto"
       Files.createDirectories(dir.getParent)
       val lockCh = java.nio.channels.FileChannel.open(
         dir.getParent.resolve(s".${dir.getFileName}.lock"),
@@ -86,19 +88,24 @@ object SinkOps {
         val fresh = Files.exists(marker) &&
           new String(Files.readAllBytes(marker)) == want
         if (!fresh) {
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          import scala.jdk.CollectionConverters._
+          (dir +: alsoWipe(dir)).filter(Files.exists(_)).foreach { pth =>
+            Files.walk(pth).iterator().asScala.toSeq.reverse.foreach(Files.delete)
           }
           Files.createDirectories(dir)
-          val sink = new ExactlyOnceSink(dir.toString)
-          sink.commitAppend(ev, clusterBy = Seq("user_id", "value"),
-            clusterFiles = 16)
+          build(ev, dir)
           Files.write(marker, want.getBytes)
         }
       } finally { lock.release(); lockCh.close() }
       dir.toString
     }))
+
+  private def clusteredEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(built, s, d, "graft-zorder",
+        "clusterBy=user_id,value files=16") { (ev, dir) =>
+      new ExactlyOnceSink(dir.toString).commitAppend(ev,
+        clusterBy = Seq("user_id", "value"), clusterFiles = 16)
+    }
 
   /** Merge-on-read predicates for q_sink_dv_read, mirrored verbatim in
     * the oracle: user 3's rows and the high-value tail both exist at
@@ -120,44 +127,17 @@ object SinkOps {
   private val builtDv = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def dvEvents(s: SparkSession, d: String): ExactlyOnceSink =
-    new ExactlyOnceSink(builtDv.computeIfAbsent(d, _ => synchronized {
-      val ev = Tables(s, d, "events")
-      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
-        sum(floor(col("value") * 100 + 0.5))).head()
-      val pathTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-dvread-${new java.io.File(d).getName}-$pathTag")
-      val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} " +
-        s"proto=4xappend,dv(user=$DvUser),dv(value>$DvValCut),compactSmall"
-      Files.createDirectories(dir.getParent)
-      val lockCh = java.nio.channels.FileChannel.open(
-        dir.getParent.resolve(s".${dir.getFileName}.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        val fresh = Files.exists(marker) &&
-          new String(Files.readAllBytes(marker)) == want
-        if (!fresh) {
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
-          Files.createDirectories(dir)
-          val sink = new ExactlyOnceSink(dir.toString)
-          (0 until 4).foreach { k =>
-            sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k))
-          }
-          sink.deleteDV(s, col("user_id") === DvUser)
-          sink.deleteDV(s, col("value") > DvValCut)
-          sink.compactSmall(s, targetBytes = 32L << 20)
-          Files.write(marker, want.getBytes)
+    buildOnce(builtDv, s, d, "graft-dvread",
+        s"proto=4xappend,dv(user=$DvUser),dv(value>$DvValCut),compactSmall") {
+      (ev, dir) =>
+        val sink = new ExactlyOnceSink(dir.toString)
+        (0 until 4).foreach { k =>
+          sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k))
         }
-      } finally { lock.release(); lockCh.close() }
-      dir.toString
-    }))
+        sink.deleteDV(s, col("user_id") === DvUser)
+        sink.deleteDV(s, col("value") > DvValCut)
+        sink.compactSmall(s, targetBytes = 32L << 20)
+    }
 
   /** Bloom-probe target user (mirrored in the oracle): user 7 exists at
     * every fixture SF (15+ users). */
@@ -173,42 +153,15 @@ object SinkOps {
   private val builtBloom = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def bloomEvents(s: SparkSession, d: String): ExactlyOnceSink =
-    new ExactlyOnceSink(builtBloom.computeIfAbsent(d, _ => synchronized {
-      val ev = Tables(s, d, "events")
-      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
-        sum(floor(col("value") * 100 + 0.5))).head()
-      val pathTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-bloom-${new java.io.File(d).getName}-$pathTag")
-      val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} proto=16xuserstripe,bloom(user_id)"
-      Files.createDirectories(dir.getParent)
-      val lockCh = java.nio.channels.FileChannel.open(
-        dir.getParent.resolve(s".${dir.getFileName}.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        val fresh = Files.exists(marker) &&
-          new String(Files.readAllBytes(marker)) == want
-        if (!fresh) {
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
-          Files.createDirectories(dir)
-          val sink = new ExactlyOnceSink(dir.toString)
-          (0 until 16).foreach { k =>
-            sink.commitAppend(
-              ev.filter(pmod(col("user_id"), lit(16)) === k).coalesce(1),
-              bloomBy = Seq("user_id"))
-          }
-          Files.write(marker, want.getBytes)
-        }
-      } finally { lock.release(); lockCh.close() }
-      dir.toString
-    }))
+    buildOnce(builtBloom, s, d, "graft-bloom",
+        "proto=16xuserstripe,bloom(user_id)") { (ev, dir) =>
+      val sink = new ExactlyOnceSink(dir.toString)
+      (0 until 16).foreach { k =>
+        sink.commitAppend(
+          ev.filter(pmod(col("user_id"), lit(16)) === k).coalesce(1),
+          bloomBy = Seq("user_id"))
+      }
+    }
 
   /** Generated-column partition probe (mirrored in the oracle):
     * bucket 3 is non-empty at every fixture SF (15+ users mod 8). */
@@ -224,42 +177,15 @@ object SinkOps {
   private val builtGen = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def genEvents(s: SparkSession, d: String): ExactlyOnceSink =
-    new ExactlyOnceSink(builtGen.computeIfAbsent(d, _ => synchronized {
-      val ev = Tables(s, d, "events")
-      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
-        sum(floor(col("value") * 100 + 0.5))).head()
-      val pathTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-gen-${new java.io.File(d).getName}-$pathTag")
-      val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} proto=gen(bucket=user%8),4xappend,partitionBy"
-      Files.createDirectories(dir.getParent)
-      val lockCh = java.nio.channels.FileChannel.open(
-        dir.getParent.resolve(s".${dir.getFileName}.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        val fresh = Files.exists(marker) &&
-          new String(Files.readAllBytes(marker)) == want
-        if (!fresh) {
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
-          Files.createDirectories(dir)
-          val sink = new ExactlyOnceSink(dir.toString)
-          sink.setGeneratedColumn(s, "bucket", "user_id % 8")
-          (0 until 4).foreach { k =>
-            sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k),
-              partitionBy = Seq("bucket"))
-          }
-          Files.write(marker, want.getBytes)
-        }
-      } finally { lock.release(); lockCh.close() }
-      dir.toString
-    }))
+    buildOnce(builtGen, s, d, "graft-gen",
+        "proto=gen(bucket=user%8),4xappend,partitionBy") { (ev, dir) =>
+      val sink = new ExactlyOnceSink(dir.toString)
+      sink.setGeneratedColumn(s, "bucket", "user_id % 8")
+      (0 until 4).foreach { k =>
+        sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k),
+          partitionBy = Seq("bucket"))
+      }
+    }
 
   /** Clone-read predicates (mirrored in the oracle): the DV delete on
     * the CLONE drops the high-value tail; the clone-local append then
@@ -282,48 +208,22 @@ object SinkOps {
   private val builtClone = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def cloneEvents(s: SparkSession, d: String): ExactlyOnceSink =
-    new ExactlyOnceSink(builtClone.computeIfAbsent(d, _ => synchronized {
-      val ev = Tables(s, d, "events")
-      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
-        sum(floor(col("value") * 100 + 0.5))).head()
-      val pathTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val srcDir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-clonesrc-${new java.io.File(d).getName}-$pathTag")
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-clone-${new java.io.File(d).getName}-$pathTag")
-      val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} " +
-        s"proto=2xappend,clone,dv(value>$CloneValCut),append(user=$CloneUser) fmt=rows1"
-      Files.createDirectories(dir.getParent)
-      val lockCh = java.nio.channels.FileChannel.open(
-        dir.getParent.resolve(s".${dir.getFileName}.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        val fresh = Files.exists(marker) &&
-          new String(Files.readAllBytes(marker)) == want
-        if (!fresh) {
-          import scala.jdk.CollectionConverters._
-          Seq(dir, srcDir).filter(Files.exists(_)).foreach { p =>
-            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
-          Files.createDirectories(srcDir)
-          Files.createDirectories(dir)
-          val src = new ExactlyOnceSink(srcDir.toString)
-          (0 until 2).foreach { k =>
-            src.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === k))
-          }
-          src.cloneTo(dir.toString)
-          val clone = new ExactlyOnceSink(dir.toString)
-          clone.deleteDV(s, col("value") > CloneValCut)
-          clone.commitAppend(ev.filter(col("user_id") === CloneUser))
-          Files.write(marker, want.getBytes)
+    buildOnce(builtClone, s, d, "graft-clone",
+        s"proto=2xappend,clone,dv(value>$CloneValCut)," +
+          s"append(user=$CloneUser) fmt=rows2",
+        alsoWipe = dir => Seq(dir.resolveSibling(dir.getFileName.toString + "-src"))) {
+      (ev, dir) =>
+        val srcDir = dir.resolveSibling(dir.getFileName.toString + "-src")
+        Files.createDirectories(srcDir)
+        val src = new ExactlyOnceSink(srcDir.toString)
+        (0 until 2).foreach { k =>
+          src.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === k))
         }
-      } finally { lock.release(); lockCh.close() }
-      dir.toString
-    }))
+        src.cloneTo(dir.toString)
+        val clone = new ExactlyOnceSink(dir.toString)
+        clone.deleteDV(s, col("value") > CloneValCut)
+        clone.commitAppend(ev.filter(col("user_id") === CloneUser))
+    }
 
   /** One identity-column committed table per (JVM, sfDir): declare
     * `rid GENERATED ALWAYS AS IDENTITY`, then ingest `events` in 2
@@ -341,42 +241,15 @@ object SinkOps {
   private val builtId = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def identityEvents(s: SparkSession, d: String): ExactlyOnceSink =
-    new ExactlyOnceSink(builtId.computeIfAbsent(d, _ => synchronized {
-      val ev = Tables(s, d, "events")
-      val fp = ev.agg(count(lit(1)), sum(col("event_id")),
-        sum(floor(col("value") * 100 + 0.5))).head()
-      val pathTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-identity-${new java.io.File(d).getName}-$pathTag")
-      val marker = dir.resolve("_graft_built")
-      val want = s"$d fp=${fp.mkString(",")} proto=identity(rid),2xappendBatch fmt=rows1"
-      Files.createDirectories(dir.getParent)
-      val lockCh = java.nio.channels.FileChannel.open(
-        dir.getParent.resolve(s".${dir.getFileName}.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        val fresh = Files.exists(marker) &&
-          new String(Files.readAllBytes(marker)) == want
-        if (!fresh) {
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
-          Files.createDirectories(dir)
-          val sink = new ExactlyOnceSink(dir.toString)
-          sink.setIdentityColumn(s, "rid")
-          (0 until 2).foreach { k =>
-            sink.appendBatch(
-              ev.filter(pmod(col("event_id"), lit(2)) === k), batchId = k)
-          }
-          Files.write(marker, want.getBytes)
-        }
-      } finally { lock.release(); lockCh.close() }
-      dir.toString
-    }))
+    buildOnce(builtId, s, d, "graft-identity",
+        "proto=identity(rid),2xappendBatch fmt=rows1") { (ev, dir) =>
+      val sink = new ExactlyOnceSink(dir.toString)
+      sink.setIdentityColumn(s, "rid")
+      (0 until 2).foreach { k =>
+        sink.appendBatch(
+          ev.filter(pmod(col("event_id"), lit(2)) === k), batchId = k)
+      }
+    }
 
   val queries: Map[String, QueryFn] = Map(
     // Two-column range aggregate over the clustered committed table: file

@@ -125,15 +125,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .map(p => staging.relativize(p)).sortBy(_.toString)
   }
 
-  /** Per-file min/max column stats read from the PARQUET FOOTERS of the
-    * staged files — metadata-only, no data pass (the executors already
-    * wrote row-group statistics during the write, exactly the stats a
-    * real Delta writer records). Row-group stats merge per file; columns
-    * without usable stats are simply absent (skipping stays
-    * conservative). Stored as strings; numeric comparison happens at
-    * read time (readSkipping). */
-  private def fileStats(spark: SparkSession, staging: Path)
-      : Map[String, Map[String, (String, String)]] = {
+  /** Per-file footer metadata collected in ONE pass over the staged
+    * files: min/max column stats AND row counts (the Delta numRecords
+    * stat) — both ride the same footers, so one open per file. */
+  private case class StagedMeta(
+      stats: Map[String, Map[String, (String, String)]],
+      rows: Map[String, Long])
+
+  /** Per-file min/max column stats + row counts read from the PARQUET
+    * FOOTERS of the staged files — metadata-only, no data pass (the
+    * executors already wrote row-group statistics during the write,
+    * exactly the stats a real Delta writer records). Row-group stats
+    * merge per file; columns without usable stats are simply absent
+    * (skipping stays conservative). Stored as strings; numeric
+    * comparison happens at read time (readSkipping). */
+  private def fileStats(spark: SparkSession, staging: Path): StagedMeta = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -142,51 +148,38 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case b: Binary => b.toStringUsingUTF8
       case x => String.valueOf(x)
     }
-    Files.walk(staging).iterator().asScala
+    val perFile = Files.walk(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).map { file =>
         val rel = staging.relativize(file).toString.replace("\\", "/")
         val stats = scala.collection.mutable
           .Map[String, org.apache.parquet.column.statistics.Statistics[_]]()
+        var rowCount = 0L
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(file.toUri), conf))
         try {
-          for (block <- reader.getFooter.getBlocks.asScala;
-               chunk <- block.getColumns.asScala) {
-            val st = chunk.getStatistics
-            // nested paths (a.b) are skipped: top-level scalar stats only
-            val name = chunk.getPath.toDotString
-            if (st != null && st.hasNonNullValue && !name.contains(".")) {
-              stats.get(name) match {
-                case None => stats(name) = st.copy()
-                case Some(acc) => acc.mergeStatistics(
-                  st.asInstanceOf[org.apache.parquet.column.statistics.Statistics[Nothing]])
+          for (block <- reader.getFooter.getBlocks.asScala) {
+            rowCount += block.getRowCount
+            for (chunk <- block.getColumns.asScala) {
+              val st = chunk.getStatistics
+              // nested paths (a.b) are skipped: top-level scalar stats only
+              val name = chunk.getPath.toDotString
+              if (st != null && st.hasNonNullValue && !name.contains(".")) {
+                stats.get(name) match {
+                  case None => stats(name) = st.copy()
+                  case Some(acc) => acc.mergeStatistics(
+                    st.asInstanceOf[org.apache.parquet.column.statistics.Statistics[Nothing]])
+                }
               }
             }
           }
         } finally reader.close()
-        rel -> stats.toMap.map { case (c, st) =>
+        (rel, stats.toMap.map { case (c, st) =>
           c -> (render(st.genericGetMin), render(st.genericGetMax))
-        }
-      }.toMap
-  }
-
-  /** Per-file row counts from the staged parquet FOOTERS — the Delta
-    * numRecords stat. Metadata-only like [[fileStats]]; recorded on
-    * every add action so [[rowCount]] and history metrics never need a
-    * data scan. */
-  private def fileRowCounts(spark: SparkSession, staging: Path)
-      : Map[String, Long] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sessionState.newHadoopConf()
-    Files.walk(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).map { file =>
-        val rel = staging.relativize(file).toString.replace("\\", "/")
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file.toUri), conf))
-        try rel -> r.getFooter.getBlocks.asScala.map(_.getRowCount.longValue).sum
-        finally r.close()
-      }.toMap
+        }, rowCount)
+      }.toSeq
+    StagedMeta(
+      perFile.map { case (rel, st, _) => rel -> st }.toMap,
+      perFile.map { case (rel, _, n) => rel -> n }.toMap)
   }
 
   /** Per-file bloom filters for point-lookup file skipping (the Delta
@@ -699,8 +692,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // 1. stage data files (invisible to readers — they go through the log)
     val staging = Paths.get(tableDir, s".staging-$batchId")
     val adds = stage(gdf, staging, partitionBy)
-    val stats = fileStats(gdf.sparkSession, staging)
-    val rowsM = fileRowCounts(gdf.sparkSession, staging)
+    val meta = fileStats(gdf.sparkSession, staging)
+    val stats = meta.stats
+    val rowsM = meta.rows
 
     // 2. move into place under the batch's own directory
     val target = dataDir.resolve(s"batch=$batchId")
@@ -716,11 +710,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
     Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
 
-    // 3. commit; a lost claim means a concurrent replay already committed
-    //    this batchId — exactly-once either way
-    claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
-      s"batch=$batchId", partitionBy, snapshot, moved, stats,
-      generated = advancedGen, rows = rowsM))
+    // 3. commit; a lost claim normally means a concurrent replay already
+    //    committed this batchId — exactly-once either way. But verify
+    //    it: a maintenance OCC commit racing into version=batchId while
+    //    this batch staged would otherwise swallow the batch silently
+    //    (same failure class as the pre-check guard above).
+    if (!claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
+        s"batch=$batchId", partitionBy, snapshot, moved, stats,
+        generated = advancedGen, rows = rowsM))) {
+      require(parseCommit(batchId).dir == s"batch=$batchId",
+        s"process(batchId=$batchId): lost the version claim to a " +
+          "non-streaming commit — this table has concurrent OCC writers; " +
+          "use appendBatch (streamTxn-cursored) instead")
+    }
     releaseId()
   }
 
@@ -811,9 +813,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * replay no-op. */
   def appendBatch(df: DataFrame, batchId: Long,
       streamAppId: String = appId, partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 8,
+      bloomBy: Seq[String] = Nil, bloomBits: Int = 4096,
       mergeSchema: Boolean = false): Long = {
     if (lastStreamBatch(streamAppId).exists(_ >= batchId)) return -1L
-    commitAppend(df, partitionBy, mergeSchema = mergeSchema,
+    commitAppend(df, partitionBy, clusterBy, clusterFiles, bloomBy,
+      bloomBits, mergeSchema = mergeSchema,
       streamTxn = Some(streamAppId -> batchId))
   }
 
@@ -843,10 +848,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val staging = Paths.get(tableDir, s".staging-$uuid")
     val adds = stage(clustered, staging, partitionBy)
     pinned.foreach(_.unpersist(blocking = false))
-    val stats = fileStats(gdf.sparkSession, staging)
+    val meta = fileStats(gdf.sparkSession, staging)
+    val stats = meta.stats
+    val rowsM = meta.rows
     val blooms = fileBlooms(gdf.sparkSession, staging,
       bloomBy.map(physicalOf), bloomBits)
-    val rowsM = fileRowCounts(gdf.sparkSession, staging)
     val dir = s"files/$uuid"
     val target = dataDir.resolve(dir)
     Files.createDirectories(target.getParent)
@@ -891,8 +897,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val uuid = java.util.UUID.randomUUID().toString
       val staging = Paths.get(tableDir, s".staging-$uuid")
       val adds = stage(out, staging, Nil)
-      val stats = fileStats(spark, staging)
-      val rowsM = fileRowCounts(spark, staging)
+      val meta = fileStats(spark, staging)
+      val stats = meta.stats
+      val rowsM = meta.rows
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -2014,8 +2021,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         newRows.foreach { nr =>
           val staging = Paths.get(tableDir, s".staging-$uuid")
           adds = stage(nr, staging, Nil)
-          stats = fileStats(spark, staging)
-          rowsM = fileRowCounts(spark, staging)
+          val meta = fileStats(spark, staging)
+          stats = meta.stats
+          rowsM = meta.rows
           Files.createDirectories(dataDir.resolve("files"))
           Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
           touchNow(dataDir.resolve(dir))
@@ -2474,7 +2482,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * writes (no OCC claims — the target is required to be fresh, and
     * the source log files are immutable once committed). Returns the
     * clone's latest version. Chained clones work: already-absolute
-    * paths are preserved verbatim. */
+    * paths are preserved verbatim. Absolute-path detection assumes
+    * POSIX roots (leading "/"): Windows drive-letter paths would need a
+    * scheme-aware form of both abs() and relKeyCol's foreign branch. */
   def cloneTo(targetDir: String): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -2499,14 +2509,27 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         case JObject(fs) => fs
         case _ => return text // unparseable shapes are copied verbatim
       }
+      // pre-dir legacy entries omit the field and the parser defaults it
+      // to the RELATIVE "batch=<v>" — materialize that default here (made
+      // absolute below) or the clone would resolve it under its own
+      // empty data root
+      val fields1 =
+        if (fields.exists(_._1 == "dir")) fields
+        else {
+          val v = fields.collectFirst { case ("txn", o: JObject) =>
+            (o \ "version") match { case JInt(x) => x.toLong; case _ => -1L }
+          }.getOrElse(-1L)
+          if (v < 0) return text // no version either: copy verbatim
+          fields :+ ("dir", JString(s"batch=$v"))
+        }
       // restore/lifted entries key their adds at data-root granularity
       // (dir empty or re-pointed dirs); ordinary commits key adds
       // relative to their own dir, which itself goes absolute
-      val keySpaceAdds = fields.exists {
+      val keySpaceAdds = fields1.exists {
         case ("restoreDirs", JArray(items)) => items.nonEmpty
         case _ => false
-      } || fields.collectFirst { case ("dir", JString(d)) => d }.forall(_.isEmpty)
-      val out = fields.map {
+      } || fields1.collectFirst { case ("dir", JString(d)) => d }.forall(_.isEmpty)
+      val out = fields1.map {
         case ("dir", JString(d)) => ("dir", JString(abs(d)))
         case ("restoreDirs", JArray(items)) =>
           ("restoreDirs", JArray(items.map {
@@ -2710,8 +2733,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // rows (and the frame carries PHYSICAL names — constraint exprs
       // would not even resolve against them)
       val adds = stage(packed, staging, Nil, check = false)
-      val stats = fileStats(spark, staging)
-      val rowsM = fileRowCounts(spark, staging)
+      val meta = fileStats(spark, staging)
+      val stats = meta.stats
+      val rowsM = meta.rows
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
