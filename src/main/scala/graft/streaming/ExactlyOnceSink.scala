@@ -659,19 +659,28 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     process(df, batchId, partitionBy, snapshot = false,
       mergeSchema = mergeSchema)
 
+  /** Is `c` genuinely OUR stream's commit of `batchId`? Guards both
+    * replay paths in [[process]]: the dir shape catches a metadata/OCC
+    * commit squatting on the version (version = batchId is this
+    * protocol's invariant), the appId catches a DIFFERENT stream
+    * driving the same table — either way the batch must not be
+    * silently swallowed. Pre-txn-era entries carry no appId and pass
+    * on the dir shape alone. */
+  private def isOwnStreamBatch(c: Commit, batchId: Long): Boolean =
+    (c.dir == s"batch=$batchId" || c.dir.startsWith(s"batch=$batchId-")) &&
+      c.txnAppId.forall(_ == appId)
+
   private def process(df: DataFrame, batchId: Long, partitionBy: Seq[String],
       snapshot: Boolean, mergeSchema: Boolean): Unit = {
     if (isCommitted(batchId)) {
       // replay after crash → no-op, but ONLY when the occupying commit
-      // really is this stream's batch: a metadata or OCC commit sitting
-      // at that version would otherwise swallow the batch silently
-      // (version = batchId is this protocol's invariant — tables with a
-      // pre-stream log need [[appendBatch]], which cursors on streamTxn
-      // instead of version numbers)
-      require(parseCommit(batchId).dir == s"batch=$batchId",
+      // really is this stream's batch (tables with a pre-stream log
+      // need [[appendBatch]], which cursors on streamTxn instead of
+      // version numbers)
+      require(isOwnStreamBatch(parseCommit(batchId), batchId),
         s"process(batchId=$batchId): version $batchId is occupied by a " +
-          "non-streaming commit; this table's log did not start with the " +
-          "stream — use appendBatch (streamTxn-cursored) instead")
+          "non-streaming or foreign-stream commit; use appendBatch " +
+          "(streamTxn-cursored) instead")
       return
     }
     enforceSchema(df, mergeSchema, s"process(batchId=$batchId)")
@@ -687,43 +696,42 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         val (adf, adv, rel) = assignIdentity(gdf0, idr)
         (adf, Some(logTail.activeGenerated() ++ adv), rel)
       }
-    Files.createDirectories(dataDir)
+    try {
+      Files.createDirectories(dataDir)
 
-    // 1. stage data files (invisible to readers — they go through the log)
-    val staging = Paths.get(tableDir, s".staging-$batchId")
-    val adds = stage(gdf, staging, partitionBy)
-    val meta = fileStats(gdf.sparkSession, staging)
-    val stats = meta.stats
-    val rowsM = meta.rows
+      // 1. stage data files (invisible to readers — they go through the
+      //    log). Staging AND the final dir are ATTEMPT-UNIQUE: two
+      //    concurrent replays of one batchId (zombie driver + its
+      //    replacement) each write their own dir, the claim picks the
+      //    winner, and the loser's dir is an unreferenced orphan vacuum
+      //    reclaims — a shared `batch=<id>` target would let the loser's
+      //    leftover-cleanup delete the WINNER'S committed files.
+      val attempt = java.util.UUID.randomUUID().toString.take(8)
+      val dir = s"batch=$batchId-$attempt"
+      val staging = Paths.get(tableDir, s".staging-$batchId-$attempt")
+      val adds = stage(gdf, staging, partitionBy)
+      val meta = fileStats(gdf.sparkSession, staging)
 
-    // 2. move into place under the batch's own directory
-    val target = dataDir.resolve(s"batch=$batchId")
-    if (Files.exists(target)) { // leftover from a crashed attempt
-      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    Files.createDirectories(target)
-    val moved = adds.map { rel =>
-      val dst = target.resolve(rel)
-      Files.createDirectories(dst.getParent)
-      Files.move(staging.resolve(rel), dst, StandardCopyOption.ATOMIC_MOVE)
-      rel
-    }
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // 2. move into place under the attempt's own directory
+      val target = dataDir.resolve(dir)
+      Files.createDirectories(target.getParent)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      touchNow(target)
 
-    // 3. commit; a lost claim normally means a concurrent replay already
-    //    committed this batchId — exactly-once either way. But verify
-    //    it: a maintenance OCC commit racing into version=batchId while
-    //    this batch staged would otherwise swallow the batch silently
-    //    (same failure class as the pre-check guard above).
-    if (!claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
-        s"batch=$batchId", partitionBy, snapshot, moved, stats,
-        generated = advancedGen, rows = rowsM))) {
-      require(parseCommit(batchId).dir == s"batch=$batchId",
-        s"process(batchId=$batchId): lost the version claim to a " +
-          "non-streaming commit — this table has concurrent OCC writers; " +
-          "use appendBatch (streamTxn-cursored) instead")
-    }
-    releaseId()
+      // 3. commit; a lost claim normally means a concurrent replay
+      //    already committed this batchId — exactly-once either way.
+      //    But verify it: a maintenance OCC commit (or a foreign
+      //    stream) racing into version=batchId while this batch staged
+      //    would otherwise swallow the batch silently.
+      if (!claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
+          dir, partitionBy, snapshot, adds,
+          meta.stats, generated = advancedGen, rows = meta.rows))) {
+        require(isOwnStreamBatch(parseCommit(batchId), batchId),
+          s"process(batchId=$batchId): lost the version claim to a " +
+            "non-streaming or foreign-stream commit — use appendBatch " +
+            "(streamTxn-cursored) instead")
+      }
+    } finally releaseId()
   }
 
   // ---------------------------------------------------------------------
@@ -946,7 +954,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       generated: Option[Map[String, String]] = None,
       columnMapping: Option[Map[String, String]] = None,
       droppedCols: Option[Seq[String]] = None,
-      ict: Option[Long] = None) {
+      ict: Option[Long] = None,
+      txnAppId: Option[String] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -1103,8 +1112,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case JInt(t) => Some(t.toLong)
       case _ => None
     }
+    val txnApp = (j \ "txn" \ "appId") match {
+      case JString(a) => Some(a)
+      case _ => None
+    }
     Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
-      removes, dvs, gen, cmap, dcols, ict)
+      removes, dvs, gen, cmap, dcols, ict, txnApp)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -2503,7 +2516,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // Rewrite ONE commit entry's data references to absolute. Top-level
     // fields only — never recursive, so user columns named "dir"/"dv"/
     // "remove" inside schemaString or per-file stats are untouched.
-    def rewriteEntry(text: String): String = {
+    def rewriteEntry(text: String, vHint: Long = -1L): String = {
       val j = JsonMethods.parse(text)
       val fields = j match {
         case JObject(fs) => fs
@@ -2516,10 +2529,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val fields1 =
         if (fields.exists(_._1 == "dir")) fields
         else {
+          // version from the txn action, else the caller's hint (the
+          // raw-log file name) — a pre-dir pre-txn entry left verbatim
+          // would resolve its implicit relative dir under the CLONE's
+          // empty data root
           val v = fields.collectFirst { case ("txn", o: JObject) =>
             (o \ "version") match { case JInt(x) => x.toLong; case _ => -1L }
-          }.getOrElse(-1L)
-          if (v < 0) return text // no version either: copy verbatim
+          }.filter(_ >= 0).getOrElse(vHint)
+          if (v < 0) return text // checkpoint line with no version: verbatim
           fields :+ ("dir", JString(s"batch=$v"))
         }
       // restore/lifted entries key their adds at data-root granularity
@@ -2573,7 +2590,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Files.createDirectories(Paths.get(targetDir, "data"))
     vs.foreach { v =>
       Files.writeString(tgtLog.resolve(f"$v%020d.json"),
-        rewriteEntry(Files.readString(logFile(v))))
+        rewriteEntry(Files.readString(logFile(v)), vHint = v))
     }
     // checkpoints: line 1 is the aux header (no data paths), the rest
     // are commit entries — rewritten like the raw log so a clone of a
@@ -2582,7 +2599,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val lines = Files.readAllLines(checkpointFile(cv)).asScala
         .filter(_.nonEmpty).toSeq
       if (lines.nonEmpty) {
-        val body = lines.head +: lines.tail.map(rewriteEntry)
+        val body = lines.head +: lines.tail.map(rewriteEntry(_))
         Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
           body.mkString("\n") + "\n")
       }

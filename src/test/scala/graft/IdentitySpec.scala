@@ -118,6 +118,23 @@ class IdentitySpec extends SparkSpecBase {
       .appendBatch(spark.range(0, 10).toDF("x"), batchId = 1L) == -1L)
   }
 
+  test("process() fails loudly when another STREAM's commit occupies its batch version") {
+    val dir = tmp()
+    val s1 = new ExactlyOnceSink(dir, appId = "stream-1")
+    s1.process(spark.range(0, 10).toDF("x"), batchId = 0L)
+    // same-stream replay: no-op, data intact
+    new ExactlyOnceSink(dir, appId = "stream-1")
+      .process(spark.range(0, 10).toDF("x"), batchId = 0L)
+    assert(new ExactlyOnceSink(dir).read(spark).count() == 10)
+    // a DIFFERENT stream misconfigured onto the same table must not have
+    // its batch silently swallowed as "already committed"
+    val s2 = new ExactlyOnceSink(dir, appId = "stream-2")
+    val e = intercept[IllegalArgumentException] {
+      s2.process(spark.range(100, 105).toDF("x"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("foreign-stream"))
+  }
+
   test("process() fails loudly when its batch version is occupied by a non-stream commit") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir)
