@@ -70,7 +70,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * non-atomic pointer.
   */
 class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
-    checkpointInterval: Int = 10) {
+    checkpointInterval: Int = 10,
+    autoCompactEvery: Int = 0,
+    autoCompactTargetBytes: Long = 128L << 20) {
   private val logDir = Paths.get(tableDir, "_graft_log")
   private val dataDir = Paths.get(tableDir, "data")
 
@@ -683,6 +685,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           "(streamTxn-cursored) instead")
       return
     }
+    require(autoCompactEvery <= 0,
+      "auto-compaction interleaves maintenance commits between batch " +
+        "versions, which the version-pinned process() protocol cannot " +
+        "tolerate — drive this table through appendBatch (streamTxn-" +
+        "cursored) instead")
     enforceSchema(df, mergeSchema, s"process(batchId=$batchId)")
     val gdf0 = applyGenerated(df)
     // identity assignment: the stream is the SINGLE writer, so there is
@@ -733,6 +740,26 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }
     } finally releaseId()
   }
+
+  /** AUTO-COMPACTION (the Delta auto-compact analog): a streaming
+    * daemon accretes one small-file commit per micro-batch forever;
+    * with `autoCompactEvery = N`, every Nth successful [[appendBatch]]
+    * commit synchronously runs the incremental OPTIMIZE
+    * ([[compactSmall]]) so the live file count stays bounded by the
+    * write rate, not the stream's age. appendBatch-only: the packing
+    * commit claims its own version, which the version-pinned
+    * [[process]] protocol cannot tolerate (process refuses the knob
+    * loudly). Post-commit and best-effort — the batch's exactly-once
+    * commit has already happened, so a failed/raced compaction costs
+    * nothing but deferred packing. Cost model unchanged from
+    * compactSmall: O(small files), retired files pruned from the live
+    * scan, CDC-transparent. */
+  private val commitsSinceCompact = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def maybeAutoCompact(spark: SparkSession): Unit =
+    if (autoCompactEvery > 0 &&
+        commitsSinceCompact.incrementAndGet() % autoCompactEvery == 0)
+      try { compactSmall(spark, targetBytes = autoCompactTargetBytes); () }
+      catch { case scala.util.control.NonFatal(_) => () }
 
   // ---------------------------------------------------------------------
   // protocol 2: multi-writer optimistic concurrency
@@ -825,9 +852,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       bloomBy: Seq[String] = Nil, bloomBits: Int = 4096,
       mergeSchema: Boolean = false): Long = {
     if (lastStreamBatch(streamAppId).exists(_ >= batchId)) return -1L
-    commitAppend(df, partitionBy, clusterBy, clusterFiles, bloomBy,
+    val v = commitAppend(df, partitionBy, clusterBy, clusterFiles, bloomBy,
       bloomBits, mergeSchema = mergeSchema,
       streamTxn = Some(streamAppId -> batchId))
+    maybeAutoCompact(df.sparkSession)
+    v
   }
 
   private case class StagedAppend(dir: String, adds: Seq[Path],

@@ -145,6 +145,36 @@ class IdentitySpec extends SparkSpecBase {
     assert(e.getMessage.contains("appendBatch"))
   }
 
+  test("auto-compaction bounds the streaming file count; state and CDC intact") {
+    import org.apache.spark.sql.functions.lit
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, autoCompactEvery = 4)
+    // the version-pinned process() protocol refuses the knob loudly —
+    // packing commits would squat on batch version slots
+    val e = intercept[IllegalArgumentException] {
+      sink.process(spark.range(0, 1).toDF("x"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("appendBatch"))
+    (0 until 12).foreach { i =>
+      sink.appendBatch(
+        spark.range(i * 10L, i * 10L + 10).toDF("x").coalesce(1), batchId = i)
+    }
+    val d = sink.read(spark)
+    assert(d.count() == 120)
+    // without auto-compact: >= 12 live files (one per micro-batch);
+    // with it, packing every 4th commit keeps the live set small
+    val liveFiles = d.inputFiles.toSet.size
+    assert(liveFiles < 12, s"auto-compact did not bound file count: $liveFiles")
+    // packing is a physical no-op: the CDC feed still carries exactly
+    // the appended rows (compaction contributes nothing)
+    val inserts = sink.readChanges(spark, fromVersion = -1L)
+      .filter(org.apache.spark.sql.functions.col("_change_type") === lit("insert"))
+      .count()
+    assert(inserts == 120)
+    // and the metadata count path survives the packing commits
+    assert(sink.rowCount(spark) == 120L)
+  }
+
   test("identity values survive a compact (snapshot carries them through)") {
     val sink = new ExactlyOnceSink(tmp())
     sink.setIdentityColumn(spark, "rid")
