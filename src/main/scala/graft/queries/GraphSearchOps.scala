@@ -120,7 +120,9 @@ object GraphSearchOps {
     // canonical member of each duplicate cluster (q_llm_dup_groups picks
     // min-id; rank-weighted selection keeps the best-connected doc).
     // Nodes = endpoints of the blocked Jaccard>=0.5 pair graph
-    // (q_llm_jaccard_pairs), symmetrized. All rank math is integer nanos:
+    // (q_llm_jaccard_pairs), symmetrized; the pair graph is served from
+    // the committed TextOps.pairGraph stage — one similarity-join stage,
+    // many readers. All rank math is integer nanos:
     //   pr0   = 1e9 div N
     //   contrib(u) = pr(u) div deg(u)
     //   pr'(v) = (0.15e9 div N) + (85 * sum_in contrib) div 100
@@ -132,19 +134,17 @@ object GraphSearchOps {
     // state. At 100 TB the edge list is the already-blocked near-dup
     // graph (sublinear in the corpus), not corpus².
     "q_llm_pagerank" -> ((s, d) => {
-      val (pairRel, docsHandle) = TextOps.jaccardPairsWithHandle(s, d)
-      val pairs = pairRel.select("d1", "d2")
-      // symmetrize in ONE pass over the expensive pair join (a union of
-      // two selects would evaluate it twice) — map-only explode of each
-      // pair into both directions. Eager localCheckpoint: every rank
-      // round re-reads this relation, and truncating lineage here lets
-      // the tokenized-docs cache be dropped now rather than leak.
+      val pairs = TextOps.pairGraph(s, d).select("d1", "d2")
+      // symmetrize in ONE pass — map-only explode of each pair into both
+      // directions. Eager localCheckpoint: every rank round re-reads
+      // this relation, and under GRAFT_STAGE_CACHE=off (ScaleBench) the
+      // source is the full similarity join, which must not re-run per
+      // round.
       val edges = pairs.select(explode(array(
           struct(col("d1").as("src"), col("d2").as("dst")),
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .localCheckpoint(true)
-      docsHandle.unpersist(blocking = false)
       val nn = edges.select(col("src")).distinct()
         .agg(count(lit(1)).as("n"))
       val node = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -346,17 +346,16 @@ object GraphSearchOps {
     // intersect kernel (primitive long compares, no row amplification),
     // and the adjacency relation is broadcast to both probes (node
     // count ≪ edge count — at 100 TB it shuffle-joins instead, same
-    // shape). The edge list is materialized ONCE (eager localCheckpoint)
-    // so the two probes don't re-run the blocked similarity join, and
-    // lineage truncation lets the tokenized-docs cache drop immediately
-    // instead of leaking into later queries' storage memory. Hub nodes
+    // shape). The edge list comes from the committed TextOps.pairGraph
+    // stage and is materialized ONCE (eager localCheckpoint) so the two
+    // probes — and, under GRAFT_STAGE_CACHE=off, the full similarity
+    // join — run a single time. Hub nodes
     // bound per-group arrays by max near-dup cluster size; at 100 TB a
     // degree cap (drop boilerplate mega-hubs, as MinHash banding caps
     // mega-buckets) bounds both the array and the intersect work.
     "q_graph_triangles" -> ((s, d) => {
-      val (pairRel, docsHandle) = TextOps.jaccardPairsWithHandle(s, d)
-      val e = pairRel.select(col("d1"), col("d2")).localCheckpoint(true)
-      docsHandle.unpersist(blocking = false)
+      val e = TextOps.pairGraph(s, d).select(col("d1"), col("d2"))
+        .localCheckpoint(true)
       // symmetrize in one map-only pass, then sorted adjacency per node
       val sym = e.select(explode(array(
           struct(col("d1").as("v"), col("d2").as("w")),
@@ -384,13 +383,12 @@ object GraphSearchOps {
     // that should have been caught upstream; the MinHash mega-bucket cap
     // and the triangle-count hub cap are both sized from exactly this
     // histogram). One map-only corner explode of the canonical pair
-    // list + two bounded hash aggs (doc_id, then degree); the edge list
-    // is materialized once and the tokenized-docs cache dropped, same
-    // discipline as q_graph_triangles.
+    // list (served from the committed TextOps.pairGraph stage) + two
+    // bounded hash aggs (doc_id, then degree).
     "q_graph_degree" -> ((s, d) => {
-      val (pairRel, docsHandle) = TextOps.jaccardPairsWithHandle(s, d)
-      val e = pairRel.select(col("d1"), col("d2")).localCheckpoint(true)
-      docsHandle.unpersist(blocking = false)
+      // single pass over the committed pair-graph stage — no checkpoint
+      // needed: the edge relation is consumed exactly once
+      val e = TextOps.pairGraph(s, d).select(col("d1"), col("d2"))
       e.select(explode(array(col("d1"), col("d2"))).as("doc"))
         .groupBy("doc").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))

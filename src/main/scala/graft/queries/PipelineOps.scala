@@ -259,10 +259,106 @@ object PipelineOps {
         }
         .toDF("doc_id", "source", "n_tokens", "seq_id", "offset")
         .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc
+    // by the log-likelihood ratio of its hashed n-gram features under a
+    // target distribution (here: the lang='en' slice) vs the raw corpus
+    // distribution — log w(x) = Σ_f c_f(x)·(log p_t(f) − log p_r(f)).
+    // Features are unigrams + bigrams hashed into B=256 buckets (the
+    // paper's hashed-n-gram trick: a FIXED-size feature table regardless
+    // of vocab), both distributions Laplace-smoothed. Shape: map-only
+    // featurize at the scan → one (doc, bucket) count agg whose exchange
+    // is REUSED by both consumers (the bucket table — raw + target
+    // counts in one conditional-sum pass — and the scoring join), with
+    // corpus totals a 256-row fold of the bucket table → scoring joins
+    // the BROADCAST B-row delta table and aggregates per doc. At 100 TB
+    // the bucket table is still 256 rows — the whole point of hashed
+    // DSIR — so the featurization scan runs once and everything after
+    // it is bounded-key or broadcast work.
+    // Portability: per-bucket log-probs fixed-point-scaled to integer
+    // micros before the per-doc sum (same rule as unigram/bigram/BM25).
+    "q_llm_dsir_weights" -> ((s, d) => {
+      val B = 256
+      val tk = col("t")
+      val feats = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        // repartition BEFORE featurizing: the fixture corpus is one
+        // parquet row group = one scan task, which would md5 every
+        // feature on a single core (same fix as q_llm_winnow_dup); a
+        // real table's scan splits by row group and makes this a
+        // no-op-sized exchange
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("lang"), explode(concat(
+          transform(tk, w => concat(lit("u:"), w)),
+          when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
+            i => concat(lit("b:"), element_at(tk, i), lit(" "),
+              element_at(tk, i + 1))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+        .select(col("doc_id"), col("lang"),
+          pmod(h32(s, col("f")), lit(B)).as("b"))
+      // collapse to per-(doc, bucket) counts FIRST: the bucket table and
+      // the scoring pass both hang off this one exchange (reused — the
+      // expensive tokenize+md5 featurization runs once), and the
+      // corpus-wide totals are a 256-row fold of the bucket table, not a
+      // third scan
+      val dbc = feats.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val buckets = dbc.groupBy("b").agg(
+        sum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+      val tots = buckets.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val delta = buckets.crossJoin(broadcast(tots))
+        .select(col("b"),
+          (floor(log((col("ct") + 1).cast("double") / (col("tt") + B))
+            * 1e6 + 0.5)
+            - floor(log((col("cr") + 1).cast("double") / (col("tr") + B))
+              * 1e6 + 0.5)).cast("long").as("dl_u"))
+      dbc.join(broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("dl_u")).as("w_u"))
+        .select(col("doc_id"), col("n_feats"), col("w_u"),
+          Det.r(col("w_u").cast("double") / 1e6 / col("n_feats"), 4)
+            .as("avg_llr"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_llm_dsir_weights" ->
+      """WITH dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                     FROM documents),
+              f AS (SELECT doc_id, lang,
+                           unnest(list_concat(
+                             list_transform(t, w -> 'u:' || w),
+                             CASE WHEN len(t) >= 2
+                                  THEN list_transform(range(1, len(t)),
+                                         i -> 'b:' || t[i] || ' ' || t[i+1])
+                                  ELSE [] END)) AS f
+                    FROM dt),
+              fb AS (SELECT doc_id, lang,
+                            (('0x'||substr(md5(f),1,8))::BIGINT) % 256 AS b
+                     FROM f),
+              bk AS (SELECT b, count(*) AS cr,
+                            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+                     FROM fb GROUP BY b),
+              tot AS (SELECT count(*) AS tr,
+                             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+                      FROM fb),
+              dl AS (SELECT b,
+                            CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / (tt + 256))
+                                       * 1000000 + 0.5)
+                                 - floor(ln(CAST(cr + 1 AS DOUBLE) / (tr + 256))
+                                         * 1000000 + 0.5) AS BIGINT) AS dl_u
+                     FROM bk CROSS JOIN tot)
+         SELECT fb.doc_id, count(*) AS n_feats,
+                CAST(sum(dl.dl_u) AS BIGINT) AS w_u,
+                floor(CAST(sum(dl.dl_u) AS DOUBLE) / 1000000 / count(*)
+                      * 10000 + 0.5) / 10000 AS avg_llr
+         FROM fb JOIN dl USING (b)
+         GROUP BY fb.doc_id ORDER BY doc_id""",
     "q_llm_curate" ->
       """WITH RECURSIVE
             q AS (SELECT doc_id, source, text,

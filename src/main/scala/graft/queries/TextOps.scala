@@ -90,29 +90,55 @@ object TextOps {
     (pairs, docs)
   }
 
+  /** Content fingerprint of the documents fixture (count + id-sum +
+    * total text length in one cheap agg pass) — pins every StageCache
+    * stage derived from `documents`, so a driver-side fixture refresh
+    * forces a rebuild of all of them. */
+  private def docsFingerprint(s: SparkSession, d: String): String =
+    t(s, d, "documents")
+      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+      .head().mkString(",")
+
+  /** The memoized near-dup pair graph: (d1, d2, jaccard) from the
+    * blocked Jaccard >= 0.5 self-join, built once per (JVM, fixture)
+    * and served from StageCache's parquet relation. In a real pipeline
+    * the pair graph is ONE committed similarity-join stage with many
+    * readers — dup clustering (dupLabels), rank readout
+    * (q_llm_pagerank), and graph-health readouts (q_graph_triangles /
+    * q_graph_degree) all scan the committed edge table rather than
+    * re-running the expensive self-join per consumer. q_llm_jaccard_pairs
+    * itself still declares (and PlanSpec audits) the full banded join —
+    * it IS the stage. */
+  private[queries] def pairGraph(s: SparkSession, d: String): DataFrame =
+    graft.operators.StageCache.relation(s, "jaccpairs", d)(
+      docsFingerprint(s, d)) {
+      val (pairRel, docsHandle) = jaccardPairsWithHandle(s, d)
+      // materialize before StageCache's parquet write so the tokenized-
+      // docs cache can be dropped now instead of leaking past the build
+      val out = pairRel.localCheckpoint(eager = true)
+      docsHandle.unpersist(blocking = false)
+      out
+    }
+
   /** The memoized text near-dup closure: (doc_id, canonical) from CC
     * over the jaccardPairs graph, built once per (JVM, fixture) and
     * served from StageCache's parquet relation. q_llm_dup_groups and
     * q_llm_split_safe both consume it — in a real pipeline the dedup
     * clustering is one committed stage with many readers, not a
-    * per-consumer recomputation. Fingerprint = one cheap agg over the
-    * documents table (count + id-sum + total text length), so a
-    * driver-side fixture refresh forces a rebuild. */
-  private def dupLabels(s: SparkSession, d: String): DataFrame =
-    graft.operators.StageCache.relation(s, "dupdocs", d)({
-      t(s, d, "documents")
-        .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
-        .head().mkString(",")
-    }) {
-      val (pairRel, docsHandle) = jaccardPairsWithHandle(s, d)
-      val edges = pairRel.select(col("d1").as("src"), col("d2").as("dst"))
+    * per-consumer recomputation. */
+  private def dupLabels(s: SparkSession, d: String): DataFrame = {
+    // resolve the pair-graph stage OUTSIDE the dupdocs build block:
+    // nested ConcurrentHashMap.computeIfAbsent calls (StageCache inside
+    // StageCache) risk a recursive-update on bin collision
+    val edges = pairGraph(s, d)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    graft.operators.StageCache.relation(s, "dupdocs", d)(
+      docsFingerprint(s, d)) {
       val ids = t(s, d, "documents").select(col("doc_id").as("id"))
-      val labels = graft.operators.ConnectedComponents.run(ids, edges)
-      // the CC run has materialized its labels; the tokenized-docs cache
-      // the pair graph was built from is dead
-      docsHandle.unpersist(blocking = false)
-      labels.select(col("id").as("doc_id"), col("label").as("canonical"))
+      graft.operators.ConnectedComponents.run(ids, edges)
+        .select(col("id").as("doc_id"), col("label").as("canonical"))
     }
+  }
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, x => x.isin(words: _*)))

@@ -55,6 +55,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     } finally r.unpersist()
   }
 
+  test("dsir weights: every doc scored, feature counts exact, en target scores higher") {
+    val r = q("q_llm_dsir_weights").cache()
+    try {
+      val docs = Tables(spark, sf, "documents")
+      assert(r.count() == docs.count())
+      // n_feats = unigrams + bigrams = n + (n-1) for n >= 2, else n
+      val exp = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n"))
+        .select(col("doc_id"), when(col("n") >= 2, col("n") * 2 - 1)
+          .otherwise(col("n")).cast("long").as("want"))
+      assert(r.join(exp, "doc_id")
+        .filter(col("n_feats") =!= col("want")).count() == 0)
+      // the point of the weight: the lang='en' target slice must score
+      // higher on average than the rest of the corpus
+      val byTgt = r.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang") === "en")
+        .agg(avg(col("avg_llr")).as("m"))
+        .collect().map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+      assert(byTgt(true) > byTgt(false),
+        s"en mean ${byTgt(true)} should exceed non-en ${byTgt(false)}")
+    } finally r.unpersist()
+  }
+
   test("cross dedup: novel batch docs only — disjoint from corpus hashes") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(trim(lower(col("text")))).as("h"))
