@@ -44,13 +44,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** The 10 most expensive declared queries (VERDICT r11 perf audit) —
-    * the similarity joins, CC consumers, graph ops and the BPE trainer. */
+  /** The most expensive declared queries (VERDICT r11 perf audit) —
+    * the similarity joins, CC consumers, graph ops, the BPE trainer,
+    * and (round 12) the DSIR featurize/score passes. */
   val Heavy: Seq[String] = Seq(
     "q_llm_jaccard_global", "q_llm_dup_groups", "q_llm_split_safe",
     "q_llm_semdedup", "q_llm_minhash_lsh", "q_llm_winnow_dup",
     "q_llm_span_dedup", "q_llm_bpe_encode", "q_llm_pagerank",
-    "q_graph_triangles")
+    "q_graph_triangles", "q_llm_dsir_weights")
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 

@@ -107,6 +107,33 @@ object SinkOps {
         clusterBy = Seq("user_id", "value"), clusterFiles = 16)
     }
 
+  /** The merged-table build recipe for q_sink_merge_read, mirrored
+    * verbatim in its oracle: seed with the ODD half of events, then two
+    * stacked whole-row MERGE upserts (the multiples-of-3 correction,
+    * which both updates odd multiples and inserts even ones; then the
+    * user-[[MergeUser]] correction, which REPLACES whatever the first
+    * merge left for that user — last-writer-wins precedence is exactly
+    * what the CASE order in the oracle encodes), and finally a
+    * copy-on-write DELETE against the post-merge value. Every verb's
+    * effect lands in the oracle gate, not just in StreamingSpec. */
+  private val MergeUser = 5L
+  private val MergeDelCut = 10.0
+
+  private val builtMerge = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mergedEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(builtMerge, s, d, "graft-mergeread",
+        s"proto=oddseed,merge(id%3),merge(user=$MergeUser),del(v<$MergeDelCut)") {
+      (ev, dir) =>
+        val sink = new ExactlyOnceSink(dir.toString)
+        sink.commitAppend(ev.filter(col("event_id") % 2 === 1))
+        sink.merge(s, ev.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") + 1000.0), Seq("event_id"))
+        sink.merge(s, ev.filter(col("user_id") === MergeUser)
+          .withColumn("value", col("value") * 2.0), Seq("event_id"))
+        sink.delete(s, col("value") < MergeDelCut)
+    }
+
   /** Merge-on-read predicates for q_sink_dv_read, mirrored verbatim in
     * the oracle: user 3's rows and the high-value tail both exist at
     * every fixture SF (15+ users; value tops ~330 at sf0.001), so both
@@ -275,6 +302,18 @@ object SinkOps {
         .orderBy("event_type")
     }),
 
+    // Read the merged table: two stacked whole-row MERGE upserts (with
+    // update/insert splits and last-writer-wins overlap) plus a
+    // copy-on-write DELETE over the post-merge state must equal the
+    // CASE-reconstruction over the raw fixture — the batch MERGE verb's
+    // full semantics land in the oracle gate.
+    "q_sink_merge_read" -> ((s, d) => {
+      mergedEvents(s, d).read(s)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
     // Read the merge-on-read table: what survives two stacked DV deletes
     // plus an incremental OPTIMIZE must equal a plain WHERE over the raw
     // fixture — deletion vectors and bin-packing are physically invisible.
@@ -385,6 +424,19 @@ object SinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sink_merge_read" ->
+      s"""WITH st AS (
+            SELECT event_type,
+                   CASE WHEN user_id = $MergeUser THEN value * 2
+                        WHEN event_id % 3 = 0 THEN value + 1000
+                        ELSE value END AS value
+            FROM events
+            WHERE event_id % 2 = 1 OR event_id % 3 = 0 OR user_id = $MergeUser)
+          SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM st
+          WHERE NOT (value < $MergeDelCut)
+          GROUP BY event_type ORDER BY event_type""",
     "q_sink_zorder_skip" ->
       s"""SELECT event_type, count(*) AS n,
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum

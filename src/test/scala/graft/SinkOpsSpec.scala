@@ -11,6 +11,27 @@ import graft.streaming.ExactlyOnceSink
   * tight on BOTH clustered columns at once). */
 class SinkOpsSpec extends SparkSpecBase {
 
+  test("merge_read recipe: every semantic arm of the build actually bites") {
+    // the q_sink_merge_read oracle passes vacuously if the fixture never
+    // exercises an arm — pin that each one has matching rows: the
+    // merge-over-merge overlap (last-writer-wins precedence), the second
+    // merge's insert split, the first merge's update AND insert splits,
+    // and the copy-on-write delete over an untouched row
+    val ev = Tables(spark, sf, "events")
+    val id = col("event_id")
+    assert(ev.filter(col("user_id") === 5 && id % 3 === 0).count() > 0,
+      "merge2 must REPLACE a row merge1 touched")
+    assert(ev.filter(col("user_id") === 5 && id % 2 === 0 && id % 3 =!= 0)
+      .count() > 0, "merge2 must also INSERT")
+    assert(ev.filter(id % 2 === 1 && id % 3 === 0).count() > 0,
+      "merge1 must UPDATE seeded rows")
+    assert(ev.filter(id % 2 === 0 && id % 3 === 0).count() > 0,
+      "merge1 must INSERT unseeded rows")
+    assert(ev.filter(id % 2 === 1 && id % 3 =!= 0 &&
+      col("user_id") =!= 5 && col("value") < 10).count() > 0,
+      "the delete must remove at least one merge-untouched row")
+  }
+
   test("conjunctive two-column skipping: lossless, and prunes harder than either column") {
     val events = Tables(spark, sf, "events")
     val dir = Files.createTempDirectory("graft-zorder-spec").toString
