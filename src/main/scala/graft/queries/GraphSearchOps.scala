@@ -43,6 +43,65 @@ object GraphSearchOps {
   private val CW = 16
   private val CS = 12
 
+  /** The fixed lexical query of the retrieval operators. */
+  private val QTerms = Seq("join", "hash", "vector")
+
+  /** Integer BM25 scores (k1=1.2, b=0.75 as the 22/10/3/9 integer-ratio
+    * form — see the q_llm_bm25 entry) for QTerms: (doc_id, n_hit,
+    * score_u) with score_u an exact BIGINT micro-score. Shared by
+    * q_llm_bm25 and the lexical leg of q_llm_rrf_fusion so the two
+    * queries can't drift. */
+  private def bm25Scores(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(QTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_u",
+        floor(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * 1e6 + 0.5).cast("long"))
+      .withColumn("score_tu", expr(
+        "(idf_u * 22 * tf * total_dl) div " +
+          "(10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("score_tu")).as("score_u"))
+  }
+
+  /** Shared CTE body of the BM25 oracle (everything up to the per-doc
+    * `bm` relation) — interpolated into both the q_llm_bm25 and
+    * q_llm_rrf_fusion oracle SQL. */
+  private val Bm25Cte =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS t,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
+                FROM documents),
+       corpus AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_dl
+                  FROM docs),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+              WHERE term IN ('join', 'hash', 'vector')
+              GROUP BY doc_id, dl, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       sc AS (SELECT tf.doc_id,
+                     (CAST(floor(ln((c.n_docs - df.df + 0.5)
+                                    / (df.df + 0.5) + 1.0) * 1000000
+                                 + 0.5) AS BIGINT)
+                      * 22 * tf.tf * c.total_dl)
+                     // (10 * tf.tf * c.total_dl + 3 * c.total_dl
+                         + 9 * tf.dl * c.n_docs) AS score_tu
+              FROM tf JOIN df USING (term) CROSS JOIN corpus c),
+       bm AS (SELECT doc_id, count(*) AS n_hit,
+                     CAST(sum(score_tu) AS BIGINT) AS score_u
+              FROM sc GROUP BY doc_id)"""
+
   val queries: Map[String, QueryFn] = Map(
     // RAG chunking with overlap: segment every doc into CW-token windows
     // advancing by CS tokens (trailing partial window kept), emitting the
@@ -88,31 +147,54 @@ object GraphSearchOps {
     // selectivity), one bounded-key (doc,term) agg, a 3-row broadcast of
     // per-term df, and a broadcast of the 1-row corpus stats — at 100 TB
     // this is one scan plus shuffles on keys bounded by |query terms|x|docs|.
-    "q_llm_bm25" -> ((s, d) => {
-      val qterms = Seq("join", "hash", "vector")
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-      val corpus = docs.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).cast("long").as("total_dl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(qterms: _*))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term")
-        .crossJoin(broadcast(corpus))
-        .withColumn("idf_u",
-          floor(log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) * 1e6 + 0.5).cast("long"))
-        .withColumn("score_tu", expr(
-          "(idf_u * 22 * tf * total_dl) div " +
-            "(10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hit"), sum(col("score_tu")).as("score_u"))
+    "q_llm_bm25" -> ((s, d) =>
+      bm25Scores(s, d)
         .select(col("doc_id"), col("n_hit"), col("score_u"),
           Det.r(col("score_u").cast("double") / 1e6, 4).as("score"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    // k=60): fuse the lexical BM25 ranking for QTerms with the semantic
+    // cosine ranking against a query embedding (vec 0 — the embedding
+    // form of the same request), the standard two-tower serving layout.
+    // Determinism: the lexical rank orders by the exact integer BM25
+    // micro-score; the semantic rank orders by the 4-dp-rounded cosine
+    // (the rounding that q_llm_cosine_topk already proves cross-engine
+    // stable); ids break all ties, including at the pool boundary, so
+    // both engines cut identical top-100 pools. The RRF score
+    // 1/(60+r_lex) + 1/(60+r_sem) is two IEEE divides of exact integers
+    // + one add — bit-identical given identical ranks. Shape: the
+    // lexical leg is the bounded BM25 aggregation; the semantic leg
+    // broadcasts the 1-row query vector and scores in the scan
+    // (map-only) with a TakeOrdered top-100 — the only windows/joins
+    // after that run on ≤100-row pools, so at 100 TB the cost is one
+    // corpus scan per leg, no full-corpus rank materialization.
+    "q_llm_rrf_fusion" -> ((s, d) => {
+      val RrfK = 60; val Pool = 100; val TopN = 20
+      val lexPool = bm25Scores(s, d)
+        .orderBy(col("score_u").desc, col("doc_id")).limit(Pool)
+        .select(col("doc_id"),
+          row_number().over(
+            Window.orderBy(col("score_u").desc, col("doc_id"))).as("r_lex"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      val semPool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          Det.r(graft.functions.CosineSimilarity
+            .cosineSim(s, col("v"), col("qv")), 4).as("sim4"))
+        .orderBy(col("sim4").desc, col("vec_id")).limit(Pool)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(
+            Window.orderBy(col("sim4").desc, col("vec_id"))).as("r_sem"))
+      lexPool.join(semPool, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          Det.r(coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_sem")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(TopN)
     }),
 
     // PageRank over the near-dup graph (d=0.85, 3 unrolled iterations):
@@ -413,30 +495,38 @@ object GraphSearchOps {
                   AS chunk_md5
          FROM c ORDER BY doc_id, chunk_id""",
     "q_llm_bm25" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t,
-                              CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
-                       FROM documents),
-              corpus AS (SELECT count(*) AS n_docs,
-                                CAST(sum(dl) AS BIGINT) AS total_dl
-                         FROM docs),
-              tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                     FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
-                     WHERE term IN ('join', 'hash', 'vector')
-                     GROUP BY doc_id, dl, term),
-              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-              sc AS (SELECT tf.doc_id,
-                            (CAST(floor(ln((c.n_docs - df.df + 0.5)
-                                           / (df.df + 0.5) + 1.0) * 1000000
-                                        + 0.5) AS BIGINT)
-                             * 22 * tf.tf * c.total_dl)
-                            // (10 * tf.tf * c.total_dl + 3 * c.total_dl
-                                + 9 * tf.dl * c.n_docs) AS score_tu
-                     FROM tf JOIN df USING (term) CROSS JOIN corpus c)
-         SELECT doc_id, count(*) AS n_hit,
-                CAST(sum(score_tu) AS BIGINT) AS score_u,
-                floor(CAST(sum(score_tu) AS DOUBLE) / 1000000 * 10000 + 0.5)
+      s"""WITH $Bm25Cte
+         SELECT doc_id, n_hit, score_u,
+                floor(CAST(score_u AS DOUBLE) / 1000000 * 10000 + 0.5)
                   / 10000 AS score
-         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+         FROM bm ORDER BY doc_id""",
+    "q_llm_rrf_fusion" ->
+      s"""WITH $Bm25Cte,
+            lex AS (SELECT doc_id,
+                           CAST(row_number() OVER (
+                             ORDER BY score_u DESC, doc_id) AS INTEGER)
+                             AS r_lex
+                    FROM bm
+                    ORDER BY score_u DESC, doc_id LIMIT 100),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            sims AS (SELECT e.vec_id,
+                            floor(list_cosine_similarity(e.v, qv.q) * 10000
+                                  + 0.5) / 10000 AS sim4
+                     FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+            sem AS (SELECT vec_id AS doc_id,
+                           CAST(row_number() OVER (
+                             ORDER BY sim4 DESC, vec_id) AS INTEGER)
+                             AS r_sem
+                    FROM sims
+                    ORDER BY sim4 DESC, vec_id LIMIT 100)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+                floor((COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0)
+                       + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0.0))
+                      * 1000000 + 0.5)
+                  / 1000000 AS rrf
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_llm_pagerank" ->
       """WITH d AS (SELECT doc_id, source,
                            list_distinct(string_split(text, ' ')) AS toks

@@ -49,6 +49,30 @@ class GraphSearchOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("rrf fuses the two pool rankings with exact 1/(60+r) weights") {
+    val rows = q("q_llm_rrf_fusion")
+      .select("doc_id", "r_lex", "r_sem", "rrf")
+      .as[(Long, Option[Int], Option[Int], Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._1).distinct.length == 20)
+    rows.foreach { case (id, rl, rs, score) =>
+      assert(rl.isDefined || rs.isDefined, s"doc $id in neither pool")
+      (rl ++ rs).foreach(r => assert(r >= 1 && r <= 100, s"doc $id rank $r"))
+      val exp = rl.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rs.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(score - math.floor(exp * 1e6 + 0.5) / 1e6) < 1e-12,
+        s"doc $id: rrf $score vs recomputed $exp")
+    }
+    // the fused winner can never score below a lone pool #1 (1/61): a
+    // single-pool rank-1 doc guarantees that floor; dual-pool membership
+    // only raises it
+    assert(rows.map(_._4).max >= math.floor(1e6 / 61 + 0.5) / 1e6,
+      "fused top score below the single-pool floor")
+    // emitted in fused order, id-tie-broken
+    val sorted = rows.sortBy(x => (-x._4, x._1)).toSeq
+    assert(rows.toSeq == sorted, "output not in (rrf desc, doc_id) order")
+  }
+
   test("pagerank conserves bounded mass over the near-dup graph") {
     val pr = q("q_llm_pagerank")
       .select("doc_id", "deg", "pr_u").as[(Long, Long, Long)].collect()

@@ -65,6 +65,41 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("kmeans partitions every vector once into nearest round-2 cluster") {
+    val a = q("q_llm_kmeans")
+      .select("vec_id", "cluster_id", "dist2")
+      .as[(Long, Int, Long)].collect()
+    val n = Tables(spark, sf, "embeddings").count().toInt
+    assert(a.length == n, "not a total assignment")
+    assert(a.map(_._1).distinct.length == n, "a vector assigned twice")
+    assert(a.forall(x => x._2 >= 0 && x._2 < 8), "cluster id out of range")
+    assert(a.forall(_._3 >= 0))
+    assert(a.map(_._2).distinct.length >= 2, "degenerate single cluster")
+    // independent recompute in plain Scala: quantize, seed with the 8
+    // lowest ids, one Lloyd round with floor(sum/n) centroids, reassign —
+    // assignments and exact integer d2 must match the declared query
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def nearest(v: Array[Long], cents: Seq[(Int, Array[Long])]) =
+      cents.map { case (c, cv) => (d2(v, cv), c) }.min
+    val seeds = vecs.filter(_._1 < 8)
+      .map { case (id, v) => id.toInt -> v }.toSeq
+    val m1 = vecs.map { case (id, v) => (id, nearest(v, seeds)._2) }
+    val cents1 = m1.groupBy(_._2).map { case (c, members) =>
+      val vs = members.map(m => vecs(m._1.toInt)._2)
+      c -> Array.tabulate(64)(i =>
+        math.floor(vs.map(_(i)).sum.toDouble / vs.length).toLong)
+    }.toSeq
+    val expect = vecs.map { case (id, v) =>
+      val (dd, c) = nearest(v, cents1); (id, c, dd) }.toSet
+    assert(a.toSet == expect, "assignment disagrees with flat recompute")
+  }
+
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5. */
   private def meanRecall(dir: String, ann: String): Double = {
     def top(name: String) = SparkEntry.queries(name)(spark, dir)
