@@ -104,6 +104,61 @@ object VectorOps {
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg(col("x")).as("c"))
 
+  /** K-means cluster assignment (2 deterministic Lloyd rounds) — the
+    * topic-bucketing primitive of cluster-based curation (SemDeDup's
+    * stage 1, cluster-balanced mixture sampling, per-cluster quality
+    * gates); shared by q_llm_kmeans and q_llm_cluster_sample. The IVF
+    * trainer (q_llm_ann_ivf) is the float-avg, recall-gated cousin;
+    * THIS variant is exact and oracle-backed: coordinates are quantized
+    * once to integer micro-units (bit-identical in both engines),
+    * distances are exact integer squared-L2 (no FP anywhere in the
+    * argmin: (a-b)² ≤ 4·10¹² per dim × 64 dims ≪ 2⁶³), and the
+    * recomputed centroid is floor(sum/n) where sum ≤ 5·10⁹ is exact in
+    * DOUBLE, so both engines floor the identical quotient. Seeds = the
+    * K lowest-id vectors (deterministic; Lloyd repairs a bad seed in
+    * the first reassignment). Shape per round: the K-row centroid table
+    * is broadcast against the scan and the argmin is a
+    * partial-aggregated min(struct(d2, cid)) — one bounded N-row
+    * shuffle per assignment, never N×K; the centroid recompute is a
+    * (cid, pos) agg of K×64 keys. At 100 TB that is 2 scans + 2 bounded
+    * shuffles — the canonical distributed-Lloyd shape (centroids small
+    * by definition, data never joined to itself).
+    * Returns (vec_id, cluster_id, dist2), unordered. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+          .as("qv"))
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // argmin over the broadcast K-row centroid table; min(struct) is
+    // lexicographic so (d2, cid) breaks distance ties on cluster id
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(dist2(col("qv"), col("cent")).as("d2"),
+            col("cid")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("m"))
+        .select(col("vec_id"), col("m.d2").as("d2"), col("m.cid").as("cid"))
+    val c0 = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("qv").as("cent"))
+    val c1 = assign(c0).select("vec_id", "cid").join(e, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        floor(col("sx").cast("double") / col("n")).cast("long").as("cx"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cent"))
+    assign(c1)
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        col("d2").as("dist2"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // Brute-force cosine top-k: the correctness baseline for ANN. The
     // (small) query set is broadcast against the full candidate scan.
@@ -428,58 +483,29 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
-    // K-means cluster assignment (2 deterministic Lloyd rounds) — the
-    // topic-bucketing primitive of cluster-based curation (SemDeDup's
-    // stage 1, cluster-balanced mixture sampling, per-cluster quality
-    // gates). The IVF trainer (q_llm_ann_ivf) is the float-avg,
-    // recall-gated cousin; THIS variant is exact and oracle-backed:
-    // coordinates are quantized once to integer micro-units (bit-identical
-    // in both engines), distances are exact integer squared-L2 (no FP
-    // anywhere in the argmin: (a-b)² ≤ 4·10¹² per dim × 64 dims ≪ 2⁶³),
-    // and the recomputed centroid is floor(sum/n) where sum ≤ 5·10⁹ is
-    // exact in DOUBLE, so both engines floor the identical quotient.
-    // Seeds = the K lowest-id vectors (deterministic; Lloyd repairs a bad
-    // seed in the first reassignment). Shape per round: the K-row
-    // centroid table is broadcast against the scan and the argmin is a
-    // partial-aggregated min(struct(d2, cid)) — one bounded N-row shuffle
-    // per assignment, never N×K; the centroid recompute is a (cid, pos)
-    // agg of K×64 keys. At 100 TB that is 2 scans + 2 bounded shuffles —
-    // the canonical distributed-Lloyd shape (centroids small by
-    // definition, data never joined to itself).
-    "q_llm_kmeans" -> ((s, d) => {
-      val K = 8
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
-            .as("qv"))
-      def dist2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-      // argmin over the broadcast K-row centroid table; min(struct) is
-      // lexicographic so (d2, cid) breaks distance ties on cluster id
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            struct(dist2(col("qv"), col("cent")).as("d2"),
-              col("cid")).as("dc"))
-          .groupBy("vec_id").agg(min(col("dc")).as("m"))
-          .select(col("vec_id"), col("m.d2").as("d2"), col("m.cid").as("cid"))
-      val c0 = e.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("cid"), col("qv").as("cent"))
-      val c1 = assign(c0).select("vec_id", "cid").join(e, "vec_id")
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .select(col("cid"), col("pos"),
-          floor(col("sx").cast("double") / col("n")).cast("long").as("cx"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          p => p.getField("cx")).as("cent"))
-      assign(c1)
-        .select(col("vec_id"), col("cid").as("cluster_id"),
-          col("d2").as("dist2"))
-        .orderBy("vec_id")
+    // K-means cluster assignment — full design rationale on the shared
+    // kmeansAssign stage above (exact integer Lloyd, oracle-backed).
+    "q_llm_kmeans" -> ((s, d) =>
+      kmeansAssign(s, d).orderBy("vec_id")),
+
+    // Cluster-balanced sampling: EXACTLY 20 docs per LEARNED k-means
+    // cluster, picked by smallest portable hash — the curation sampler
+    // kmeans exists to feed (cap each semantic region so no topic
+    // dominates the mixture; SemDeDup/DoReMi-style cluster budgeting).
+    // q_llm_strat_sample is the metadata-strata twin; this one
+    // stratifies by the unsupervised assignment. Shape: the kmeans
+    // stage (2 scans + 2 bounded shuffles) + one WindowGroupLimit
+    // top-20 per cluster over the hash — never a full sort.
+    "q_llm_cluster_sample" -> ((s, d) => {
+      val h = graft.functions.PortableHash32.portableHash32(s,
+        concat(lit("csamp:"), col("vec_id").cast("string")))
+      val w = Window.partitionBy("cluster_id").orderBy(col("h"), col("vec_id"))
+      kmeansAssign(s, d)
+        .select(col("vec_id"), col("cluster_id"), h.as("h"))
+        .withColumn("pick_rank", row_number().over(w))
+        .filter(col("pick_rank") <= 20)
+        .select(col("cluster_id"), col("pick_rank"), col("vec_id"))
+        .orderBy("cluster_id", "pick_rank")
     }),
 
     // Multimodal record assembly: text ⋈ embedding → nested struct
@@ -516,37 +542,56 @@ object VectorOps {
         .orderBy("doc_id"))
   )
 
+  /** Shared CTE body of the exact-integer k-means oracle, ending in the
+    * per-vector assignment relation `km(vec_id, cluster_id, dist2)` —
+    * interpolated into both the q_llm_kmeans and q_llm_cluster_sample
+    * oracle SQL (the twin of the shared kmeansAssign stage). */
+  private val KmeansCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT vec_id, u.i,
+                    CAST(floor(v[u.i] * 1000000 + 0.5) AS BIGINT) AS qv
+             FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+       c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, qv AS cx
+              FROM q WHERE vec_id < 8),
+       d1 AS (SELECT q.vec_id, c0.cid,
+                     CAST(SUM((q.qv - c0.cx) * (q.qv - c0.cx))
+                          AS BIGINT) AS d2
+              FROM q JOIN c0 USING (i) GROUP BY 1, 2),
+       a1 AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cid) AS rk
+              FROM d1),
+       c1 AS (SELECT a1.cid, q.i,
+                     CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS cx
+              FROM q JOIN a1 USING (vec_id)
+              WHERE a1.rk = 1 GROUP BY 1, 2),
+       d2t AS (SELECT q.vec_id, c1.cid,
+                      CAST(SUM((q.qv - c1.cx) * (q.qv - c1.cx))
+                           AS BIGINT) AS d2
+               FROM q JOIN c1 USING (i) GROUP BY 1, 2),
+       a2 AS (SELECT vec_id, cid, d2,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cid) AS rk
+               FROM d2t),
+       km AS (SELECT vec_id, cid AS cluster_id, d2 AS dist2
+              FROM a2 WHERE rk = 1)"""
+
   val oracles: Map[String, String] = Map(
     "q_llm_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id, u.i,
-                         CAST(floor(v[u.i] * 1000000 + 0.5) AS BIGINT) AS qv
-                  FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
-            c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, qv AS cx
-                   FROM q WHERE vec_id < 8),
-            d1 AS (SELECT q.vec_id, c0.cid,
-                          CAST(SUM((q.qv - c0.cx) * (q.qv - c0.cx))
-                               AS BIGINT) AS d2
-                   FROM q JOIN c0 USING (i) GROUP BY 1, 2),
-            a1 AS (SELECT vec_id, cid,
-                          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY d2, cid) AS rk
-                   FROM d1),
-            c1 AS (SELECT a1.cid, q.i,
-                          CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*))
-                               AS BIGINT) AS cx
-                   FROM q JOIN a1 USING (vec_id)
-                   WHERE a1.rk = 1 GROUP BY 1, 2),
-            d2t AS (SELECT q.vec_id, c1.cid,
-                           CAST(SUM((q.qv - c1.cx) * (q.qv - c1.cx))
-                                AS BIGINT) AS d2
-                    FROM q JOIN c1 USING (i) GROUP BY 1, 2),
-            a2 AS (SELECT vec_id, cid, d2,
-                          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY d2, cid) AS rk
-                    FROM d2t)
-         SELECT vec_id, cid AS cluster_id, d2 AS dist2
-         FROM a2 WHERE rk = 1 ORDER BY vec_id""",
+      s"""WITH $KmeansCte
+         SELECT vec_id, cluster_id, dist2 FROM km ORDER BY vec_id""",
+    "q_llm_cluster_sample" ->
+      s"""WITH $KmeansCte,
+            r AS (SELECT cluster_id, vec_id,
+                         CAST(row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY ('0x'||substr(md5('csamp:'
+                             || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                                    vec_id) AS INTEGER) AS pick_rank
+                  FROM km)
+         SELECT cluster_id, pick_rank, vec_id
+         FROM r WHERE pick_rank <= 20 ORDER BY cluster_id, pick_rank""",
     "q_llm_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

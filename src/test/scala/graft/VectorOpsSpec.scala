@@ -100,6 +100,24 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(a.toSet == expect, "assignment disagrees with flat recompute")
   }
 
+  test("cluster_sample caps each learned cluster at 20 hash-picked members") {
+    val km = q("q_llm_kmeans").select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val picks = q("q_llm_cluster_sample")
+      .select("cluster_id", "pick_rank", "vec_id")
+      .as[(Int, Int, Long)].collect()
+    assert(picks.map(_._3).distinct.length == picks.length)
+    // every pick belongs to the cluster it claims
+    picks.foreach { case (c, _, id) => assert(km(id) == c, s"vec $id") }
+    // per cluster: ranks dense from 1, count = min(20, cluster size)
+    val sizes = km.groupBy(_._2).view.mapValues(_.size).toMap
+    picks.groupBy(_._1).foreach { case (c, ps) =>
+      assert(ps.map(_._2).sorted.toSeq == (1 to ps.length),
+        s"cluster $c ranks not dense")
+      assert(ps.length == math.min(20, sizes(c)), s"cluster $c count")
+    }
+  }
+
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5. */
   private def meanRecall(dir: String, ann: String): Double = {
     def top(name: String) = SparkEntry.queries(name)(spark, dir)
