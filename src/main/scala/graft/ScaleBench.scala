@@ -46,12 +46,14 @@ object ScaleBench {
 
   /** The most expensive declared queries (VERDICT r11 perf audit) —
     * the similarity joins, CC consumers, graph ops, the BPE trainer,
-    * and (round 12) the DSIR featurize/score passes. */
+    * the DSIR featurize/score passes, and (round 12) the exact-integer
+    * k-means stage (the clustering scale path: its time ratio should
+    * track the data ratio — 2 scans + 2 bounded shuffles). */
   val Heavy: Seq[String] = Seq(
     "q_llm_jaccard_global", "q_llm_dup_groups", "q_llm_split_safe",
     "q_llm_semdedup", "q_llm_minhash_lsh", "q_llm_winnow_dup",
     "q_llm_span_dedup", "q_llm_bpe_encode", "q_llm_pagerank",
-    "q_graph_triangles", "q_llm_dsir_weights")
+    "q_graph_triangles", "q_llm_dsir_weights", "q_llm_kmeans")
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
