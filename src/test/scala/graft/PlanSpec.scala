@@ -206,6 +206,32 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("q_llm_kmeans broadcasts the centroid tables (both Lloyd rounds)") {
+    // the K-row centroid relation must reach each assignment pass as a
+    // broadcast nested-loop join — a shuffled or cartesian centroid
+    // join would be the 100 TB scale-killer
+    val p = physical("q_llm_kmeans")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl >= 2, s"expected 2 broadcast centroid joins, got $bnl:\n" +
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_llm_cluster_sample plans a rank-limit window (WindowGroupLimit)") {
+    val p = physical("q_llm_cluster_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("q_llm_rrf_fusion cuts both pools with TakeOrdered, no global sort") {
+    // each leg's top-100 pool and the fused top-20 must be
+    // TakeOrderedAndProject (per-partition top-k then merge), never a
+    // full Sort+Limit of the corpus-sized ranking
+    val p = physical("q_llm_rrf_fusion")
+    val tops = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(tops >= 3, s"expected 3 TakeOrdered cuts, got $tops:\n" +
+      p.take(3000))
+  }
+
   test("q_events_anomaly joins the per-user stats by broadcast") {
     val p = physical("q_events_anomaly")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
