@@ -508,6 +508,39 @@ object VectorOps {
         .orderBy("cluster_id", "pick_rank")
     }),
 
+    // Cluster labeling: the top-5 most DISTINCTIVE terms per learned
+    // k-means cluster (tf-idf where "df" counts clusters containing the
+    // term, not documents) — the "what is this cluster about" readout a
+    // curation pipeline uses to audit/route its clusters. Integer score
+    // math (micros-floored idf × exact tf, the q_llm_bm25 discipline) so
+    // the per-cluster ranking is bit-identical cross-engine; term string
+    // breaks score ties. Shape: kmeansAssign (bounded, see above) + one
+    // (cluster, term) count shuffle + broadcast per-term cluster-df and
+    // the 1-row cluster count + WindowGroupLimit top-5 — K·|vocab| keys
+    // at worst, never corpus².
+    "q_llm_cluster_terms" -> ((s, d) => {
+      val km = kmeansAssign(s, d)
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      val tf = t(s, d, "documents")
+        .join(km, "doc_id") // doc_id = vec_id row correspondence
+        .select(col("cluster_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("cluster_id", "term").agg(count(lit(1)).as("tf"))
+      val cdf = tf.groupBy("term").agg(count(lit(1)).as("cdf"))
+      val ncl = tf.agg(countDistinct(col("cluster_id")).as("n_cl"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("score_u").desc, col("term"))
+      tf.join(broadcast(cdf), "term")
+        .crossJoin(broadcast(ncl))
+        .withColumn("score_u", col("tf") *
+          floor(log(col("n_cl").cast("double") / col("cdf") + lit(1.0))
+            * 1e6 + 0.5).cast("long"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("cluster_id"), col("rk"), col("term"), col("tf"),
+          Det.r(col("score_u").cast("double") / 1e6, 4).as("score"))
+        .orderBy("cluster_id", "rk")
+    }),
+
     // Multimodal record assembly: text ⋈ embedding → nested struct
     // (the typed "sample" record of a training pipeline), then flattened
     // scalar probes for the oracle.
@@ -581,6 +614,28 @@ object VectorOps {
     "q_llm_kmeans" ->
       s"""WITH $KmeansCte
          SELECT vec_id, cluster_id, dist2 FROM km ORDER BY vec_id""",
+    "q_llm_cluster_terms" ->
+      s"""WITH $KmeansCte,
+            toks AS (SELECT km.cluster_id,
+                            unnest(string_split(d.text, ' ')) AS term
+                     FROM documents d JOIN km ON d.doc_id = km.vec_id),
+            tf AS (SELECT cluster_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            cdf AS (SELECT term, count(*) AS cdf FROM tf GROUP BY term),
+            ncl AS (SELECT count(DISTINCT cluster_id) AS n_cl FROM tf),
+            sc AS (SELECT tf.cluster_id, tf.term, tf.tf,
+                          tf.tf * CAST(floor(ln(CAST(n_cl AS DOUBLE) / cdf
+                                                + 1.0) * 1000000 + 0.5)
+                                       AS BIGINT) AS score_u
+                   FROM tf JOIN cdf USING (term) CROSS JOIN ncl),
+            r AS (SELECT *, CAST(row_number() OVER (
+                              PARTITION BY cluster_id
+                              ORDER BY score_u DESC, term) AS INTEGER) AS rk
+                  FROM sc)
+         SELECT cluster_id, rk, term, tf,
+                floor(CAST(score_u AS DOUBLE) / 1000000 * 10000 + 0.5)
+                  / 10000 AS score
+         FROM r WHERE rk <= 5 ORDER BY cluster_id, rk""",
     "q_llm_cluster_sample" ->
       s"""WITH $KmeansCte,
             r AS (SELECT cluster_id, vec_id,

@@ -222,6 +222,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("q_llm_cluster_terms broadcasts cluster-df and plans rank-limit") {
+    val p = physical("q_llm_cluster_terms")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_llm_rrf_fusion cuts both pools with TakeOrdered, no global sort") {
     // each leg's top-100 pool and the fused top-20 must be
     // TakeOrderedAndProject (per-partition top-k then merge), never a

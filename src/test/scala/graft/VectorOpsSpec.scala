@@ -118,6 +118,30 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster_terms labels each cluster with terms its own docs contain") {
+    val km = q("q_llm_kmeans").select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val docToks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, tx) => id -> tx.split(" ").toSeq }.toMap
+    val rows = q("q_llm_cluster_terms")
+      .select("cluster_id", "rk", "term", "tf")
+      .as[(Int, Int, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (c, ts) =>
+      assert(ts.map(_._2).sorted.toSeq == (1 to ts.length), s"cluster $c")
+      assert(ts.length <= 5)
+      // term really occurs in the cluster's documents, tf is its exact
+      // occurrence count there (flat recount over the collected texts)
+      ts.foreach { case (_, _, term, tfv) =>
+        val cnt = km(c).toSeq.map(id => docToks(id).count(_ == term)).sum
+        assert(cnt == tfv && cnt > 0,
+          s"cluster $c term '$term': tf $tfv vs recount $cnt")
+      }
+    }
+  }
+
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5. */
   private def meanRecall(dir: String, ann: String): Double = {
     def top(name: String) = SparkEntry.queries(name)(spark, dir)
