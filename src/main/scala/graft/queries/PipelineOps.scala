@@ -75,6 +75,32 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled mixture weights (UniMax / mT5-style language
+    // rebalancing, T=2): weight each language ∝ count^(1/T) so the head
+    // language's dominance flattens without drowning the tail — the
+    // standard multilingual sampling schedule, emitted as shares plus an
+    // exact integer allocation of a 1000-doc budget. Determinism: sqrt
+    // of an exact long count is one correctly-rounded IEEE op
+    // (micros-floored like every idf in this repo); the normalizer is
+    // an exact long SUM of those fixed-point weights, so shares and
+    // integer allocations are bit-identical cross-engine — a float
+    // Σ count^(1/T) would be summation-order-dependent. Shape: one
+    // bounded groupBy(lang) + a 1-row broadcast total; at 100 TB this
+    // is a metadata-sized readout off one count pass.
+    "q_llm_temp_mix" -> ((s, d) => {
+      val cnts = t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sqrt_u",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = cnts.agg(sum(col("sqrt_u")).as("total_u"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          Det.r(col("sqrt_u").cast("double") / col("total_u"), 6)
+            .as("share"),
+          expr("(1000 * sqrt_u) div total_u").as("n_alloc"))
+        .orderBy("lang")
+    }),
+
     // Corpus-LM quality scoring (the CCNet/KenLM perplexity-proxy filter,
     // reduced to its unigram form): score every doc by its mean token
     // log-probability under the corpus' own unigram distribution — low
@@ -405,6 +431,17 @@ object PipelineOps {
                 floor(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) * 10000 + 0.5)
                   / 10000 AS top_share
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_temp_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs,
+                           CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                                      * 1000000) AS BIGINT) AS sqrt_u
+                    FROM documents GROUP BY lang),
+            t AS (SELECT CAST(sum(sqrt_u) AS BIGINT) AS total_u FROM c)
+         SELECT lang, n_docs,
+                floor(CAST(sqrt_u AS DOUBLE) / total_u * 1000000 + 0.5)
+                  / 1000000 AS share,
+                (1000 * sqrt_u) // total_u AS n_alloc
+         FROM c CROSS JOIN t ORDER BY lang""",
     "q_llm_mix_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE (('0x'||substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000

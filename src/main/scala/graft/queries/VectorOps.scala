@@ -541,6 +541,33 @@ object VectorOps {
         .orderBy("cluster_id", "rk")
     }),
 
+    // Cluster purity: the standard external clustering diagnostic —
+    // per learned cluster, the majority ground-truth label and its
+    // member share (purity 1.0 = the cluster re-discovered a label;
+    // near 1/|labels| = noise). The audit readout that tells a curation
+    // pipeline whether its kmeans buckets mean anything before routing
+    // budgets by them. Deterministic: counts are exact, the majority
+    // label ties break on the smaller label id. Shape: kmeansAssign +
+    // one (cluster, label) count shuffle (K×L keys), windows over K×L
+    // rows only.
+    "q_llm_cluster_purity" -> ((s, d) => {
+      val km = kmeansAssign(s, d).select(col("vec_id"), col("cluster_id"))
+      val cl = km
+        .join(t(s, d, "embeddings").select(col("vec_id"), col("label")),
+          "vec_id")
+        .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n").desc, col("label"))
+      cl.withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          sum(col("n")).over(Window.partitionBy("cluster_id")))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("n_members"),
+          col("label").as("top_label"), col("n").as("n_top"),
+          Det.r(col("n").cast("double") / col("n_members"), 4).as("purity"))
+        .orderBy("cluster_id")
+    }),
+
     // Multimodal record assembly: text ⋈ embedding → nested struct
     // (the typed "sample" record of a training pipeline), then flattened
     // scalar probes for the oracle.
@@ -614,6 +641,21 @@ object VectorOps {
     "q_llm_kmeans" ->
       s"""WITH $KmeansCte
          SELECT vec_id, cluster_id, dist2 FROM km ORDER BY vec_id""",
+    "q_llm_cluster_purity" ->
+      s"""WITH $KmeansCte,
+            cl AS (SELECT km.cluster_id, e.label, count(*) AS n
+                   FROM km JOIN embeddings e USING (vec_id)
+                   GROUP BY 1, 2),
+            m AS (SELECT cluster_id, label, n,
+                         row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n DESC, label) AS rk,
+                         CAST(SUM(n) OVER (PARTITION BY cluster_id)
+                              AS BIGINT) AS n_members
+                  FROM cl)
+         SELECT cluster_id, n_members, label AS top_label, n AS n_top,
+                floor(CAST(n AS DOUBLE) / n_members * 10000 + 0.5)
+                  / 10000 AS purity
+         FROM m WHERE rk = 1 ORDER BY cluster_id""",
     "q_llm_cluster_terms" ->
       s"""WITH $KmeansCte,
             toks AS (SELECT km.cluster_id,

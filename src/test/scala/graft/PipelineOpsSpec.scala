@@ -25,6 +25,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(one.count() == 1 && one.head().getLong(2) == 3)
   }
 
+  test("temp mix: T=2 flattens the language skew, exact integer allocation") {
+    val rows = q("q_llm_temp_mix")
+      .select("lang", "n_docs", "share", "n_alloc")
+      .as[(String, Long, Double, Long)].collect()
+    val counts = Tables(spark, sf, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == counts.keySet, "one row per language")
+    // exact recompute of the fixed-point weights and allocation
+    val sqrtU = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+    val totU = sqrtU.values.sum
+    rows.foreach { case (l, n, share, alloc) =>
+      assert(n == counts(l))
+      assert(alloc == 1000L * sqrtU(l) / totU, s"$l allocation")
+      assert(math.abs(share -
+        math.floor(sqrtU(l).toDouble / totU * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    assert(rows.map(_._4).sum <= 1000, "allocation overspends the budget")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "shares don't sum to 1")
+    // flattening: the head/tail SHARE ratio must sit strictly inside the
+    // head/tail COUNT ratio (that's what temperature sampling is for)
+    val byN = rows.sortBy(_._2)
+    val (tail, head) = (byN.head, byN.last)
+    if (head._2 > tail._2) {
+      val countRatio = head._2.toDouble / tail._2
+      val shareRatio = head._3 / tail._3
+      assert(shareRatio < countRatio && shareRatio >= 1.0,
+        s"share ratio $shareRatio vs count ratio $countRatio")
+    }
+  }
+
   test("mix sample: deterministic, per-source rates honored within tolerance") {
     val a = q("q_llm_mix_sample").as[(Long, String)].collect().toSet
     val b = q("q_llm_mix_sample").as[(Long, String)].collect().toSet

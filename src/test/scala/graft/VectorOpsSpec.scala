@@ -142,6 +142,29 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster_purity reports the exact majority label per cluster") {
+    val km = q("q_llm_kmeans").select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val rows = q("q_llm_cluster_purity")
+      .select("cluster_id", "n_members", "top_label", "n_top", "purity")
+      .as[(Int, Long, Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == km.values.toSet, "one row per cluster")
+    assert(rows.map(_._2).sum == km.size, "members partition the corpus")
+    rows.foreach { case (c, nm, top, ntop, pur) =>
+      val hist = km.collect { case (v, cc) if cc == c => labels(v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(nm == hist.values.sum, s"cluster $c size")
+      // majority with min-label tie-break
+      val expTop = hist.toSeq.map { case (l, n) => (-n, l) }.min._2
+      assert(top == expTop && ntop == hist(expTop), s"cluster $c majority")
+      assert(pur > 0 && pur <= 1)
+      assert(math.abs(pur - math.floor(ntop.toDouble / nm * 1e4 + 0.5) / 1e4)
+        < 1e-12)
+    }
+  }
+
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5. */
   private def meanRecall(dir: String, ann: String): Double = {
     def top(name: String) = SparkEntry.queries(name)(spark, dir)
