@@ -46,6 +46,13 @@ object StageCache {
     * fixpoint scaling. Production/bench/verify paths never set it. */
   private val disabled = sys.env.get("GRAFT_STAGE_CACHE").contains("off")
 
+  /** Test hook: drop the in-JVM memo for one (name, fixture) key,
+    * simulating a fresh JVM so the on-disk marker/fingerprint logic is
+    * exercised (the marker decides rebuild-vs-serve across JVMs; inside
+    * one JVM the memo short-circuits it by design). */
+  private[graft] def forget(name: String, sfDir: String): Unit =
+    built.remove(s"$name|$sfDir")
+
   /** The committed relation for stage `name` over the fixture at
     * `sfDir`. `fingerprint` (one cheap agg pass, evaluated only when
     * this JVM first sees the key) pins the fixture content; `build`
