@@ -124,28 +124,39 @@ object VectorOps {
     * shuffles — the canonical distributed-Lloyd shape (centroids small
     * by definition, data never joined to itself).
     * Returns (vec_id, cluster_id, dist2), unordered. */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
-    val K = 8
-    val e = t(s, d, "embeddings")
+  private val KmK = 8
+
+  /** (vec_id, qv: array<long>) — the one-time 1e-6 quantization. */
+  private def kmQuantized(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
           .as("qv"))
-    def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    // argmin over the broadcast K-row centroid table; min(struct) is
-    // lexicographic so (d2, cid) breaks distance ties on cluster id
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct(dist2(col("qv"), col("cent")).as("d2"),
-            col("cid")).as("dc"))
-        .groupBy("vec_id").agg(min(col("dc")).as("m"))
-        .select(col("vec_id"), col("m.d2").as("d2"), col("m.cid").as("cid"))
-    val c0 = e.filter(col("vec_id") < K)
+
+  /** Exact integer squared-L2 between two long arrays. */
+  private[graft] def kmDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  // argmin over the broadcast K-row centroid table; min(struct) is
+  // lexicographic so (d2, cid) breaks distance ties on cluster id
+  private def kmArgmin(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(kmDist2(col("qv"), col("cent")).as("d2"),
+          col("cid")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.d2").as("d2"), col("m.cid").as("cid"))
+
+  /** The trained round-2 centroid table (cid, cent: array<long>) — the
+    * model the serve path broadcasts (StreamingSpec tags a live stream
+    * of embeddings against it, map-only). */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = kmQuantized(s, d)
+    val c0 = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cent"))
-    val c1 = assign(c0).select("vec_id", "cid").join(e, "vec_id")
+    kmArgmin(e, c0).select("vec_id", "cid").join(e, "vec_id")
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -154,10 +165,12 @@ object VectorOps {
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cent"))
-    assign(c1)
+  }
+
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmArgmin(kmQuantized(s, d), kmeansCentroids(s, d))
       .select(col("vec_id"), col("cid").as("cluster_id"),
         col("d2").as("dist2"))
-  }
 
   /** Content fingerprint of the embeddings fixture (count + id-sum +
     * label-sum in one cheap agg pass) — pins the committed kmeans stage

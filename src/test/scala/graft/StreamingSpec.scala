@@ -1277,4 +1277,56 @@ class StreamingSpec extends SparkSpecBase {
     drain()
     assert(state(dst) === state(src), "replica diverged after second drain")
   }
+
+  test("streaming cluster tagging matches the batch k-means assignment") {
+    // The clustering serve path: the trained round-2 centroid table
+    // (q_llm_kmeans' committed model) rides the stream as a K-row
+    // literal, and every incoming embedding is tagged with its cluster
+    // by the same exact-integer argmin — strictly map-only (no shuffle,
+    // no state, streaming-safe in append mode). Tags must be
+    // BIT-IDENTICAL to the batch assignment: quantization, distances
+    // and tie-breaks are all integer math, so batch/stream parity is
+    // exact equality, not tolerance.
+    val cents = graft.queries.VectorOps.kmeansCentroids(spark, sf)
+      .as[(Int, Seq[Long])].collect().sortBy(_._1)
+    assert(cents.nonEmpty)
+    // array ordered by cid ascending + strict < keeps the earlier entry
+    // on distance ties == the batch min(struct(d2, cid)) tie-break
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cent")) }: _*)
+    val expected = SparkEntry.queries("q_llm_kmeans")(spark, sf)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+
+    val input = MemoryStream[(Long, Seq[Float])](31, spark, None)
+    val tagged = input.toDF().toDF("vec_id", "embedding")
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")))
+      .withColumn("cluster_id",
+        aggregate(centArr,
+          struct(lit(Long.MaxValue).as("d2"), lit(-1).as("cid")),
+          (acc, c) => {
+            val dd = graft.queries.VectorOps
+              .kmDist2(col("qv"), c.getField("cent"))
+            when(dd < acc.getField("d2"),
+              struct(dd.as("d2"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }).getField("cid"))
+      .select("vec_id", "cluster_id")
+    val qy = tagged.writeStream.outputMode("append")
+      .format("memory").queryName("km_tag")
+      .option("checkpointLocation", tmp("graft-kmtag"))
+      .start()
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    input.addData(b1.toSeq: _*)
+    qy.processAllAvailable()
+    input.addData(b2.toSeq: _*)
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("km_tag").as[(Long, Int)].collect().toMap
+    assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+    assert(got == expected, "stream tags diverge from the batch assignment")
+  }
 }
