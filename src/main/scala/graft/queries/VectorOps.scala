@@ -602,6 +602,35 @@ object VectorOps {
         .orderBy("cluster_id")
     }),
 
+    // Semantic benchmark decontamination — the embedding-space twin of
+    // q_llm_decontaminate (same eval-set convention: ids < 20 are the
+    // benchmark docs): flag every training vector whose cosine to ANY
+    // eval embedding reaches 0.3, reporting the worst-overlapping eval
+    // id. Paraphrased contamination passes an n-gram screen but not an
+    // embedding screen — production pipelines run both. Ranking is on
+    // the 4-dp-rounded cosine with eval-id tie-breaks (the cross-engine-
+    // stable discipline of cosine_topk/rrf). Shape: the bounded eval
+    // side is broadcast against the scan (codegen'd cosine, map-side
+    // ≥τ filter) and the per-doc argmax is a WindowGroupLimit over the
+    // surviving hits — at 100 TB one scan, no shuffle of the corpus,
+    // output bounded by the contamination rate.
+    "q_llm_sem_decontaminate" -> ((s, d) => {
+      val e = emb(s, d)
+      val ev = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("eval_id"), col("v").as("evv"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("sim").desc, col("eval_id").asc)
+      e.filter(col("vec_id") >= 20).crossJoin(broadcast(ev))
+        .select(col("vec_id").as("doc_id"), col("eval_id"),
+          Det.r(CosineSimilarity.cosineSim(s, col("v"), col("evv")), 4)
+            .as("sim"))
+        .filter(col("sim") >= 0.3)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("eval_id").as("worst_eval"), col("sim"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal record assembly: text ⋈ embedding → nested struct
     // (the typed "sample" record of a training pipeline), then flattened
     // scalar probes for the oracle.
@@ -675,6 +704,20 @@ object VectorOps {
     "q_llm_kmeans" ->
       s"""WITH $KmeansCte
          SELECT vec_id, cluster_id, dist2 FROM km ORDER BY vec_id""",
+    "q_llm_sem_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ev AS (SELECT vec_id AS eval_id, v AS evv
+                   FROM e WHERE vec_id < 20),
+            sims AS (SELECT e.vec_id AS doc_id, ev.eval_id,
+                            floor(list_cosine_similarity(e.v, ev.evv)
+                                  * 10000 + 0.5) / 10000 AS sim
+                     FROM e CROSS JOIN ev WHERE e.vec_id >= 20),
+            hits AS (SELECT * FROM sims WHERE sim >= 0.3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY sim DESC, eval_id) AS rk
+                  FROM hits)
+         SELECT doc_id, eval_id AS worst_eval, sim
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
     "q_llm_cluster_purity" ->
       s"""WITH $KmeansCte,
             cl AS (SELECT km.cluster_id, e.label, count(*) AS n

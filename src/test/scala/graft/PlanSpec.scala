@@ -228,6 +228,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_llm_sem_decontaminate broadcasts the eval side, rank-limits hits") {
+    val p = physical("q_llm_sem_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_llm_rrf_fusion cuts both pools with TakeOrdered, no global sort") {
     // each leg's top-100 pool and the fused top-20 must be
     // TakeOrderedAndProject (per-partition top-k then merge), never a

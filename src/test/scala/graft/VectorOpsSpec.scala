@@ -165,6 +165,40 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sem_decontaminate flags exactly the eval-overlapping vectors") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val evals = vecs.keys.filter(_ < 20).toSeq.sorted
+    val rows = q("q_llm_sem_decontaminate")
+      .select("doc_id", "worst_eval", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (d, ev, sim) =>
+      assert(d >= 20 && ev < 20)
+      assert(sim >= 0.3)
+      // reported sim is the max over the eval set (scala recompute,
+      // boundary-safe tolerance for the independent FP path)
+      val best = evals.map(e => cos(vecs(d), vecs(e))).max
+      assert(math.abs(sim - math.floor(best * 1e4 + 0.5) / 1e4) < 1e-9,
+        s"doc $d: reported $sim vs recomputed max $best")
+    }
+    // completeness: every clearly-over-threshold doc is flagged
+    val flagged = rows.map(_._1).toSet
+    vecs.keys.filter(_ >= 20).foreach { d =>
+      val best = evals.map(e => cos(vecs(d), vecs(e))).max
+      if (best > 0.3 + 1e-6)
+        assert(flagged.contains(d), s"doc $d (max sim $best) not flagged")
+      if (best < 0.3 - 1e-6)
+        assert(!flagged.contains(d), s"doc $d (max sim $best) wrongly flagged")
+    }
+  }
+
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5. */
   private def meanRecall(dir: String, ann: String): Double = {
     def top(name: String) = SparkEntry.queries(name)(spark, dir)
