@@ -224,6 +224,42 @@ object AnalyticsOps {
         .orderBy("user_id")
     }),
 
+    // Skip-gram co-occurrence extraction (window ±2) — the word2vec/SGNS
+    // training-pair primitive: every UNORDERED token pair within two
+    // positions of each other, counted corpus-wide, with the
+    // distance-1 vs distance-2 split kept (SGNS weights pairs by
+    // distance; the split is the input to that weighting).
+    // q_llm_pmi_bigrams is the ORDERED adjacent-pair collocation
+    // statistic ranked by PMI; this is the raw windowed pair extraction
+    // ranked by support. Pure integer counts — nothing to fixed-point.
+    // Shape: pair generation is map-only (an in-row transform over the
+    // token array at each distance — never a positions self-join), then
+    // ONE count shuffle on the pair key and a TakeOrderedAndProject
+    // top-40. At 100 TB: window size bounds the blowup at 2× tokens,
+    // and the pair-key agg is the same bounded-vocab shuffle as the
+    // n-gram ops.
+    "q_llm_cooccur" -> ((s, d) => {
+      val tk = col("t")
+      def pairsAt(k: Int): Column =
+        when(size(tk) > k,
+          transform(sequence(lit(1), size(tk) - k), i => struct(
+            least(element_at(tk, i), element_at(tk, i + k)).as("w1"),
+            greatest(element_at(tk, i), element_at(tk, i + k)).as("w2"),
+            lit(k).as("dist"))))
+          .otherwise(array().cast(
+            "array<struct<w1:string,w2:string,dist:int>>"))
+      t(s, d, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .select(col("p.w1"), col("p.w2"), col("p.dist"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_adj"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_skip"))
+        .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+        .limit(40)
+    }),
+
     // PMI collocation mining (pointwise mutual information over corpus
     // bigrams — the classic collocation statistic): pmi(a,b) =
     // ln(c_ab·T_uni² / (T_bi·c_a·c_b)), support-filtered, top-20 by
@@ -492,6 +528,24 @@ object AnalyticsOps {
                  CAST(ntile(4) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER) AS m_q
                FROM base) t
          ORDER BY user_id""",
+    "q_llm_cooccur" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+              p1 AS (SELECT least(t[i], t[i+1]) AS w1,
+                            greatest(t[i], t[i+1]) AS w2, 1 AS dist
+                     FROM tk, unnest(range(1, len(t))) AS u(i)
+                     WHERE len(t) > 1),
+              p2 AS (SELECT least(t[i], t[i+2]) AS w1,
+                            greatest(t[i], t[i+2]) AS w2, 2 AS dist
+                     FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+                     WHERE len(t) > 2),
+              p AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         SELECT w1, w2, count(*) AS n_pairs,
+                CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_adj,
+                CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_skip
+         FROM p GROUP BY 1, 2
+         ORDER BY n_pairs DESC, w1, w2 LIMIT 40""",
     "q_llm_pmi_bigrams" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
               uni AS (SELECT w, count(*) AS c

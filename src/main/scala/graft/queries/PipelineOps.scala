@@ -130,6 +130,52 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Perplexity-quartile bucketing — the CCNet head/middle/tail split
+    // made into a readout: rank every doc by its mean per-token negative
+    // log-likelihood under the corpus unigram LM (the q_llm_unigram_logprob
+    // score, negated) and report the four equal-count quartile buckets
+    // with their NLL ranges — the table a pipeline inspects before
+    // choosing which tail to drop. Determinism: per-token NLL is
+    // micro-floored and summed as longs; the per-doc mean is the exact
+    // LONG floor-quotient su/n (no FP division feeds the ordering); the
+    // quartile assignment is ntile(4) over the TOTAL order (nll_u,
+    // doc_id) — the tie-broken-order rule that makes ntile deterministic
+    // (q_events_rfm). Shape: one term-count shuffle + broadcast vocab
+    // scoring + one doc agg; the global ntile is rows=corpus through a
+    // single-partition window — the declared exact-quartile semantics.
+    // At 100 TB the split would come from broadcast thresholds off a
+    // percentile sketch (q_agg_approx_pct) instead of a global rank;
+    // same readout, sketch-accurate boundaries.
+    "q_llm_ppl_bucket" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val cf = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
+      val tot = cf.agg(sum(col("ctf")).as("t"))
+      val doc = tok.join(broadcast(cf), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll_u",
+          floor(-log(col("ctf").cast("double") / col("t")) * 1e6 + 0.5)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("nll_u")).as("su"))
+        // exact integer mean: both engines floor the identical quotient
+        .select(col("doc_id"),
+          floor(col("su").cast("double") / col("n_tok")).cast("long")
+            .as("nll_u"))
+      doc
+        .withColumn("bucket",
+          ntile(4).over(Window.orderBy(col("nll_u"), col("doc_id"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nll_u")).as("bsum"),
+          min(col("nll_u")).as("bmin"), max(col("nll_u")).as("bmax"))
+        .select(col("bucket"), col("n_docs"),
+          Det.r(col("bsum").cast("double") / col("n_docs") / 1e6, 4)
+            .as("avg_nll"),
+          Det.r(col("bmin").cast("double") / 1e6, 4).as("min_nll"),
+          Det.r(col("bmax").cast("double") / 1e6, 4).as("max_nll"))
+        .orderBy("bucket")
+    }),
+
     // Bigram-LM quality scoring — the order-sensitive upgrade of
     // q_llm_unigram_logprob (the actual CCNet/KenLM filter shape): score
     // every doc by its mean log P(w_i | w_{i-1}) under the corpus' own
@@ -480,6 +526,30 @@ object PipelineOps {
                 floor(CAST(sum(lp_u) AS DOUBLE) / 1000000 / count(*) * 10000 + 0.5)
                   / 10000 AS avg_logprob
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_ppl_bucket" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              cf AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+              tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM cf),
+              nl AS (SELECT doc_id,
+                            CAST(floor(-ln(CAST(ctf AS DOUBLE) / t)
+                                       * 1000000 + 0.5) AS BIGINT) AS nll_u
+                     FROM tok JOIN cf USING (term) CROSS JOIN tot),
+              doc AS (SELECT doc_id,
+                             CAST(floor(CAST(sum(nll_u) AS DOUBLE)
+                                        / count(*)) AS BIGINT) AS nll_u
+                      FROM nl GROUP BY doc_id),
+              b AS (SELECT ntile(4) OVER (ORDER BY nll_u, doc_id) AS bucket,
+                           nll_u
+                    FROM doc)
+         SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+                floor(CAST(sum(nll_u) AS DOUBLE) / count(*) / 1e6
+                      * 10000 + 0.5) / 10000 AS avg_nll,
+                floor(CAST(min(nll_u) AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000
+                  AS min_nll,
+                floor(CAST(max(nll_u) AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000
+                  AS max_nll
+         FROM b GROUP BY bucket ORDER BY bucket""",
     "q_llm_bigram_logprob" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
                      FROM documents),

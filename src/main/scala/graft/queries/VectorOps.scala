@@ -602,6 +602,99 @@ object VectorOps {
         .orderBy("cluster_id")
     }),
 
+    // Normalized mutual information between the learned k-means
+    // clustering and the ground-truth labels — the other standard
+    // external clustering diagnostic next to q_llm_cluster_purity
+    // (purity rewards many tiny clusters; NMI penalizes them, so
+    // pipelines report both before trusting cluster-routed budgets).
+    // NMI = I(C;L) / sqrt(H(C)·H(L)) over the K×L contingency table.
+    // Determinism: cell counts are exact longs; each p·ln term is
+    // computed from identical integer inputs in both engines, floored
+    // to nano-units and summed as longs (the unigram_logprob/BM25
+    // fixed-point rule), so the three entropies/MI are bit-identical
+    // and only the final ratio is display-rounded. Shape: the committed
+    // kmeans stage + one (cluster, label) count shuffle (K×L keys);
+    // marginals and the 1-row total ride broadcasts — nothing scales
+    // with the corpus after the first agg.
+    "q_llm_cluster_nmi" -> ((s, d) => {
+      val cells = kmeansStage(s, d).select(col("vec_id"), col("cluster_id"))
+        .join(t(s, d, "embeddings").select(col("vec_id"), col("label")),
+          "vec_id")
+        .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("nn"))
+      val nc = cells.groupBy("cluster_id").agg(sum(col("n")).as("n_c"))
+      val nl = cells.groupBy("label").agg(sum(col("n")).as("n_l"))
+      def entU(m: Column, nn: Column): Column =
+        floor(-(m.cast("double") / nn)
+          * log(m.cast("double") / nn) * 1e9 + 0.5).cast("long")
+      val mi = cells.join(broadcast(nc), "cluster_id")
+        .join(broadcast(nl), "label").crossJoin(broadcast(tot))
+        .select(floor((col("n").cast("double") / col("nn"))
+          * log(col("n").cast("double") * col("nn")
+            / (col("n_c").cast("double") * col("n_l")))
+          * 1e9 + 0.5).cast("long").as("u"))
+        .agg(sum(col("u")).as("mi_su"))
+      val hc = nc.crossJoin(broadcast(tot))
+        .select(entU(col("n_c"), col("nn")).as("u"))
+        .agg(sum(col("u")).as("hc_su"))
+      val hl = nl.crossJoin(broadcast(tot))
+        .select(entU(col("n_l"), col("nn")).as("u"))
+        .agg(sum(col("u")).as("hl_su"))
+      tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hc))
+        .crossJoin(broadcast(hl))
+        .select(col("nn").as("n_vecs"),
+          Det.r(col("hc_su").cast("double") / 1e9, 4).as("h_cluster"),
+          Det.r(col("hl_su").cast("double") / 1e9, 4).as("h_label"),
+          Det.r(col("mi_su").cast("double") / 1e9, 4).as("mi"),
+          Det.r(col("mi_su").cast("double")
+            / sqrt(col("hc_su").cast("double") * col("hl_su").cast("double")),
+            4).as("nmi"))
+    }),
+
+    // Per-cluster simplified silhouette — the internal (label-free)
+    // clustering diagnostic: s(x) = (b−a)/max(a,b) with a = distance to
+    // the OWN round-2 centroid and b = distance to the nearest OTHER
+    // centroid (the centroid-based "simplified" form; the classic
+    // pairwise form is Θ(n²) and adds nothing at corpus scale).
+    // Near 0 ⇒ the point sits on a cluster boundary; the per-cluster
+    // mean tells a curation pipeline which buckets are real structure
+    // vs noise WITHOUT ground-truth labels (q_llm_cluster_nmi/purity
+    // need them). Determinism: a², b² are exact integer squared-L2 to
+    // the exact-integer centroids (kmDist2); both engines take sqrt of
+    // identical longs and floor the identical ratio to micro-units,
+    // summed as longs. Since b² ≥ a² by argmin, max(a,b) = b. Shape:
+    // one scan × broadcast K-row centroid table; the per-vector
+    // (own, runner-up) pair comes from sorting the K-element struct
+    // array inside the row (no window, no extra shuffle), then one
+    // bounded K-row agg. Like q_llm_kmeans this declares the full
+    // trainer — the eval needs the model, not just the assignment.
+    "q_llm_silhouette" -> ((s, d) => {
+      val dists = kmQuantized(s, d)
+        .crossJoin(broadcast(kmeansCentroids(s, d)))
+        .select(col("vec_id"),
+          struct(kmDist2(col("qv"), col("cent")).as("d2"),
+            col("cid")).as("dc"))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(col("dc"))).as("ds"))
+        .select(col("vec_id"),
+          col("ds")(0).getField("cid").as("cluster_id"),
+          col("ds")(0).getField("d2").as("a2"),
+          col("ds")(1).getField("d2").as("b2"))
+      dists
+        .withColumn("s_u", when(col("b2") === 0, lit(0L)).otherwise(
+          floor((sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double")))
+            / sqrt(col("b2").cast("double")) * 1e6 + 0.5).cast("long")))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), sum(col("s_u")).as("ssum"),
+          min(col("s_u")).as("smin"), max(col("s_u")).as("smax"))
+        .select(col("cluster_id"), col("n_members"),
+          Det.r(col("ssum").cast("double") / col("n_members") / 1e6, 4)
+            .as("avg_sil"),
+          Det.r(col("smin").cast("double") / 1e6, 4).as("min_sil"),
+          Det.r(col("smax").cast("double") / 1e6, 4).as("max_sil"))
+        .orderBy("cluster_id")
+    }),
+
     // Semantic benchmark decontamination — the embedding-space twin of
     // q_llm_decontaminate (same eval-set convention: ids < 20 are the
     // benchmark docs): flag every training vector whose cosine to ANY
@@ -733,6 +826,67 @@ object VectorOps {
                 floor(CAST(n AS DOUBLE) / n_members * 10000 + 0.5)
                   / 10000 AS purity
          FROM m WHERE rk = 1 ORDER BY cluster_id""",
+    "q_llm_cluster_nmi" ->
+      s"""WITH $KmeansCte,
+            cl AS (SELECT km.cluster_id, e.label, count(*) AS n
+                   FROM km JOIN embeddings e USING (vec_id)
+                   GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cl),
+            nc AS (SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_c
+                   FROM cl GROUP BY 1),
+            nl AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_l
+                   FROM cl GROUP BY 1),
+            mi AS (SELECT CAST(sum(CAST(floor(
+                       (CAST(n AS DOUBLE) / nn)
+                       * ln(CAST(n AS DOUBLE) * nn
+                            / (CAST(n_c AS DOUBLE) * n_l))
+                       * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_su
+                   FROM cl JOIN nc USING (cluster_id) JOIN nl USING (label)
+                   CROSS JOIN tot),
+            hc AS (SELECT CAST(sum(CAST(floor(
+                       -(CAST(n_c AS DOUBLE) / nn)
+                       * ln(CAST(n_c AS DOUBLE) / nn)
+                       * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hc_su
+                   FROM nc CROSS JOIN tot),
+            hl AS (SELECT CAST(sum(CAST(floor(
+                       -(CAST(n_l AS DOUBLE) / nn)
+                       * ln(CAST(n_l AS DOUBLE) / nn)
+                       * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hl_su
+                   FROM nl CROSS JOIN tot)
+         SELECT tot.nn AS n_vecs,
+                floor(CAST(hc_su AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000
+                  AS h_cluster,
+                floor(CAST(hl_su AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000
+                  AS h_label,
+                floor(CAST(mi_su AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000
+                  AS mi,
+                floor(CAST(mi_su AS DOUBLE)
+                      / sqrt(CAST(hc_su AS DOUBLE) * CAST(hl_su AS DOUBLE))
+                      * 10000 + 0.5) / 10000 AS nmi
+         FROM tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""",
+    "q_llm_silhouette" ->
+      s"""WITH $KmeansCte,
+            sd AS (SELECT vec_id,
+                          max(CASE WHEN rk = 1 THEN cid END) AS cluster_id,
+                          max(CASE WHEN rk = 1 THEN d2 END) AS a2,
+                          max(CASE WHEN rk = 2 THEN d2 END) AS b2
+                   FROM a2 GROUP BY vec_id),
+            su AS (SELECT cluster_id,
+                          CASE WHEN b2 = 0 THEN 0
+                               ELSE CAST(floor(
+                                 (sqrt(CAST(b2 AS DOUBLE))
+                                  - sqrt(CAST(a2 AS DOUBLE)))
+                                 / sqrt(CAST(b2 AS DOUBLE))
+                                 * 1000000 + 0.5) AS BIGINT) END AS s_u
+                   FROM sd)
+         SELECT cluster_id, count(*) AS n_members,
+                floor(CAST(sum(s_u) AS DOUBLE) / count(*) / 1e6
+                      * 10000 + 0.5) / 10000 AS avg_sil,
+                floor(CAST(min(s_u) AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000
+                  AS min_sil,
+                floor(CAST(max(s_u) AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000
+                  AS max_sil
+         FROM su GROUP BY cluster_id ORDER BY cluster_id""",
     "q_llm_cluster_terms" ->
       s"""WITH $KmeansCte,
             toks AS (SELECT km.cluster_id,

@@ -186,4 +186,29 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(flagged == expect)
     assert(flagged.nonEmpty, "no anomalies in the fixture data")
   }
+
+  test("cooccur: top-40 window-2 pairs match a flat recount, exact ties") {
+    val texts = Tables(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+    val pairs = texts.flatMap { tx =>
+      val t = tx.split(" ")
+      def at(k: Int) = (0 until t.length - k).map { i =>
+        val (a, b) = (t(i), t(i + k))
+        (if (a <= b) a else b, if (a <= b) b else a, k)
+      }
+      at(1) ++ at(2)
+    }
+    val expTop = pairs.groupBy(p => (p._1, p._2)).toSeq.map {
+      case ((w1, w2), xs) => (w1, w2, xs.length.toLong,
+        xs.count(_._3 == 1).toLong, xs.count(_._3 == 2).toLong)
+    }.sortBy { case (w1, w2, n, _, _) => (-n, w1, w2) }.take(40)
+    val rows = q("q_llm_cooccur")
+      .select("w1", "w2", "n_pairs", "n_adj", "n_skip")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(rows == expTop)
+    rows.foreach { case (w1, w2, n, a, sk) =>
+      assert(n == a + sk, s"($w1,$w2) distance split")
+      assert(w1 <= w2, "pairs are canonically ordered")
+    }
+  }
 }

@@ -166,4 +166,40 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(c("2_click") >= c("3_purchase"))
     assert(c("1_signup") > 0)
   }
+
+  test("ppl bucket: exact ntile quartiles of the flat NLL recomputation") {
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val cf = texts.flatMap(_._2.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = cf.values.sum
+    val nll = cf.map { case (w, c) =>
+      w -> math.floor(-math.log(c.toDouble / t) * 1e6 + 0.5).toLong }
+    val docs = texts.map { case (id, tx) =>
+      val ts = tx.split(" ")
+      (id, math.floor(ts.map(nll).sum.toDouble / ts.length).toLong)
+    }.sortBy { case (id, nu) => (nu, id) }
+    // ntile(4): first (n mod 4) buckets get one extra row
+    val n = docs.length; val base = n / 4; val rem = n % 4
+    val exp = (1 to 4).scanLeft((0, 0)) { case ((_, off), b) =>
+      (b, off + base + (if (b <= rem) 1 else 0))
+    }.sliding(2).map { case Seq((_, lo), (b, hi)) =>
+      val nus = docs.slice(lo, hi).map(_._2)
+      def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      (b, (nus.length.toLong, r4(nus.sum.toDouble / nus.length / 1e6),
+        r4(nus.min.toDouble / 1e6), r4(nus.max.toDouble / 1e6)))
+    }.toMap
+    val rows = q("q_llm_ppl_bucket")
+      .select("bucket", "n_docs", "avg_nll", "min_nll", "max_nll")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (b, nd, av, mn, mx) =>
+      assert((nd, av, mn, mx) == exp(b), s"bucket $b")
+      assert(mn <= av && av <= mx && mn >= 0.0)
+    }
+    // quartile ranges tile the NLL axis in order
+    val s = rows.sortBy(_._1)
+    s.sliding(2).foreach { case Array(a, b) => assert(b._4 >= a._5) }
+  }
 }

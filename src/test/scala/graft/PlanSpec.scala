@@ -235,6 +235,44 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_llm_cooccur is join-free: in-row pair generation + one agg") {
+    // the window-±2 pair blowup must come from an in-row array
+    // transform, never a positions self-join; the only joins allowed
+    // are none at all — the plan is scan → generate → hash agg → top-k
+    val p = physical("q_llm_cooccur")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q_llm_silhouette broadcasts the centroid table, no window") {
+    // per-vector (own, runner-up) distances come from an in-row sort of
+    // the K-element struct array — a rank-window formulation would add
+    // an N-row shuffle + sort for a K=8 argmin
+    val p = physical("q_llm_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindow"),
+      p.take(3000))
+  }
+
+  test("q_llm_cluster_nmi marginals ride broadcast joins") {
+    // after the K×L contingency agg nothing is corpus-sized: the
+    // cluster/label marginals and the 1-row total must all broadcast
+    val p = physical("q_llm_cluster_nmi")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_llm_ppl_bucket scores tokens via the broadcast vocab join") {
+    // the term-frequency table joins the token stream as a broadcast
+    // (vocab is sublinear in the corpus) — an SMJ here would shuffle
+    // every token occurrence on the term key
+    val p = physical("q_llm_ppl_bucket")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q_llm_rrf_fusion cuts both pools with TakeOrdered, no global sort") {
     // each leg's top-100 pool and the fused top-20 must be
     // TakeOrderedAndProject (per-partition top-k then merge), never a

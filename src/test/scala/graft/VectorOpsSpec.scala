@@ -362,4 +362,77 @@ class VectorOpsSpec extends SparkSpecBase {
     val docs = Tables(spark, sf, "documents").count()
     assert(n == docs)
   }
+
+  test("cluster_nmi matches a flat fixed-point recomputation, nmi in [0,1]") {
+    val km = q("q_llm_kmeans").select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val cells = km.toSeq.map { case (v, c) => (c, labels(v)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nn = cells.values.sum
+    val nc = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nl = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def u(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val miSu = cells.map { case ((c, l), n) =>
+      u((n.toDouble / nn) *
+        math.log(n.toDouble * nn / (nc(c).toDouble * nl(l)))) }.sum
+    def entSu(m: Iterable[Long]) =
+      m.map(x => u(-(x.toDouble / nn) * math.log(x.toDouble / nn))).sum
+    val (hcSu, hlSu) = (entSu(nc.values), entSu(nl.values))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val row = q("q_llm_cluster_nmi")
+      .select("n_vecs", "h_cluster", "h_label", "mi", "nmi")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(row._1 == nn)
+    assert(row._2 == r4(hcSu / 1e9), "H(C)")
+    assert(row._3 == r4(hlSu / 1e9), "H(L)")
+    assert(row._4 == r4(miSu / 1e9), "I(C;L)")
+    assert(row._5 == r4(miSu / math.sqrt(hcSu.toDouble * hlSu.toDouble)))
+    assert(row._5 >= 0.0 && row._5 <= 1.0, s"nmi ${row._5} out of range")
+    // MI is information-theoretically capped by either entropy
+    assert(row._4 <= math.min(row._2, row._3) + 1e-9)
+  }
+
+  test("silhouette: exact per-cluster aggregation of (b-a)/b distances") {
+    val cents = graft.queries.VectorOps.kmeansCentroids(spark, sf)
+      .as[(Int, Array[Long])].collect()
+    val qv = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("qv"))
+      .as[(Long, Array[Long])].collect()
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val per = qv.map { case (_, x) =>
+      val ds = cents.map { case (c, ce) => (d2(x, ce), c) }.sorted
+      val sU = if (ds(1)._1 == 0) 0L
+        else math.floor((math.sqrt(ds(1)._1.toDouble)
+          - math.sqrt(ds(0)._1.toDouble))
+          / math.sqrt(ds(1)._1.toDouble) * 1e6 + 0.5).toLong
+      (ds(0)._2, sU)
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val exp = per.groupBy(_._1).map { case (c, xs) =>
+      val s = xs.map(_._2)
+      c -> ((xs.length.toLong, r4(s.sum.toDouble / xs.length / 1e6),
+        r4(s.min.toDouble / 1e6), r4(s.max.toDouble / 1e6)))
+    }
+    val rows = q("q_llm_silhouette")
+      .select("cluster_id", "n_members", "avg_sil", "min_sil", "max_sil")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSet == exp.keySet, "one row per cluster")
+    rows.foreach { case (c, n, av, mn, mx) =>
+      assert((n, av, mn, mx) == exp(c), s"cluster $c")
+      // centroid-based simplified silhouette with a = argmin distance
+      // is confined to [0, 1]: b >= a by construction (1.0 only when
+      // a vector sits exactly on its own centroid, e.g. a singleton)
+      assert(mn >= 0.0 && mx <= 1.0 && mn <= av && av <= mx)
+    }
+    // own-cluster assignment agrees with the declared kmeans query
+    val km = q("q_llm_kmeans").select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val sizes = km.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (c, n, _, _, _) => assert(n == sizes(c)) }
+  }
 }
