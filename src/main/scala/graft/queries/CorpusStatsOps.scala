@@ -27,6 +27,9 @@ object CorpusStatsOps {
   /** Duplicated-span gram width (tokens). */
   private val SpanK = 10
 
+  /** Vocabulary size for the OOV-coverage readout (top-V corpus terms). */
+  private val V = 512
+
   val queries: Map[String, QueryFn] = Map(
     // Exact corpus heavy hitters (count > N/200) by the standard
     // two-pass scheme: pass 1 runs the Misra-Gries bounded summary
@@ -114,6 +117,113 @@ object CorpusStatsOps {
           Det.r(col("n_dup").cast("double") / col("n_spans"), 4)
             .as("dup_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // Per-source distribution drift — Jensen-Shannon divergence between
+    // each source's unigram distribution P and the whole-corpus
+    // distribution Q (the domain-shift diagnostic a mixture pipeline
+    // reads before reweighting: a source far from the corpus center is
+    // either a valuable new domain or off-distribution junk). JS rather
+    // than KL because it is symmetric, bounded by ln 2, and defined when
+    // a source misses corpus terms. Determinism: each present term's
+    // p·ln(p/m) + q·ln(q/m) contribution is nano-floored from identical
+    // integer inputs and summed as longs (the NMI/PMI fixed-point rule);
+    // terms ABSENT from a source contribute exactly q·ln 2, so their
+    // total collapses to the closed form ln2·(N − Σ_present c_t)/N —
+    // one more nano-floored long, never a materialized (source × absent
+    // term) relation. Shape: one (source, term) count shuffle + the
+    // bounded-vocab corpus counts and 1-row total riding broadcasts;
+    // per-source totals broadcast too (sources are metadata-sized).
+    "q_llm_js_drift" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val stf = tok.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+      val src = stf.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+      val ctf = tok.groupBy("term").agg(count(lit(1)).as("c_t"))
+      val tot = ctf.agg(sum(col("c_t")).as("n"))
+      val p = col("c_st").cast("double") / col("n_s")
+      val qd = col("c_t").cast("double") / col("n")
+      val m = (p + qd) / lit(2)
+      val agg = stf.join(broadcast(src), "source")
+        .join(broadcast(ctf), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          sum(col("c_t")).as("cov_c"),
+          max(col("n")).as("nn"),
+          sum(floor((p * log(p / m) + qd * log(qd / m)) * 1e9 + 0.5)
+            .cast("long")).as("pres_u"))
+      agg.select(col("source"), col("n_tokens"), col("n_terms"),
+          Det.r((col("pres_u")
+              + floor(lit(math.log(2.0))
+                  * (col("nn") - col("cov_c")).cast("double") / col("nn")
+                  * 1e9 + 0.5).cast("long")).cast("double") / 1e9 / 2, 4)
+            .as("js_div"))
+        .orderBy("source")
+    }),
+
+    // Vocabulary coverage / OOV-rate readout: share of each source's
+    // token stream covered by the top-V corpus vocabulary (V = 512,
+    // count-desc with term tie-break, so the boundary is deterministic).
+    // The tokenizer-planning twin of q_llm_zipf: a source with a high
+    // OOV rate against the candidate vocab will fragment into bytes at
+    // training time, and its token budget is mispriced until the vocab
+    // grows. Pure integer counts; only the final coverage share rounds.
+    // Shape: one bounded term-count shuffle + TakeOrdered top-V → the
+    // V-row vocab BROADCASTS against the token scan as a left join
+    // (corpus never shuffles on the term key); one per-source agg.
+    "q_llm_vocab_coverage" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("vn"))
+        .orderBy(col("vn").desc, col("term")).limit(V)
+        .select(col("term"), lit(1).as("iv"))
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"),
+          count_distinct(when(col("iv").isNull, col("term")))
+            .as("oov_terms"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          col("oov_terms"),
+          Det.r(lit(1.0) - col("n_oov").cast("double") / col("n_tokens"), 4)
+            .as("coverage"))
+        .orderBy("source")
+    }),
+
+    // Lexical diversity per source — distinct-1 / distinct-2 (Li et al.
+    // 2016): the share of unigrams and bigrams that are unique within
+    // the source. The synthetic-text / template-boilerplate detector at
+    // corpus granularity (q_llm_repetition is the per-doc form): a
+    // source whose distinct-2 collapses is stamped from templates even
+    // when every individual doc looks fine. Exact integer counts; only
+    // the two ratios round. Shape: map-only in-row bigram generation
+    // (never a positions self-join) + two (source-keyed) count-distinct
+    // aggs joined on the metadata-sized source key.
+    "q_llm_distinct_ngrams" -> ((s, d) => {
+      val tk = col("t")
+      val docs = t(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("t"))
+      val uni = docs.select(col("source"), explode(tk).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_uni"), count_distinct(col("g")).as("d_uni"))
+      val bi = docs.select(col("source"), explode(when(size(tk) > 1,
+          transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bi"), count_distinct(col("g")).as("d_bi"))
+      uni.join(bi, Seq("source"), "left")
+        .select(col("source"), col("n_uni"), col("d_uni"),
+          Det.r(col("d_uni").cast("double") / col("n_uni"), 4)
+            .as("distinct1"),
+          coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+          coalesce(col("d_bi"), lit(0L)).as("d_bi"),
+          Det.r(coalesce(col("d_bi"), lit(0L)).cast("double")
+            / greatest(coalesce(col("n_bi"), lit(0L)), lit(1L)), 4)
+            .as("distinct2"))
+        .orderBy("source")
     })
   )
 
@@ -159,6 +269,76 @@ object CorpusStatsOps {
                            AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
                   AS dup_ratio
          FROM g JOIN df USING (g)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_js_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+              stf AS (SELECT source, term, count(*) AS c_st
+                      FROM tok GROUP BY 1, 2),
+              src AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+                      FROM stf GROUP BY 1),
+              ctf AS (SELECT term, count(*) AS c_t FROM tok GROUP BY 1),
+              tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ctf),
+              u AS (SELECT source, n_s, c_t, n,
+                           CAST(floor((
+                             (CAST(c_st AS DOUBLE) / n_s)
+                               * ln((CAST(c_st AS DOUBLE) / n_s)
+                                    / ((CAST(c_st AS DOUBLE) / n_s
+                                        + CAST(c_t AS DOUBLE) / n) / 2))
+                             + (CAST(c_t AS DOUBLE) / n)
+                               * ln((CAST(c_t AS DOUBLE) / n)
+                                    / ((CAST(c_st AS DOUBLE) / n_s
+                                        + CAST(c_t AS DOUBLE) / n) / 2))
+                           ) * 1000000000 + 0.5) AS BIGINT) AS u
+                    FROM stf JOIN src USING (source) JOIN ctf USING (term)
+                    CROSS JOIN tot),
+              a AS (SELECT source, max(n_s) AS n_tokens, count(*) AS n_terms,
+                           CAST(sum(c_t) AS BIGINT) AS cov_c, max(n) AS nn,
+                           CAST(sum(u) AS BIGINT) AS pres_u
+                    FROM u GROUP BY source)
+         SELECT source, n_tokens, n_terms,
+                floor(CAST(pres_u + CAST(floor(ln(2)
+                        * CAST(nn - cov_c AS DOUBLE) / nn
+                        * 1000000000 + 0.5) AS BIGINT) AS DOUBLE)
+                      / 1e9 / 2 * 10000 + 0.5) / 10000 AS js_div
+         FROM a ORDER BY source""",
+    "q_llm_vocab_coverage" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+              v AS (SELECT term FROM (SELECT term, count(*) AS n
+                                      FROM tok GROUP BY 1
+                                      ORDER BY n DESC, term LIMIT $V)),
+              j AS (SELECT tok.source, tok.term, v.term AS vt
+                    FROM tok LEFT JOIN v ON tok.term = v.term)
+         SELECT source, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                CAST(count(DISTINCT CASE WHEN vt IS NULL THEN term END)
+                     AS BIGINT) AS oov_terms,
+                floor((1.0 - CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)
+                             AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+                  AS coverage
+         FROM j GROUP BY source ORDER BY source""",
+    "q_llm_distinct_ngrams" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS t
+                     FROM documents),
+              uni AS (SELECT source, count(*) AS n_uni,
+                             CAST(count(DISTINCT g) AS BIGINT) AS d_uni
+                      FROM (SELECT source, unnest(t) AS g FROM tk)
+                      GROUP BY source),
+              bi AS (SELECT source, count(*) AS n_bi,
+                            CAST(count(DISTINCT g) AS BIGINT) AS d_bi
+                     FROM (SELECT source, t[i] || ' ' || t[i+1] AS g
+                           FROM tk, unnest(range(1, len(t))) AS u(i)
+                           WHERE len(t) > 1)
+                     GROUP BY source)
+         SELECT source, n_uni, d_uni,
+                floor(CAST(d_uni AS DOUBLE) / n_uni * 10000 + 0.5) / 10000
+                  AS distinct1,
+                COALESCE(n_bi, 0) AS n_bi, COALESCE(d_bi, 0) AS d_bi,
+                floor(CAST(COALESCE(d_bi, 0) AS DOUBLE)
+                      / greatest(COALESCE(n_bi, 0), 1) * 10000 + 0.5) / 10000
+                  AS distinct2
+         FROM uni LEFT JOIN bi USING (source) ORDER BY source"""
   )
 }

@@ -235,6 +235,37 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_llm_js_drift: vocab counts and totals broadcast, no SMJ") {
+    // after the (source, term) contingency agg, the corpus term counts,
+    // per-source totals, and 1-row grand total must all ride broadcast
+    // joins — an SMJ would shuffle the contingency relation again; the
+    // absent-term mass is the ln2 closed form, never a materialized
+    // (source × absent-term) relation, so no extra join appears at all
+    val p = physical("q_llm_js_drift")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_llm_vocab_coverage joins the V-row vocab as a broadcast left join") {
+    // the corpus token stream must never shuffle on the term key — the
+    // top-V vocabulary broadcasts; top-V itself is TakeOrdered, not a
+    // global sort of the vocabulary
+    val p = physical("q_llm_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q_llm_distinct_ngrams is an in-row generate + source-keyed aggs") {
+    // bigrams come from an in-row array transform (never a positions
+    // self-join); the only join is the metadata-sized per-source
+    // uni×bi merge at the end
+    val p = physical("q_llm_distinct_ngrams")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
   test("q_llm_cooccur is join-free: in-row pair generation + one agg") {
     // the window-±2 pair blowup must come from an in-row array
     // transform, never a positions self-join; the only joins allowed
