@@ -209,6 +209,48 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         checkRead()
       }
 
+      // CDC soundness across the whole verb product: take the EARLIEST
+      // retained state-changing version as the base snapshot and fold
+      // the change feed (base, latest] over it — within each batch
+      // deletes apply first (a RESTORE batch is a multiset diff, so an
+      // updated id carries a delete of the old row AND an insert of the
+      // new one in the SAME version), then inserts/update-postimages
+      // upsert; preimages are ignored. The fold must land exactly on
+      // the model's final state across merges (CoW and MOR), DV deletes
+      // at every tier, restore diffs, schema evolution, renames (the
+      // feed presents the CURRENT logical mapping regardless of which
+      // side of the rename a change dir was staged on), retention, and
+      // the clone fork (pre-fork change dirs resolve through cloneTo's
+      // rewritten absolute paths).
+      history.filter(_._1 >= anchor).headOption.foreach { case (v0, s0, y0) =>
+        val feed = sink.readChanges(spark, fromVersion = v0)
+        var fx = s0
+        var fy = y0
+        if (feed.columns.contains("_change_type")) {
+          val hasY = feed.columns.contains("y")
+          val rows = feed.select(col("batch").cast("long"),
+              col("_change_type"), col("id"), col(xName),
+              (if (hasY) col("y") else lit(null).cast("string")).as("y"))
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getString(3), if (r.isNullAt(4)) null else r.getString(4)))
+          rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, batch) =>
+            batch.filter(_._2 == "delete").foreach { case (_, _, id, _, _) =>
+              fx -= id; fy -= id
+            }
+            batch.filter(c => c._2 == "insert" || c._2 == "update_postimage")
+              .foreach { case (_, _, id, x, y) =>
+                fx += (id -> x)
+                if (y == null) fy -= id else fy += (id -> y)
+              }
+          }
+        }
+        assert(fx === live,
+          s"CDC replay from v$v0 diverged from the model on x")
+        assert(fy === ys,
+          s"CDC replay from v$v0 diverged from the model on the evolved column")
+      }
+
       // if the run forked onto a clone, the SOURCE must read exactly its
       // frozen at-clone state — no later verb may have leaked across
       clonedFrom.foreach { case (srcDir, frozen, frozenY, frozenX) =>
