@@ -53,7 +53,12 @@ object ScaleBench {
     "q_llm_jaccard_global", "q_llm_dup_groups", "q_llm_split_safe",
     "q_llm_semdedup", "q_llm_minhash_lsh", "q_llm_winnow_dup",
     "q_llm_span_dedup", "q_llm_bpe_encode", "q_llm_pagerank",
-    "q_graph_triangles", "q_llm_dsir_weights", "q_llm_kmeans")
+    "q_graph_triangles", "q_llm_dsir_weights", "q_llm_kmeans",
+    // round 12 corpus diagnostics with corpus-sized shuffle terms:
+    // distinct_ngrams pays a corpus-wide (source, gram) count-distinct,
+    // js_drift a full (source, term) contingency shuffle — both should
+    // track the data ratio (vocabulary growth is sublinear)
+    "q_llm_js_drift", "q_llm_distinct_ngrams")
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
