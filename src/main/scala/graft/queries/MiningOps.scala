@@ -74,6 +74,58 @@ object MiningOps {
         .orderBy("pair")
     }),
 
+    // Spearman rank correlation — the robust (monotone, outlier-immune)
+    // partner to q_agg_corr's Pearson: per l_returnflag, ρ between
+    // l_quantity and l_extendedprice as the Pearson of TIE-AVERAGED
+    // ranks. Determinism without a single FP rank anywhere: the
+    // tie-averaged rank is a half-integer, so DOUBLED ranks are exact
+    // integers — 2·avgrank = 2·(#strictly-smaller) + cnt + 1, computed
+    // per DISTINCT value from a running count (never a per-row window),
+    // and the five moment sums run as DECIMAL(38,0) (Spark) / HUGEINT
+    // (DuckDB) — exact, partial-agg-order-independent. ρ derives from
+    // identical exact moments via identical expression trees; the
+    // doubling cancels in the ratio. Shape: per ranked column one
+    // bounded distinct-value agg + a window over the DISTINCT relation
+    // (quantity: ~50 values; price: near-unique — exact Spearman on a
+    // continuous column inherently ranks the full domain; at 100 TB the
+    // rank map comes from a quantile sketch instead), then joins back
+    // on the value key and one 3-row moment agg.
+    "q_agg_spearman" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def rank2(vc: String, out: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("flag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li.groupBy(col("flag"), col(vc).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("flag"), col("v"),
+            (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2
+              + col("cnt") + 1).cast("long").as(out))
+      }
+      // rx/ry derive from li, so rename their keys before the join back
+      // (fresh attribute ids — no self-join ambiguity)
+      val rx = rank2("x", "rx2").toDF("xf", "xv", "rx2")
+      val ry = rank2("y", "ry2").toDF("yf", "yv", "ry2")
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val m = li
+        .join(rx, col("flag") === col("xf") && col("x") === col("xv"))
+        .join(ry, col("flag") === col("yf") && col("y") === col("yv"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("rx2"))).as("sx"), sum(dec(col("ry2"))).as("sy"),
+          sum(dec(col("rx2") * col("rx2"))).as("sxx"),
+          sum(dec(col("ry2") * col("ry2"))).as("syy"),
+          sum(dec(col("rx2") * col("ry2"))).as("sxy"))
+      def D(c: Column) = c.cast("double")
+      val nd = D(col("n"))
+      m.select(col("flag").as("l_returnflag"), col("n"),
+          Det.r((nd * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+            sqrt((nd * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+              * (nd * D(col("syy")) - D(col("sy")) * D(col("sy")))), 4)
+            .as("spearman"))
+        .orderBy("l_returnflag")
+    }),
+
     // Per-document trigram novelty — the "how much of this doc is new
     // text" curation signal (docs whose grams all first appeared earlier
     // are recombinations/boilerplate; high-novelty docs carry new
@@ -321,6 +373,47 @@ object MiningOps {
                 ${covOf("sqp", "sq", "sp")} FROM m
          ORDER BY pair"""
     },
+    "q_agg_spearman" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS x,
+                            l_extendedprice AS y
+                     FROM lineitem),
+              gx AS (SELECT flag, x AS v, count(*) AS cnt
+                     FROM li GROUP BY 1, 2),
+              rx AS (SELECT flag, v,
+                            CAST(COALESCE(sum(cnt) OVER (
+                                   PARTITION BY flag ORDER BY v
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) * 2
+                                 + cnt + 1 AS BIGINT) AS rx2
+                     FROM gx),
+              gy AS (SELECT flag, y AS v, count(*) AS cnt
+                     FROM li GROUP BY 1, 2),
+              ry AS (SELECT flag, v,
+                            CAST(COALESCE(sum(cnt) OVER (
+                                   PARTITION BY flag ORDER BY v
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) * 2
+                                 + cnt + 1 AS BIGINT) AS ry2
+                     FROM gy),
+              j AS (SELECT li.flag, rx.rx2, ry.ry2
+                    FROM li JOIN rx ON li.flag = rx.flag AND li.x = rx.v
+                            JOIN ry ON li.flag = ry.flag AND li.y = ry.v),
+              m AS (SELECT flag, count(*) AS n,
+                           sum(CAST(rx2 AS HUGEINT)) AS sx,
+                           sum(CAST(ry2 AS HUGEINT)) AS sy,
+                           sum(CAST(rx2 * rx2 AS HUGEINT)) AS sxx,
+                           sum(CAST(ry2 * ry2 AS HUGEINT)) AS syy,
+                           sum(CAST(rx2 * ry2 AS HUGEINT)) AS sxy
+                    FROM j GROUP BY flag)
+         SELECT flag AS l_returnflag, n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 10000 + 0.5) / 10000 AS spearman
+         FROM m ORDER BY l_returnflag""",
     // exact-string twin of the hashed-gram Spark pipeline
     "q_llm_ngram_novelty" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -148,6 +148,33 @@ object QualityOps {
         .select(col("label"), col("rk"), col("vec_id"),
           Det.r(col("sim"), 4).as("sim"))
         .orderBy("label", "rk")
+    }),
+
+    // LIX readability index (Björnsson 1968) — the length-structure
+    // readability score curation pipelines use as a cheap complexity
+    // gate: LIX = words/sentences + 100·(long words/words), long = ≥7
+    // chars, sentences counted as terminal-punctuation marks (floored
+    // at 1 so punctuation-free docs stay defined). <25 reads as
+    // children's text, >60 as bureaucratic prose — both tails are
+    // curation signals (too-simple boilerplate vs unreadable legalese).
+    // All three counts are exact integers computed in-row; only the
+    // final index rounds (identical double expression trees in both
+    // engines). Shape: map-only scan — zero shuffles, composes with
+    // any pushed-down gate at 100 TB.
+    "q_llm_readability" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+            .cast("long").as("n_sents"),
+          size(filter(toks, t => length(t) >= 7)).cast("long")
+            .as("n_long"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          col("n_long"),
+          Det.r(col("n_words").cast("double") / col("n_sents")
+            + lit(100.0) * col("n_long") / col("n_words"), 4).as("lix"))
+        .orderBy("doc_id")
     })
   )
 
@@ -235,6 +262,20 @@ object QualityOps {
                     FROM s)
          SELECT label, CAST(rk AS INTEGER) AS rk, vec_id,
                 floor(sim * 10000 + 0.5) / 10000 AS sim
-         FROM r WHERE rk <= 10 ORDER BY label, rk"""
+         FROM r WHERE rk <= 10 ORDER BY label, rk""",
+    "q_llm_readability" ->
+      """WITH m AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_words,
+                           CAST(greatest(len(regexp_extract_all(text,
+                             '[.!?]')), 1) AS BIGINT) AS n_sents,
+                           CAST(len(list_filter(string_split(text, ' '),
+                             t -> length(t) >= 7)) AS BIGINT) AS n_long
+                    FROM documents)
+         SELECT doc_id, n_words, n_sents, n_long,
+                floor((CAST(n_words AS DOUBLE) / n_sents
+                       + 100.0 * n_long / n_words) * 10000 + 0.5) / 10000
+                  AS lix
+         FROM m ORDER BY doc_id"""
   )
 }

@@ -192,4 +192,43 @@ class MiningOpsSpec extends SparkSpecBase {
     }.toSet
     assert(got == want)
   }
+  test("spearman: bounded, one row per flag, exact vs direct recomputation") {
+    val got = q("q_agg_spearman")
+      .select("l_returnflag", "n", "spearman")
+      .as[(String, Long, Double)].collect()
+    val flags = Tables(spark, sf, "lineitem")
+      .select("l_returnflag").distinct().as[String].collect().toSet
+    assert(got.map(_._1).toSet == flags)
+    got.foreach { case (f, n, rho) =>
+      assert(n > 0 && rho >= -1.0 && rho <= 1.0, s"$f: n=$n rho=$rho")
+    }
+    // cross-check one group against a direct in-JVM tie-averaged
+    // Spearman on the raw values (the fixture's price is synthesized
+    // independently of quantity, so rho itself is near 0 — the check
+    // is exactness of the rank formulation, not a domain story)
+    val f0 = got.head._1
+    val xs = Tables(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === f0)
+      .select("l_quantity", "l_extendedprice")
+      .as[(Double, Double)].collect()
+    def ranks(v: Seq[Double]): Map[Double, Double] = {
+      val sorted = v.sorted
+      v.distinct.map { x =>
+        val lo = sorted.indexWhere(_ == x) + 1
+        val hi = sorted.lastIndexWhere(_ == x) + 1
+        x -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = ranks(xs.map(_._1).toSeq); val ry = ranks(xs.map(_._2).toSeq)
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(p => rx(p._1)).sum, xs.map(p => ry(p._2)).sum)
+    val sxx = xs.map(p => rx(p._1) * rx(p._1)).sum
+    val syy = xs.map(p => ry(p._2) * ry(p._2)).sum
+    val sxy = xs.map(p => rx(p._1) * ry(p._2)).sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val gotRho = got.find(_._1 == f0).get._3
+    assert(math.abs(gotRho - want) < 1e-3, s"$f0: $gotRho vs direct $want")
+  }
+
 }

@@ -319,6 +319,33 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_llm_readability is map-only: no hash exchange anywhere") {
+    // all three counts are in-row array/regex math — the only exchange
+    // allowed is the determinism sort's range partitioning
+    val p = physical("q_llm_readability")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
+  test("q_agg_spearman ranks the DISTINCT value relation, never per-row") {
+    // the tie-averaged rank window must run over groupBy(flag, value)
+    // output — a per-row rank window would sort the full fact table
+    // inside a single partition per flag; the distinct relation is
+    // bounded by the value domain instead
+    val p = physical("q_agg_spearman")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // both rank windows sit above an aggregate, not above the raw scan:
+    // every Window operator's child chain must contain a HashAggregate
+    // before reaching a FileScan
+    val segs = p.split("Window").drop(1)
+    assert(segs.forall(s => {
+      val scan = s.indexOf("Scan parquet")
+      val agg = s.indexOf("HashAggregate")
+      agg >= 0 && (scan < 0 || agg < scan)
+    }), p.take(3000))
+  }
+
   test("q_llm_pii_mask is map-only: no hash exchange anywhere") {
     // redaction is a pure scan projection — the only exchange allowed is
     // the determinism sort's range partitioning

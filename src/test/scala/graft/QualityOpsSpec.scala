@@ -138,4 +138,23 @@ class QualityOpsSpec extends SparkSpecBase {
     val got = out.filter(_._1 == l0).sortBy(_._2).map(_._3).toSeq
     assert(got == want, s"label $l0: got $got want $want")
   }
+  test("readability: counts tie out against an in-JVM recomputation") {
+    val got = q("q_llm_readability")
+      .select("doc_id", "n_words", "n_sents", "n_long", "lix")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, w, sn, lg, lix) =>
+      val toks = docs(id).split(" ", -1)
+      assert(w == toks.length, s"doc $id words")
+      assert(sn == math.max(docs(id).count(".!?".contains(_)), 1),
+        s"doc $id sentences")
+      assert(lg == toks.count(_.length >= 7), s"doc $id long words")
+      val want = math.floor((w.toDouble / sn + 100.0 * lg / w) * 1e4 + 0.5) / 1e4
+      assert(lix == want, s"doc $id lix $lix != $want")
+    }
+  }
+
 }
