@@ -150,6 +150,39 @@ object QualityOps {
         .orderBy("label", "rk")
     }),
 
+    // Language-ID confusion matrix — the aggregate eval view of
+    // q_llm_lang_id (which emits per-doc predictions): per (declared
+    // lang, predicted lang) cell, count and share of the declared
+    // language's docs. The same eval pattern as q_llm_cluster_purity /
+    // q_llm_cluster_nmi for clustering: a routing pipeline checks this
+    // table before trusting lang-gated mixtures — the off-diagonal
+    // cells ARE the misrouted budget. Pure integer counts; only the
+    // share rounds. Shape: map-side argmax at the scan (identical
+    // tie-priority chain as q_llm_lang_id) → one bounded (lang, pred)
+    // count shuffle (≤ 5×5 keys) + a broadcast per-lang total.
+    "q_llm_lang_confusion" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      def hits(words: Seq[String]) =
+        size(filter(toks, x => x.isin(words: _*)))
+      val en = hits(Seq("the", "a", "is", "of", "and"))
+      val fr = hits(Seq("le", "la", "et", "les"))
+      val es = hits(Seq("el", "los", "una", "y"))
+      val de = hits(Seq("der", "und", "das", "die"))
+      val cells = t(s, d, "documents")
+        .select(col("lang"),
+          when(en >= fr && en >= es && en >= de && en > 0, "en")
+            .when(fr >= es && fr >= de && fr > 0, "fr")
+            .when(es >= de && es > 0, "es")
+            .when(de > 0, "de")
+            .otherwise("und").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("pred"), col("n"),
+          Det.r(col("n").cast("double") / col("n_lang"), 4).as("share"))
+        .orderBy("lang", "pred")
+    }),
+
     // LIX readability index (Björnsson 1968) — the length-structure
     // readability score curation pipelines use as a cheap complexity
     // gate: LIX = words/sentences + 100·(long words/words), long = ≥7
@@ -263,6 +296,28 @@ object QualityOps {
          SELECT label, CAST(rk AS INTEGER) AS rk, vec_id,
                 floor(sim * 10000 + 0.5) / 10000 AS sim
          FROM r WHERE rk <= 10 ORDER BY label, rk""",
+    "q_llm_lang_confusion" ->
+      """WITH h AS (
+           SELECT lang,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','is','of','and'))) AS INT) AS en,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS INT) AS fr,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','una','y'))) AS INT) AS es,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','und','das','die'))) AS INT) AS de
+           FROM documents),
+              p AS (SELECT lang,
+                           CASE WHEN en >= fr AND en >= es AND en >= de AND en > 0 THEN 'en'
+                                WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+                                WHEN es >= de AND es > 0 THEN 'es'
+                                WHEN de > 0 THEN 'de'
+                                ELSE 'und' END AS pred
+                    FROM h),
+              c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+              t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+                    FROM c GROUP BY 1)
+         SELECT lang, pred, n,
+                floor(CAST(n AS DOUBLE) / n_lang * 10000 + 0.5) / 10000
+                  AS share
+         FROM c JOIN t USING (lang) ORDER BY lang, pred""",
     "q_llm_readability" ->
       """WITH m AS (SELECT doc_id,
                            CAST(len(string_split(text, ' ')) AS BIGINT)

@@ -319,6 +319,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q_llm_lang_confusion: argmax at the scan, totals broadcast") {
+    // the predicted-language CASE chain must evaluate map-side (no
+    // per-doc shuffle before the 5x5 cell agg), and the per-lang totals
+    // join back as a broadcast
+    val p = physical("q_llm_lang_confusion")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q_llm_readability is map-only: no hash exchange anywhere") {
     // all three counts are in-row array/regex math — the only exchange
     // allowed is the determinism sort's range partitioning

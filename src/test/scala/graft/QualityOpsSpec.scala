@@ -157,4 +157,28 @@ class QualityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lang confusion: row sums tie out; diagonal equals lang_id correct") {
+    val cells = q("q_llm_lang_confusion")
+      .select("lang", "pred", "n", "share")
+      .as[(String, String, Long, Double)].collect()
+    assert(cells.nonEmpty)
+    cells.foreach { case (l, p, n, sh) =>
+      assert(n > 0 && sh > 0.0 && sh <= 1.0, s"($l,$p): n=$n share=$sh")
+    }
+    // per declared lang: cell counts sum to the lang's doc count and
+    // shares sum to ~1
+    val docCounts = Tables(spark, sf, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    cells.groupBy(_._1).foreach { case (l, cs) =>
+      assert(cs.map(_._3).sum == docCounts(l), s"$l row sum")
+      assert(math.abs(cs.map(_._4).sum - 1.0) < 1e-3, s"$l share sum")
+    }
+    // the diagonal mass equals q_llm_lang_id's per-doc correct count
+    val diag = cells.filter(c => c._1 == c._2).map(_._3).sum
+    val correct = q("q_llm_lang_id")
+      .agg(sum(col("correct"))).as[Long].head()
+    assert(diag == correct, s"diagonal $diag != lang_id correct $correct")
+  }
+
 }
