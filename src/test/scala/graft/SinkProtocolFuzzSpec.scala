@@ -62,6 +62,11 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // reads at EVERY version present the current mapping, so the
       // model needs no per-version name history)
       var xName = "x"
+      // arm 16 drops the evolved column once: reads at EVERY version
+      // present the current schema, so the drop collapses y
+      // expectations for ALL history (past included) and evolution
+      // stops (the dead physical name is reserved for good)
+      var droppedY = false
 
       def freshRows(n: Int): Seq[(Long, String)] =
         (0 until n).map { _ => nextId += 1; (nextId, s"s$seed-v$nextId") }
@@ -90,7 +95,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 24).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(16)) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(17)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
@@ -171,20 +176,42 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 history :+= ((rv, live, ys))
               case _ => ()
             }
-          case 13 => // schema evolution: append WIDENED rows (id, x, y)
-            val rows = freshRows(1 + rnd.nextInt(2))
-            val wide = rows.map { case (i, s) => (i, s, s"y$i") }
-              .toDF("id", xName, "y")
-            val v = sink.commitAppend(wide, mergeSchema = true)
-            live = live ++ rows
-            ys = ys ++ rows.map { case (i, _) => i -> s"y$i" }
-            history :+= ((v, live, ys))
+          case 13 => // schema evolution: append WIDENED rows (id, x, y).
+            // After arm 16 dropped y, its physical name is tombstoned
+            // for good (ColumnMappingSpec: re-adding the dead physical
+            // is rejected as reserved), so evolution stops for the run.
+            if (!droppedY) {
+              val rows = freshRows(1 + rnd.nextInt(2))
+              val wide = rows.map { case (i, s) => (i, s, s"y$i") }
+                .toDF("id", xName, "y")
+              val v = sink.commitAppend(wide, mergeSchema = true)
+              live = live ++ rows
+              ys = ys ++ rows.map { case (i, _) => i -> s"y$i" }
+              history :+= ((v, live, ys))
+            }
           case 14 => // column mapping: rename x ONCE, mid-history —
             // every later verb must keep translating; reads at every
             // version present the renamed view
             if (xName == "x" && history.nonEmpty) {
               val v = sink.renameColumn("x", "x2")
               xName = "x2"
+              history :+= ((v, live, ys))
+            }
+          case 16 => // DROP COLUMN: drop the evolved column once,
+            // mid-history — reads at EVERY version present the current
+            // schema, so y expectations collapse to empty across ALL
+            // history (time travel and restore targets included), and
+            // the dead physical stays tombstoned for the rest of the
+            // run (arm 13 stops evolving). Exercises drop x {merge, DV
+            // delete, restore-across-drop, time travel, CDC replay,
+            // clone} interactions.
+            if (!droppedY && ys.nonEmpty) {
+              val v = sink.dropColumn("y")
+              droppedY = true
+              ys = Map.empty
+              history = history.map { case (hv, hx, _) =>
+                (hv, hx, Map.empty[Long, String])
+              }
               history :+= ((v, live, ys))
             }
           case 15 => // SHALLOW CLONE once, mid-history: fork the table
