@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -29,6 +29,26 @@ object CorpusStatsOps {
 
   /** Vocabulary size for the OOV-coverage readout (top-V corpus terms). */
   private val V = 512
+
+  /** Per-term Jensen-Shannon contribution for a term PRESENT in P:
+    * p·ln(p/m) + q·ln(q/m) with m = (p+q)/2, nano-floored to a long
+    * from exact integer inputs (the NMI/PMI fixed-point rule). Shared
+    * by q_llm_js_drift and the streaming drift monitor (StreamingSpec)
+    * so batch and serve paths are the same expression tree. */
+  private[graft] def jsTermU(cSt: Column, nS: Column, cT: Column,
+      n: Column): Column = {
+    val p = cSt.cast("double") / nS
+    val qd = cT.cast("double") / n
+    val m = (p + qd) / lit(2)
+    floor((p * log(p / m) + qd * log(qd / m)) * 1e9 + 0.5).cast("long")
+  }
+
+  /** Closed-form mass of the terms ABSENT from P: each contributes
+    * exactly q·ln 2, so the total is ln2·(N − Σ_present c_t)/N — one
+    * nano-floored long, never a materialized absent-term relation. */
+  private[graft] def jsAbsentU(covC: Column, n: Column): Column =
+    floor(lit(math.log(2.0)) * (n - covC).cast("double") / n * 1e9 + 0.5)
+      .cast("long")
 
   val queries: Map[String, QueryFn] = Map(
     // Exact corpus heavy hitters (count > N/200) by the standard
@@ -141,9 +161,6 @@ object CorpusStatsOps {
       val src = stf.groupBy("source").agg(sum(col("c_st")).as("n_s"))
       val ctf = tok.groupBy("term").agg(count(lit(1)).as("c_t"))
       val tot = ctf.agg(sum(col("c_t")).as("n"))
-      val p = col("c_st").cast("double") / col("n_s")
-      val qd = col("c_t").cast("double") / col("n")
-      val m = (p + qd) / lit(2)
       val agg = stf.join(broadcast(src), "source")
         .join(broadcast(ctf), "term")
         .crossJoin(broadcast(tot))
@@ -152,14 +169,11 @@ object CorpusStatsOps {
           count(lit(1)).as("n_terms"),
           sum(col("c_t")).as("cov_c"),
           max(col("n")).as("nn"),
-          sum(floor((p * log(p / m) + qd * log(qd / m)) * 1e9 + 0.5)
-            .cast("long")).as("pres_u"))
+          sum(jsTermU(col("c_st"), col("n_s"), col("c_t"), col("n")))
+            .as("pres_u"))
       agg.select(col("source"), col("n_tokens"), col("n_terms"),
-          Det.r((col("pres_u")
-              + floor(lit(math.log(2.0))
-                  * (col("nn") - col("cov_c")).cast("double") / col("nn")
-                  * 1e9 + 0.5).cast("long")).cast("double") / 1e9 / 2, 4)
-            .as("js_div"))
+          Det.r((col("pres_u") + jsAbsentU(col("cov_c"), col("nn")))
+            .cast("double") / 1e9 / 2, 4).as("js_div"))
         .orderBy("source")
     }),
 

@@ -1329,4 +1329,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
     assert(got == expected, "stream tags diverge from the batch assignment")
   }
+  test("streaming drift monitor matches the batch JS formula per micro-batch") {
+    // The corpus-LM serve path for distribution monitoring: the
+    // committed vocabulary distribution (term counts + total) is the
+    // model, and every incoming micro-batch of documents is scored with
+    // the SAME fixed-point JS expression trees the batch q_llm_js_drift
+    // declares (shared jsTermU/jsAbsentU) via foreachBatch — the drift
+    // gauge an ingest pipeline watches to catch an off-distribution
+    // feed before it pollutes a curated table. Parity is exact
+    // equality, not tolerance: identical integer inputs, identical
+    // nano-floored terms, identical long sums.
+    import graft.queries.CorpusStatsOps
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val ctf = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_t"))
+    val nTotal = ctf.agg(sum(col("c_t"))).as[Long].head()
+
+    def score(batch: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val sp = batch.sparkSession
+      import sp.implicits._
+      val cnt = batch.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c_st"))
+      val nS = cnt.agg(sum(col("c_st"))).as[Long].head()
+      val (terms, covC, presU) = cnt.join(broadcast(ctf), "term")
+        .agg(count(lit(1)), sum(col("c_t")),
+          sum(CorpusStatsOps.jsTermU(col("c_st"), lit(nS), col("c_t"),
+            lit(nTotal))))
+        .as[(Long, Long, Long)].head()
+      val absU = sp.range(1).select(
+        CorpusStatsOps.jsAbsentU(lit(covC), lit(nTotal))).as[Long].head()
+      (nS, terms, (presU + absU).toDouble / 1e9 / 2)
+    }
+
+    val input = MemoryStream[(Long, String)](33, spark, None)
+    val got = scala.collection.concurrent.TrieMap[Long, (Long, Long, Double)]()
+    val qy = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-drift"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.put(id, score(b)); ()
+      }.start()
+    val all = docs.as[(Long, String)].collect()
+    val (b0, b1) = all.partition(_._1 < 250)
+    input.addData(b0.toSeq); qy.processAllAvailable()
+    input.addData(b1.toSeq); qy.processAllAvailable()
+    qy.stop()
+    assert(got.keySet == Set(0L, 1L))
+    // the same fixed-point trees score the same rows in plain batch mode
+    assert(got(0L) == score(docs.filter(col("doc_id") < 250)))
+    assert(got(1L) == score(docs.filter(col("doc_id") >= 250)))
+    // JS against the parent corpus is bounded and small for an
+    // in-distribution half, far from the ln 2 ceiling
+    got.values.foreach { case (_, _, js) =>
+      assert(js >= 0.0 && js < 0.5 * math.log(2.0), s"drift $js")
+    }
+  }
+
 }
