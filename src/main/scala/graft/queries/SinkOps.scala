@@ -134,6 +134,34 @@ object SinkOps {
         sink.delete(s, col("value") < MergeDelCut)
     }
 
+  /** Full-clause MERGE recipe for q_sink_merge_full_read, mirrored
+    * verbatim in its oracle: seed with event_id % 5 != 0, then ONE
+    * mergeFull whose source is the multiples-of-4 slice at value+500 —
+    * matched user-[[MfDelUser]] rows are DELETED instead of updated
+    * (their source rows are consumed, not inserted), rows ABSENT from
+    * the source belonging to user [[MfSyncUser]] are retired by the
+    * not-matched-by-source DELETE (the full-sync clause), every other
+    * matched row takes the +500 update, and id%5==0 multiples of 4
+    * insert fresh. All four clause outcomes land in the oracle gate. */
+  private val MfDelUser = 7L
+  private val MfSyncUser = 2L
+
+  private val builtMergeFull = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mergeFullEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(builtMergeFull, s, d, "graft-mergefull",
+        s"proto=seed(id%5!=0),mf(id%4==0,+500,mdel(u=$MfDelUser),sdel(u=$MfSyncUser))") {
+      (ev, dir) =>
+        val sink = new ExactlyOnceSink(dir.toString)
+        sink.commitAppend(ev.filter(col("event_id") % 5 =!= 0))
+        sink.mergeFull(s,
+          ev.filter(col("event_id") % 4 === 0)
+            .withColumn("value", col("value") + 500.0),
+          Seq("event_id"),
+          matchedDelete = Some(col("user_id") === MfDelUser),
+          notMatchedBySourceDelete = Some(col("user_id") === MfSyncUser))
+    }
+
   /** Merge-on-read predicates for q_sink_dv_read, mirrored verbatim in
     * the oracle: user 3's rows and the high-value tail both exist at
     * every fixture SF (15+ users; value tops ~330 at sf0.001), so both
@@ -314,6 +342,18 @@ object SinkOps {
         .orderBy("event_type")
     }),
 
+    // Read the full-clause-merged table: one mergeFull exercising all
+    // FOUR clause outcomes (matched-delete, matched-update, insert,
+    // not-matched-by-source delete) must equal the CASE/WHERE
+    // reconstruction over the raw fixture — the complete Delta MERGE
+    // surface lands in the oracle gate, not just in a unit test.
+    "q_sink_merge_full_read" -> ((s, d) => {
+      mergeFullEvents(s, d).read(s)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
     // Read the merge-on-read table: what survives two stacked DV deletes
     // plus an incremental OPTIMIZE must equal a plain WHERE over the raw
     // fixture — deletion vectors and bin-packing are physically invisible.
@@ -437,6 +477,25 @@ object SinkOps {
           FROM st
           WHERE NOT (value < $MergeDelCut)
           GROUP BY event_type ORDER BY event_type""",
+    "q_sink_merge_full_read" ->
+      s"""WITH st AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 4 = 0 THEN value + 500.0
+                        ELSE value END AS value
+            FROM events
+            WHERE CASE
+                    -- seeded + matched: deleted iff the matched-delete user
+                    WHEN event_id % 5 <> 0 AND event_id % 4 = 0
+                      THEN user_id <> $MfDelUser
+                    -- seeded + not matched by source: full-sync retire
+                    WHEN event_id % 5 <> 0
+                      THEN user_id <> $MfSyncUser
+                    -- unseeded rows exist only as fresh inserts (id%4=0)
+                    ELSE event_id % 4 = 0
+                  END)
+          SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM st GROUP BY event_type ORDER BY event_type""",
     "q_sink_zorder_skip" ->
       s"""SELECT event_type, count(*) AS n,
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum

@@ -1687,6 +1687,35 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * CDF does for MERGE: update rows as preimage+postimage pairs,
     * non-matching rows as inserts. */
   def merge(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      streamTxn: Option[(String, Long)] = None): Long =
+    mergeFull(spark, updates, keys, streamTxn = streamTxn)
+
+  /** Full-clause MERGE — the complete Delta MERGE surface in one verb:
+    *
+    *   WHEN MATCHED AND matchedDelete(target)                THEN DELETE
+    *   WHEN MATCHED                            THEN UPDATE (whole-row)
+    *   WHEN NOT MATCHED                                      THEN INSERT
+    *   WHEN NOT MATCHED BY SOURCE
+    *        AND notMatchedBySourceDelete(target)             THEN DELETE
+    *
+    * Both delete predicates evaluate over the COMMITTED (target) row —
+    * Delta's clause-condition-on-target form; the source row of a
+    * matched-DELETE key is consumed by that clause and does NOT insert
+    * (exactly Delta's clause precedence). [[merge]] is the
+    * no-delete-clause special case and delegates here. The
+    * not-matched-by-source DELETE is what a full-sync MERGE uses to
+    * retire dimension rows absent from the feed.
+    *
+    * Whole-row upsert semantics as before: an update row REPLACES the
+    * committed row, columns it omits go null; allowMissingColumns on
+    * every union keeps the verb valid across schema evolution.
+    *
+    * CDC: deletes from either clause record `delete` rows, replaced
+    * rows record preimage+postimage pairs, unmatched sources record
+    * inserts — so an incremental consumer can follow every clause. */
+  def mergeFull(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      matchedDelete: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
       streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     enforceSchema(updates, mergeSchema = false, "merge")
@@ -1694,22 +1723,37 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (current.isEmpty) {
         (updates, Some(updates.withColumn("_change_type", lit("insert"))))
       } else {
-        // whole-row upsert: an update row REPLACES the committed row, so
-        // columns the update omits (e.g. evolved-in after the fact) go
-        // null — allowMissingColumns on every union keeps the verb valid
-        // across schema evolution instead of failing analysis
+        val mdel = matchedDelete.getOrElse(lit(false))
+        val sdel = notMatchedBySourceDelete.getOrElse(lit(false))
         val keyRel = updates.select(keys.map(col): _*).distinct()
-        val state = current.join(keyRel, keys, "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-        val inserted = updates.join(current.select(keys.map(col): _*), keys, "left_anti")
-          .withColumn("_change_type", lit("insert"))
-        val pre = current.join(keyRel, keys, "left_semi")
-          .withColumn("_change_type", lit("update_preimage"))
-        val post = updates.join(current.select(keys.map(col): _*), keys, "left_semi")
-          .withColumn("_change_type", lit("update_postimage"))
-        (state, Some(inserted
-          .unionByName(pre, allowMissingColumns = true)
-          .unionByName(post, allowMissingColumns = true)))
+        val matched = current.join(keyRel, keys, "left_semi")
+        val bySource = current.join(keyRel, keys, "left_anti")
+        val deletedMatched = matched.filter(mdel)
+        val replaced = matched.filter(!mdel)
+        // only keys whose committed row SURVIVED the matched-delete
+        // clause take the update row; matched-delete keys drop both sides
+        val replKeys = replaced.select(keys.map(col): _*).distinct()
+        val updReplace = updates.join(replKeys, keys, "left_semi")
+        val updInsert = updates
+          .join(current.select(keys.map(col): _*), keys, "left_anti")
+        val deletedBySource = bySource.filter(sdel)
+        val state = bySource.filter(!sdel)
+          .unionByName(updReplace, allowMissingColumns = true)
+          .unionByName(updInsert, allowMissingColumns = true)
+        val changes = updInsert.withColumn("_change_type", lit("insert"))
+          .unionByName(replaced
+            .withColumn("_change_type", lit("update_preimage")),
+            allowMissingColumns = true)
+          .unionByName(updReplace
+            .withColumn("_change_type", lit("update_postimage")),
+            allowMissingColumns = true)
+          .unionByName(deletedMatched
+            .withColumn("_change_type", lit("delete")),
+            allowMissingColumns = true)
+          .unionByName(deletedBySource
+            .withColumn("_change_type", lit("delete")),
+            allowMissingColumns = true)
+        (state, Some(changes))
       }
     }
   }

@@ -1385,4 +1385,40 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("mergeFull: all four clause outcomes land, CDC records every one") {
+    // target 1..6, source 4..9(+s): matched 4,5,6 / insert 7,8,9 /
+    // not-matched-by-source 1,2,3. matchedDelete kills target 5 (its
+    // source row is CONSUMED, not inserted — Delta clause precedence);
+    // notMatchedBySourceDelete retires 1 and 2 (the full-sync clause);
+    // 3 survives untouched; 4 and 6 take the whole-row update.
+    val dir = tmp("graft-mergefull-unit")
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend((1L to 6L).map(i => (i, s"t$i")).toDF("id", "x"))
+    val v = sink.mergeFull(spark,
+      (4L to 9L).map(i => (i, s"s$i")).toDF("id", "x"), Seq("id"),
+      matchedDelete = Some(col("id") === 5L),
+      notMatchedBySourceDelete = Some(col("id") <= 2L))
+    val got = sink.read(spark).select("id", "x").as[(Long, String)]
+      .collect().toMap
+    assert(got === Map(3L -> "t3", 4L -> "s4", 6L -> "s6",
+      7L -> "s7", 8L -> "s8", 9L -> "s9"))
+    // metadata COUNT(*) agrees after the clause mix
+    assert(sink.rowCount(spark) === 6L)
+    // the CDC feed carries every clause: 3 inserts, 2 pre/post pairs,
+    // 3 deletes (one matched-DELETE + two by-source)
+    val ch = sink.readChanges(spark, fromVersion = v - 1)
+      .select("_change_type", "id", "x").as[(String, Long, String)]
+      .collect().groupBy(_._1)
+    assert(ch("insert").map(_._2).sorted.toSeq == Seq(7L, 8L, 9L))
+    assert(ch("update_preimage").map(r => r._2 -> r._3).toMap ===
+      Map(4L -> "t4", 6L -> "t6"))
+    assert(ch("update_postimage").map(r => r._2 -> r._3).toMap ===
+      Map(4L -> "s4", 6L -> "s6"))
+    assert(ch("delete").map(r => r._2 -> r._3).toMap ===
+      Map(1L -> "t1", 2L -> "t2", 5L -> "t5"))
+    // time travel to the seed still sees the pre-merge state
+    assert(sink.read(spark, versionAsOf = Some(v - 1))
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
+  }
+
 }
