@@ -95,7 +95,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 24).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(17)) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(18)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
@@ -195,6 +195,28 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             if (xName == "x" && history.nonEmpty) {
               val v = sink.renameColumn("x", "x2")
               xName = "x2"
+              history :+= ((v, live, ys))
+            }
+          case 17 => // FULL-CLAUSE MERGE: one matched key DELETED (its
+            // source row consumed, not inserted), one absent key retired
+            // by the not-matched-by-source clause, the rest whole-row
+            // updated + fresh inserts — all four clause outcomes under
+            // the whole interaction product (evolution, rename, clone,
+            // retention, CDC replay)
+            if (live.nonEmpty) {
+              val ks = rnd.shuffle(live.keys.toSeq)
+              val delK = ks.headOption.toSeq
+              val updK = ks.drop(1).take(rnd.nextInt(2))
+              val syncK = ks.drop(1 + updK.size).headOption.toSeq
+              val ins = freshRows(rnd.nextInt(2))
+              val updates = (delK ++ updK).map(k => (k, s"mf$step-$k")) ++ ins
+              val v = sink.mergeFull(spark, df(updates, xName), Seq("id"),
+                matchedDelete = delK.headOption.map(k => col("id") === k),
+                notMatchedBySourceDelete =
+                  syncK.headOption.map(k => col("id") === k))
+              live = (live -- delK -- syncK) ++
+                updK.map(k => (k, s"mf$step-$k")) ++ ins
+              ys = ys -- delK -- syncK -- updK -- ins.map(_._1)
               history :+= ((v, live, ys))
             }
           case 16 => // DROP COLUMN: drop the evolved column once,
