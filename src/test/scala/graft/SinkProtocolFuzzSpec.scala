@@ -5,15 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.streaming.ExactlyOnceSink
 
 /** Model-based fuzz of the sink's commit protocol: seeded random
-  * sequences of append / merge / mergeDV / delete / deleteDV /
-  * cleanupLog / vacuum (both copy-on-write and merge-on-read,
-  * including DV-cap-forced rewrites), checked
-  * after every step against an in-memory reference model — live state,
-  * per-version history for time travel, and the retention boundary.
-  * The targeted specs (StreamingSpec, LogCheckpointSpec) pin each
-  * feature in isolation; this one hunts for INTERACTION bugs between
-  * compaction, checkpoints, retention and vacuum that no hand-written
-  * scenario anticipates. Seeds are fixed, so a failure reproduces. */
+  * sequences of append / merge / mergeFull (all four clause outcomes) /
+  * mergeDV / delete / deleteDV / restore / schema evolution / column
+  * rename / column DROP / shallow clone / cleanupLog / vacuum /
+  * incremental OPTIMIZE (copy-on-write and merge-on-read, including
+  * DV-cap-forced rewrites), checked after every step against an
+  * in-memory reference model — live state, per-version history for
+  * time travel, and the retention boundary — and at the end by a
+  * CDC-replay fold (the change feed from the earliest retained version
+  * must reconstruct the final state exactly). The targeted specs
+  * (StreamingSpec, LogCheckpointSpec, ColumnMappingSpec) pin each
+  * feature in isolation; this one hunts for INTERACTION bugs no
+  * hand-written scenario anticipates. Seeds are fixed, so a failure
+  * reproduces. */
 class SinkProtocolFuzzSpec extends SparkSpecBase {
   import spark.implicits._
 
