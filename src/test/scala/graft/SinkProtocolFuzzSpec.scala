@@ -44,7 +44,12 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
   // otherwise probabilistic and a no-fork run would leave the
   // clone × {merge, DV, restore, evolution, rename, retention} product
   // untested for that seed
-  for ((seed, forceCloneAt) <- Seq((7L, -1), (23L, -1), (101L, -1), (55L, 8)))
+  for ((seed, forceCloneAt) <- Seq((7L, -1), (23L, -1), (101L, -1), (55L, 8),
+      // two more sequence draws: one plain, one forking LATE (step 20)
+      // so the clone inherits a long history — incl. whatever renames,
+      // drops and full-clause merges the run accumulated — and the
+      // post-fork verbs run against mostly-foreign files
+      (13L, -1), (42L, 20)))
     test(s"protocol fuzz seed=$seed" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt)" else "") +
         ": reads, time travel and retention match the model") {
