@@ -27,6 +27,39 @@ object PipelineOps {
   private def h32(s: SparkSession, c: Column): Column =
     graft.functions.PortableHash32.portableHash32(s, c)
 
+  /** Per-doc mean unigram NLL in integer micros — the exact LONG
+    * floor-quotient relation both perplexity-bucket variants rank on
+    * (term-count shuffle + broadcast vocab scoring + one doc agg). */
+  private def pplDocNll(s: SparkSession, d: String) = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val cf = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val tot = cf.agg(sum(col("ctf")).as("t"))
+    tok.join(broadcast(cf), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_u",
+        floor(-log(col("ctf").cast("double") / col("t")) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll_u")).as("su"))
+      // exact integer mean: both engines floor the identical quotient
+      .select(col("doc_id"),
+        floor(col("su").cast("double") / col("n_tok")).cast("long")
+          .as("nll_u"))
+  }
+
+  /** The quartile-bucket readout both perplexity-bucket variants emit. */
+  private def pplBucketReadout(b: org.apache.spark.sql.DataFrame) =
+    b.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nll_u")).as("bsum"),
+        min(col("nll_u")).as("bmin"), max(col("nll_u")).as("bmax"))
+      .select(col("bucket"), col("n_docs"),
+        Det.r(col("bsum").cast("double") / col("n_docs") / 1e6, 4)
+          .as("avg_nll"),
+        Det.r(col("bmin").cast("double") / 1e6, 4).as("min_nll"),
+        Det.r(col("bmax").cast("double") / 1e6, 4).as("max_nll"))
+      .orderBy("bucket")
+
   val queries: Map[String, QueryFn] = Map(
     // Repetition-based quality scoring (the Gopher/C4-style "fraction of
     // text inside the most repeated n-gram" rule): per doc, count bigram
@@ -146,34 +179,31 @@ object PipelineOps {
     // At 100 TB the split would come from broadcast thresholds off a
     // percentile sketch (q_agg_approx_pct) instead of a global rank;
     // same readout, sketch-accurate boundaries.
-    "q_llm_ppl_bucket" -> ((s, d) => {
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val cf = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
-      val tot = cf.agg(sum(col("ctf")).as("t"))
-      val doc = tok.join(broadcast(cf), "term")
-        .crossJoin(broadcast(tot))
-        .withColumn("nll_u",
-          floor(-log(col("ctf").cast("double") / col("t")) * 1e6 + 0.5)
-            .cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("nll_u")).as("su"))
-        // exact integer mean: both engines floor the identical quotient
-        .select(col("doc_id"),
-          floor(col("su").cast("double") / col("n_tok")).cast("long")
-            .as("nll_u"))
-      doc
+    "q_llm_ppl_bucket" -> ((s, d) =>
+      pplBucketReadout(pplDocNll(s, d).withColumn("bucket",
+        ntile(4).over(Window.orderBy(col("nll_u"), col("doc_id")))))),
+
+    // The 100 TB twin of q_llm_ppl_bucket: the exact global ntile is
+    // replaced by THREE broadcast thresholds off a percentile sketch
+    // (approx_percentile over the per-doc NLL relation) — the split a
+    // real corpus-scale pipeline uses, since a single-partition rank of
+    // every document cannot scale. No oracle by design (the sketch's
+    // thresholds are approximate and merge-order-dependent);
+    // OperatorSpec gates each bucket's population within tolerance of
+    // the exact quartile split and asserts the mean-NLL ordering.
+    // Shape: the same doc-NLL relation, then ONE 1-row sketch agg
+    // broadcast back — map-side bucket assignment, no window at all.
+    "q_llm_ppl_bucket_approx" -> ((s, d) => {
+      val doc = pplDocNll(s, d)
+      val th = doc.agg(percentile_approx(col("nll_u"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("t"))
+      pplBucketReadout(doc.crossJoin(broadcast(th))
         .withColumn("bucket",
-          ntile(4).over(Window.orderBy(col("nll_u"), col("doc_id"))))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"), sum(col("nll_u")).as("bsum"),
-          min(col("nll_u")).as("bmin"), max(col("nll_u")).as("bmax"))
-        .select(col("bucket"), col("n_docs"),
-          Det.r(col("bsum").cast("double") / col("n_docs") / 1e6, 4)
-            .as("avg_nll"),
-          Det.r(col("bmin").cast("double") / 1e6, 4).as("min_nll"),
-          Det.r(col("bmax").cast("double") / 1e6, 4).as("max_nll"))
-        .orderBy("bucket")
+          (lit(1) + when(col("nll_u") > col("t")(0), 1).otherwise(0)
+            + when(col("nll_u") > col("t")(1), 1).otherwise(0)
+            + when(col("nll_u") > col("t")(2), 1).otherwise(0))
+            .cast("int"))
+        .drop("t"))
     }),
 
     // Bigram-LM quality scoring — the order-sensitive upgrade of

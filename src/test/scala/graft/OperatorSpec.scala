@@ -176,4 +176,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(a.sameElements(b)) // fixed md5 sign matrix — no run-to-run drift
     assert(a.length == Tables(spark, sf, "embeddings").count())
   }
+  test("approx ppl buckets within 15% of the exact quartile split") {
+    val exact = q("q_llm_ppl_bucket")
+      .select("bucket", "n_docs").as[(Int, Long)].collect().toMap
+    val approx = q("q_llm_ppl_bucket_approx")
+      .select("bucket", "n_docs").as[(Int, Long)].collect().toMap
+    // every doc lands in exactly one sketch bucket
+    assert(approx.values.sum == exact.values.sum)
+    (1 to 4).foreach { b =>
+      val e = exact(b); val a = approx.getOrElse(b, 0L)
+      assert(math.abs(a - e).toDouble / e <= 0.15,
+        s"bucket $b: approx $a exact $e")
+    }
+    // threshold bucketing preserves the mean-NLL ordering
+    val avgs = q("q_llm_ppl_bucket_approx")
+      .select("bucket", "avg_nll").as[(Int, Double)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(avgs.sliding(2).forall {
+      case Array(x, y) => x <= y; case _ => true
+    }, avgs.mkString(","))
+  }
+
 }

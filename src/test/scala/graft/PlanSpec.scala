@@ -295,6 +295,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_llm_ppl_bucket_approx buckets via broadcast thresholds, no window") {
+    // the 100 TB point of the sketch variant: NO single-partition ntile
+    // anywhere — the three quartile thresholds ride a 1-row broadcast
+    // and bucket assignment is map-side
+    val p = physical("q_llm_ppl_bucket_approx")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_llm_ppl_bucket scores tokens via the broadcast vocab join") {
     // the term-frequency table joins the token stream as a broadcast
     // (vocab is sublinear in the corpus) — an SMJ here would shuffle
