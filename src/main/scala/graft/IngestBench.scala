@@ -98,7 +98,9 @@ object IngestBench {
       Seq(topicDir, tableDir, ckptDir).foreach { d =>
         val p = java.nio.file.Paths.get(d)
         if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          locally { val st = Files.walk(p)
+            try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally st.close() }
       }
     }
   }
@@ -195,7 +197,9 @@ object IngestBench {
       Seq(topicDir, tableDir, ckptDir).foreach { d =>
         val p = java.nio.file.Paths.get(d)
         if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          locally { val st = Files.walk(p)
+            try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally st.close() }
       }
     }
   }

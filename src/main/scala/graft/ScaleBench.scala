@@ -197,7 +197,9 @@ object ScaleBench {
       import scala.jdk.CollectionConverters._
       val p = Paths.get(scaledDir)
       if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        locally { val st = Files.walk(p)
+            try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally st.close() }
       spark.stop()
     }
   }

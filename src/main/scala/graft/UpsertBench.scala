@@ -75,7 +75,9 @@ object UpsertBench {
     import scala.jdk.CollectionConverters._
     val path = java.nio.file.Paths.get(dir)
     if (Files.exists(path))
-      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      locally { val st = Files.walk(path)
+            try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally st.close() }
   }
 
   def main(args: Array[String]): Unit = {

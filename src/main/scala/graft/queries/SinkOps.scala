@@ -90,7 +90,9 @@ object SinkOps {
         if (!fresh) {
           import scala.jdk.CollectionConverters._
           (dir +: alsoWipe(dir)).filter(Files.exists(_)).foreach { pth =>
-            Files.walk(pth).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            val st = Files.walk(pth)
+            try st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            finally st.close()
           }
           Files.createDirectories(dir)
           build(ev, dir)

@@ -79,13 +79,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private def logFile(version: Long): Path =
     logDir.resolve(f"$version%020d.json")
 
+  /** Drain a Files.list/Files.walk stream through `f`, CLOSING the
+    * underlying directory descriptor. The java.nio directory streams
+    * hold an open FD until closed — and [[committedVersions]] runs on
+    * EVERY verb and read, so an unclosed stream is a real descriptor
+    * leak for a long-lived writer (observed as EMFILE at the 20k cap
+    * once the test suite crossed ~320 Spark-heavy tests in one JVM). */
+  private def withDirStream[A, B](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => B): B =
+    try f(s.iterator().asScala) finally s.close()
+
   def committedVersions(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Seq.empty
-    Files.list(logDir).iterator().asScala
+    withDirStream(Files.list(logDir))(_
       .map(_.getFileName.toString)
       .filter(f => f.endsWith(".json") && !f.startsWith("."))
       .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+      .toSeq).sorted
   }
 
   def isCommitted(version: Long): Boolean = Files.exists(logFile(version))
@@ -122,8 +132,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val writer = physical.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(staging.toString)
-    Files.walk(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    withDirStream(Files.walk(staging))(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       .map(p => staging.relativize(p)).sortBy(_.toString)
   }
 
@@ -150,7 +160,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case b: Binary => b.toStringUsingUTF8
       case x => String.valueOf(x)
     }
-    val perFile = Files.walk(staging).iterator().asScala
+    val perFile = withDirStream(Files.walk(staging))(_
       .filter(_.getFileName.toString.endsWith(".parquet")).map { file =>
         val rel = staging.relativize(file).toString.replace("\\", "/")
         val stats = scala.collection.mutable
@@ -178,7 +188,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         (rel, stats.toMap.map { case (c, st) =>
           c -> (render(st.genericGetMin), render(st.genericGetMax))
         }, rowCount)
-      }.toSeq
+      }.toSeq)
     StagedMeta(
       perFile.map { case (rel, st, _) => rel -> st }.toMap,
       perFile.map { case (rel, _, n) => rel -> n }.toMap)
@@ -436,11 +446,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * so `committedVersions` never sees them). */
   private def checkpointVersions(): Seq[Long] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala
+    else withDirStream(Files.list(logDir))(_
       .map(_.getFileName.toString)
       .filter(f => f.endsWith(".checkpoint") && !f.startsWith("."))
       .map(_.stripSuffix(".checkpoint").toLong)
-      .toSeq.sorted
+      .toSeq).sorted
 
   /** The latest-wins metadata state a checkpoint must carry so that raw
     * log entries below it can be reclaimed ([[cleanupLog]]): the active
@@ -2957,21 +2967,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
     def purge(p: Path): Unit =
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      withDirStream(Files.walk(p))(_.toSeq).reverse.foreach(Files.delete)
     var removed = 0
     // abandoned staging dirs (crashed or lost-race writers)
-    Files.list(Paths.get(tableDir)).iterator().asScala
+    withDirStream(Files.list(Paths.get(tableDir)))(_
       .filter(p => p.getFileName.toString.startsWith(".staging-"))
-      .filter(oldEnough)
+      .filter(oldEnough).toSeq)
       .foreach { p => purge(p); removed += 1 }
     // unreferenced data dirs
     val roots = Seq(dataDir, dataDir.resolve("files"), dataDir.resolve("changes"))
       .filter(Files.isDirectory(_))
     roots.foreach { root =>
-      Files.list(root).iterator().asScala
+      withDirStream(Files.list(root))(_
         .filter(p => Files.isDirectory(p) &&
           !Set("files", "changes").contains(p.getFileName.toString))
-        .filter(oldEnough)
+        .filter(oldEnough).toSeq)
         .foreach { p =>
           val rel = dataDir.relativize(p).toString.replace("\\", "/")
           if (!referenced.contains(rel)) { purge(p); removed += 1 }
