@@ -183,6 +183,28 @@ object QualityOps {
         .orderBy("lang", "pred")
     }),
 
+    // Compression-ratio quality filter (the Gopher corpus-quality
+    // signal): deflated bytes / raw bytes per doc. Templated or
+    // repetitive text compresses far below the corpus norm; high-entropy
+    // noise (mojibake, minified blobs, random ids) barely compresses —
+    // both tails get gated before training. Raw-DEFLATE length via the
+    // codegen'd `DeflateLen` kernel (thread-local zlib stream, no
+    // per-row allocation); no DuckDB twin exists, so this is declared
+    // no-oracle and gated by an EXACT in-JVM Deflater recomputation in
+    // OperatorSpec (the sketch-op pattern, but with exact equality).
+    // Shape: map-only scan — zero shuffles; at 100 TB this is the
+    // canonical embarrassingly-parallel quality pass.
+    "q_llm_compress_ratio" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.DeflateLen.deflateLen(s, col("text"))
+            .as("z_bytes"))
+        .select(col("doc_id"), col("n_bytes"), col("z_bytes"),
+          Det.r(col("z_bytes").cast("double") / col("n_bytes"), 4)
+            .as("ratio"))
+        .orderBy("doc_id")),
+
     // LIX readability index (Björnsson 1968) — the length-structure
     // readability score curation pipelines use as a cheap complexity
     // gate: LIX = words/sentences + 100·(long words/words), long = ≥7

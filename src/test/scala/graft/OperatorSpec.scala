@@ -197,4 +197,37 @@ class OperatorSpec extends SparkSpecBase {
     }, avgs.mkString(","))
   }
 
+  test("compress ratio: exact vs an in-JVM Deflater recomputation") {
+    val got = q("q_llm_compress_ratio")
+      .select("doc_id", "n_bytes", "z_bytes", "ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    def zlen(text: String): Long = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(text.getBytes("UTF-8")); d.finish()
+        val b = new Array[Byte](16 * 1024)
+        var t = 0L
+        while (!d.finished()) t += d.deflate(b)
+        t
+      } finally d.end()
+    }
+    got.foreach { case (id, nb, zb, r) =>
+      val bytes = docs(id).getBytes("UTF-8").length.toLong
+      assert(nb == bytes, s"doc $id n_bytes")
+      assert(zb == zlen(docs(id)), s"doc $id z_bytes")
+      assert(r == math.floor(zb.toDouble / nb * 1e4 + 0.5) / 1e4, s"doc $id ratio")
+    }
+    // the signal separates redundancy: a 200x-repeated token compresses
+    // an order of magnitude below the corpus's natural-text median
+    import org.apache.spark.sql.functions.lit
+    val rep = ("spam " * 200).trim
+    val repRatio = zlen(rep).toDouble / rep.getBytes("UTF-8").length
+    val med = got.map(_._4).sorted.apply(got.length / 2)
+    assert(repRatio < med / 5, s"repeated $repRatio vs median $med")
+  }
+
 }

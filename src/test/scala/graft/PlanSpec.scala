@@ -339,6 +339,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q_llm_compress_ratio: map-only and the kernel stays in codegen") {
+    // the deflate pass must be an embarrassingly-parallel scan (no
+    // exchange) and the DeflateLen expression must not break
+    // whole-stage codegen (it generates a static kernel call)
+    val p = finalPhysical("q_llm_compress_ratio")
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    // the projection computing deflate_len must carry the whole-stage
+    // codegen marker (AQE's final plan renders codegen stages as "*(n)")
+    assert("""\*\(\d+\) Project .*deflate_len""".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("q_llm_readability is map-only: no hash exchange anywhere") {
     // all three counts are in-row array/regex math — the only exchange
     // allowed is the determinism sort's range partitioning
