@@ -58,7 +58,11 @@ object ScaleBench {
     // distinct_ngrams pays a corpus-wide (source, gram) count-distinct,
     // js_drift a full (source, term) contingency shuffle — both should
     // track the data ratio (vocabulary growth is sublinear)
-    "q_llm_js_drift", "q_llm_distinct_ngrams")
+    "q_llm_js_drift", "q_llm_distinct_ngrams",
+    // exact Spearman ranks the near-unique price domain: its distinct
+    // relation and the value-key join back both scale with the corpus —
+    // the one rank-based op, measured rather than argued
+    "q_agg_spearman")
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
@@ -110,15 +114,32 @@ object ScaleBench {
         .withColumn("user_id", col("user_id") + lit(k * uidStride))
     }
 
+    // lineitem: q_agg_spearman's value-domain scaling path — a one-cent
+    // per-copy shift keeps each copy's internal rank structure intact
+    // while the near-unique price DOMAIN (the distinct relation the
+    // rank window sorts, and the value-key join fan-in) grows K×, which
+    // is exactly the term the canary must measure. Order keys offset
+    // for disjointness; no canary query joins lineitem to the unscaled
+    // dimensions, so FK consistency is not required of this fixture.
+    val okStride = stride(Tables(spark, baseDir, "lineitem"), "l_orderkey")
+    val lis = scaled("lineitem") { (df, k) =>
+      if (k == 0) df
+      else df
+        .withColumn("l_extendedprice", col("l_extendedprice") + lit(k * 0.01))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
+    }
+
     val out = Paths.get(outDir)
     Files.createDirectories(out)
-    (Tables.all.toSet -- Set("documents", "embeddings", "events")).foreach {
+    (Tables.all.toSet --
+      Set("documents", "embeddings", "events", "lineitem")).foreach {
       n => Tables(spark, baseDir, n)
         .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
     }
     docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     evs.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    lis.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {

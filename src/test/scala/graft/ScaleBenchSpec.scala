@@ -81,6 +81,27 @@ class ScaleBenchSpec extends SparkSpecBase
     assert(drift < 1e-5, s"rotation broke intra-copy geometry: $drift")
   }
 
+  test("lineitem scaling grows the price domain, keeps rank structure") {
+    import spark.implicits._
+    val base = Tables(spark, sf, "lineitem")
+    val big = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(big.count() === base.count() * 3)
+    // the near-unique price DOMAIN must grow with the copies (the term
+    // q_agg_spearman's distinct-relation window actually sorts) ...
+    val dBase = base.select("l_extendedprice").distinct().count()
+    val dBig = big.select("l_extendedprice").distinct().count()
+    assert(dBig > dBase * 2, s"price domain did not scale: $dBase -> $dBig")
+    // ... while a constant per-copy shift preserves every copy's
+    // internal ordering, so per-flag row counts scale exactly
+    val perFlag = base.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().foreach { case (f, n) =>
+        assert(n === perFlag(f) * 3, s"flag $f")
+      }
+  }
+
   override def afterAll(): Unit = {
     if (built) {
       import scala.jdk.CollectionConverters._
