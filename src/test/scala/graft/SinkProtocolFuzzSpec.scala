@@ -6,6 +6,7 @@ import graft.streaming.ExactlyOnceSink
 
 /** Model-based fuzz of the sink's commit protocol: seeded random
   * sequences of append / merge / mergeFull (all four clause outcomes) /
+  * replaceWhere (atomic predicate backfill) /
   * mergeDV / delete / deleteDV / restore / schema evolution / column
   * rename / column DROP / shallow clone / cleanupLog / vacuum /
   * incremental OPTIMIZE (copy-on-write and merge-on-read, including
@@ -104,7 +105,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 24).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(18)) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(19)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
@@ -204,6 +205,19 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             if (xName == "x" && history.nonEmpty) {
               val v = sink.renameColumn("x", "x2")
               xName = "x2"
+              history :+= ((v, live, ys))
+            }
+          case 18 => // REPLACE WHERE: the atomic backfill verb — delete
+            // everything at/above a sampled key and insert fresh rows
+            // in ONE snapshot commit (ids are monotone, so every fresh
+            // row satisfies the predicate and the per-row guard holds)
+            if (live.nonEmpty) {
+              val lo = live.keys.toSeq(rnd.nextInt(live.size))
+              val rows = freshRows(1 + rnd.nextInt(2))
+              val v = sink.replaceWhere(spark, col("id") >= lo,
+                df(rows, xName))
+              live = live.filter(_._1 < lo) ++ rows
+              ys = ys.filter(_._1 < lo)
               history :+= ((v, live, ys))
             }
           case 17 => // FULL-CLAUSE MERGE: one matched key DELETED (its
