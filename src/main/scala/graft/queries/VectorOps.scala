@@ -193,6 +193,15 @@ object VectorOps {
     graft.operators.StageCache.relation(s, "kmeans", d)(
       embFingerprint(s, d))(kmeansAssign(s, d))
 
+  /** The committed k-means MODEL (round-2 centroid table) — the serve
+    * half of the decode/serve split for evals that need centroids, not
+    * just assignments (q_llm_silhouette; the streaming tagger broadcasts
+    * the same table). Same fingerprint-gated StageCache discipline as
+    * the assignment stage; K rows, so the cache read is metadata-sized. */
+  private def kmeansModelStage(s: SparkSession, d: String): DataFrame =
+    graft.operators.StageCache.relation(s, "kmcentroids", d)(
+      embFingerprint(s, d))(kmeansCentroids(s, d))
+
   val queries: Map[String, QueryFn] = Map(
     // Brute-force cosine top-k: the correctness baseline for ANN. The
     // (small) query set is broadcast against the full candidate scan.
@@ -666,11 +675,13 @@ object VectorOps {
     // one scan × broadcast K-row centroid table; the per-vector
     // (own, runner-up) pair comes from sorting the K-element struct
     // array inside the row (no window, no extra shuffle), then one
-    // bounded K-row agg. Like q_llm_kmeans this declares the full
-    // trainer — the eval needs the model, not just the assignment.
+    // bounded K-row agg. The centroid table is SERVED from the
+    // committed model stage (kmeansModelStage — the centroid half of
+    // the decode/serve split, q_llm_kmeans declares the trainer); the
+    // per-vector distance work is the eval's own job and stays live.
     "q_llm_silhouette" -> ((s, d) => {
       val dists = kmQuantized(s, d)
-        .crossJoin(broadcast(kmeansCentroids(s, d)))
+        .crossJoin(broadcast(kmeansModelStage(s, d)))
         .select(col("vec_id"),
           struct(kmDist2(col("qv"), col("cent")).as("d2"),
             col("cid")).as("dc"))
