@@ -192,4 +192,34 @@ object KernelProps extends Properties("graft.kernels") {
       val f = winnow(s)
       f == f.distinct.sorted
     }
+  // ---- DeflateLen: the compression-ratio kernel ----
+
+  private def zlen(s: String): Long =
+    graft.functions.DeflateLenKernel.len(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  property("deflate-len: deterministic (thread-local stream resets)") =
+    forAll(Gen.asciiPrintableStr) { s => zlen(s) == zlen(s) }
+
+  property("deflate-len: matches a fresh java.util.zip.Deflater") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val b = new Array[Byte](16 * 1024)
+        var t = 0L
+        while (!d.finished()) t += d.deflate(b)
+        zlen(s) == t
+      } finally d.end()
+    }
+
+  property("deflate-len: repetition compresses sublinearly") =
+    forAll(token) { t =>
+      // 64 copies of any token deflate to well under half the raw bytes
+      val rep = Seq.fill(64)(t).mkString(" ")
+      zlen(rep) * 2 < rep.getBytes("UTF-8").length.toLong ||
+        rep.length < 32 // degenerate ultra-short inputs have fixed overhead
+    }
+
 }
