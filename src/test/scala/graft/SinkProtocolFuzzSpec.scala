@@ -46,7 +46,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
   // clone × {merge, DV, restore, evolution, rename, retention} product
   // untested for that seed
   for ((seed, forceCloneAt) <- Seq((7L, -1), (23L, -1), (101L, -1), (55L, 8),
-      // two more sequence draws: one plain, one forking LATE (step 20)
+      // two more sequence draws: one plain, one forking LATE (step 20 of 32)
       // so the clone inherits a long history — incl. whatever renames,
       // drops and full-clause merges the run accumulated — and the
       // post-fork verbs run against mostly-foreign files
@@ -104,7 +104,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         }
       }
 
-      (1 to 24).foreach { step =>
+      (1 to 32).foreach { step =>
         (if (step == forceCloneAt) 15 else rnd.nextInt(19)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
