@@ -374,9 +374,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     try {
       val in = Files.newInputStream(logFile(version))
       try {
-        val buf = new Array[Byte](40)
-        val n = in.read(buf)
-        val head = new String(buf, 0, math.max(n, 0), "UTF-8")
+        // readNBytes, not read: a single read() may legally return
+        // short, and a truncated head would silently classify a
+        // stamped entry as pre-ICT (mtime fallback), weakening the
+        // monotonicity clamp for that claim.
+        val buf = in.readNBytes(40)
+        val head = new String(buf, 0, buf.length, "UTF-8")
         val m = """^\{"ict":(\d+),""".r.findFirstMatchIn(head)
         m.map(_.group(1).toLong)
       } finally in.close()
@@ -397,9 +400,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       else ictOf(version - 1).orElse(
         try Some(Files.getLastModifiedTime(logFile(version - 1)).toMillis)
         catch { case scala.util.control.NonFatal(_) => None })
+        // After cleanupLog the predecessor's entry survives verbatim
+        // (stamp included) only in the checkpoint; a fresh JVM on a
+        // skewed clock must still clamp above it, or timestampAsOf /
+        // history lose their monotone-in-version guarantee.
+        .orElse(allKnownCommits().find(_.version == version - 1)
+          .flatMap(c => c.ict.orElse(commitTime(c))))
     val floor = math.max(prev.getOrElse(0L), lastIct.get)
     math.max(System.currentTimeMillis(), floor + 1)
   }
+
+  /** Test hook: exposes [[nextIct]] so the checkpoint-fallback leg of
+    * the monotonicity clamp (predecessor raw entry reclaimed, stamp
+    * surviving only in a checkpoint) is directly assertable. */
+  private[graft] def nextIctForTest(version: Long): Long = nextIct(version)
 
   /** THE commit point: exclusive creation of the version's log file via
     * an atomic hard-link of the staged entry. Returns false if the
@@ -684,6 +698,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
   private def process(df: DataFrame, batchId: Long, partitionBy: Seq[String],
       snapshot: Boolean, mergeSchema: Boolean): Unit = {
+    // Replay detection below is raw-log-file based (isCommitted). If
+    // cleanupLog already reclaimed this batch's raw entry (it survives
+    // only in a checkpoint), a replayed old batch would see
+    // isCommitted=false, re-stage, and successfully re-claim the version
+    // (no raw file left to collide with) — writing an orphan duplicate
+    // entry below the truncation marker, invisible to readers but
+    // muddying the exactly-once accounting. Fail loudly instead, like
+    // the occupied-version require.
+    require(batchId >= truncatedBelow(),
+      s"process(batchId=$batchId): this version is below the log's " +
+        s"truncation marker (${truncatedBelow()}) — its raw entry was " +
+        "reclaimed by cleanupLog, so version-pinned replay detection " +
+        "cannot run; drive this table through appendBatch (streamTxn-" +
+        "cursored) instead")
     if (isCommitted(batchId)) {
       // replay after crash → no-op, but ONLY when the occupying commit
       // really is this stream's batch (tables with a pre-stream log
@@ -1547,9 +1575,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     if (perFile.exists(s => s.isEmpty || s.get._1.isEmpty || s.get._2.isEmpty))
       return None
     val ranges = perFile.map(_.get).map { case (lo, hi) => (lo.get, hi.get) }
-    val numeric = ranges.forall { case (lo, hi) =>
-      lo.toDoubleOption.isDefined && hi.toDoubleOption.isDefined }
-    if (numeric)
+    // Fold numerically ONLY when the column's LOGICAL type is numeric:
+    // parquet footer min/max for a StringType column are lexicographic
+    // per file, and numerically folding string stats that happen to
+    // parse as doubles ("9" vs "10") would return extremes that are
+    // neither the lexicographic nor the numeric answer. Parseability of
+    // the stat strings is not evidence of numeric ordering.
+    val numeric = latestSchema()
+      .flatMap(_.fields.find(_.name == column).map(_.dataType))
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (numeric && ranges.forall { case (lo, hi) =>
+        lo.toDoubleOption.isDefined && hi.toDoubleOption.isDefined })
       Some((ranges.minBy(_._1.toDouble)._1, ranges.maxBy(_._2.toDouble)._2))
     else
       Some((ranges.map(_._1).min, ranges.map(_._2).max))
@@ -2619,7 +2655,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           val v = fields.collectFirst { case ("txn", o: JObject) =>
             (o \ "version") match { case JInt(x) => x.toLong; case _ => -1L }
           }.filter(_ >= 0).getOrElse(vHint)
-          if (v < 0) return text // checkpoint line with no version: verbatim
+          // refuse rather than copy verbatim: a pre-txn/pre-dir entry
+          // surviving only in a checkpoint keeps its implicit relative
+          // "batch=<v>" dir, which on the clone resolves under the
+          // clone's EMPTY data root — those commits would silently read
+          // as zero rows (same refuse-to-misread posture as the
+          // readerFeatures check)
+          if (v < 0) sys.error("cloneTo: cannot determine the version of a " +
+            "pre-dir pre-txn checkpoint entry — refusing to clone a log " +
+            "whose implicit data dirs cannot be made absolute")
           fields :+ ("dir", JString(s"batch=$v"))
         }
       // restore/lifted entries key their adds at data-root granularity

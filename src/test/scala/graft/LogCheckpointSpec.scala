@@ -229,6 +229,91 @@ class LogCheckpointSpec extends SparkSpecBase {
       "data dirs of checkpoint-served commits were vacuumed away")
   }
 
+  test("ICT monotonicity survives a predecessor whose stamp lives only in a checkpoint") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 6).foreach(append(sink, _)) // versions 0..5, checkpoint at 5
+    val log = Paths.get(dir, "_graft_log")
+    val ckpt = log.resolve(f"${5L}%020d.checkpoint")
+    // skewed-host scenario: the predecessor (version 5) carries an ICT an
+    // hour in OUR future, and its raw entry has been reclaimed — the
+    // stamp survives only in the checkpoint's verbatim entry
+    val future = System.currentTimeMillis() + 3600000L
+    val lines = Files.readAllLines(ckpt)
+    val patched = new java.util.ArrayList[String]
+    lines.forEach { l =>
+      patched.add(
+        if (l.contains("\"version\":5}"))
+          l.replaceFirst("\"ict\":\\d+", s""""ict":$future""")
+        else l)
+    }
+    Files.write(ckpt, patched)
+    Files.delete(log.resolve(f"${5L}%020d.json"))
+    // a FRESH handle (lastIct = 0, no raw predecessor, no mtime) must
+    // still clamp the next claim's stamp above the checkpointed one
+    val fresh = new ExactlyOnceSink(dir)
+    assert(fresh.nextIctForTest(6) > future,
+      "next ICT fell below the checkpoint-only predecessor stamp — " +
+        "timestampAsOf/history monotonicity would break on a skewed host")
+  }
+
+  test("process() refuses a batchId below the truncation marker instead of re-writing it") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 10).foreach(i =>
+      sink.process(Seq((i.toLong, s"r$i")).toDF("id", "x"), i.toLong))
+    sink.cleanupLog(minAgeMs = 0) // anchor = ckpt 5; raw 0..4 reclaimed
+    // replay of a batch whose raw entry still exists: silent no-op
+    sink.process(Seq((7L, "dup")).toDF("id", "x"), 7L)
+    // replay of a RECLAIMED batch: isCommitted=false would re-stage and
+    // re-claim an orphan duplicate below the marker — must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      sink.process(Seq((2L, "dup")).toDF("id", "x"), 2L)
+    }
+    assert(e.getMessage.contains("truncation marker"))
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 10L),
+      "the refused replay must not have changed table state")
+  }
+
+  test("cloneTo refuses a checkpoint entry whose version cannot be determined") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 6).foreach(append(sink, _)) // checkpoint at 5
+    val ckpt = Paths.get(dir, "_graft_log", f"${5L}%020d.checkpoint")
+    // forge a legacy pre-dir pre-txn entry: strip dir + txn from the
+    // version-0 body line — its implicit relative "batch=0" dir would
+    // resolve under the CLONE's empty data root and read as zero rows
+    val lines = Files.readAllLines(ckpt)
+    val patched = new java.util.ArrayList[String]
+    lines.forEach { l =>
+      patched.add(
+        if (l.contains("\"version\":0}"))
+          l.replaceFirst(""""dir":"[^"]*",""", "")
+            .replaceFirst(""""txn":\{[^}]*\},""", "")
+        else l)
+    }
+    Files.write(ckpt, patched)
+    val e = intercept[RuntimeException] {
+      sink.cloneTo(Files.createTempDirectory("graft-clone-refuse").toString)
+    }
+    assert(e.getMessage.contains("refusing to clone"))
+  }
+
+  test("columnStats folds by the column's LOGICAL type, not stat parseability") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    // numeric-LOOKING strings: parquet footer min/max are lexicographic
+    // per file; numeric folding of "9" vs "10" would answer ("9","10"),
+    // which is neither the lexicographic nor a real numeric extreme
+    sink.commitAppend(Seq((1L, "9")).toDF("id", "s"))
+    sink.commitAppend(Seq((2L, "10")).toDF("id", "s"))
+    assert(sink.columnStats("s") === Some(("10", "9")),
+      "string column must fold lexicographically even when values parse as numbers")
+    assert(sink.columnStats("id") === Some(("1", "2")),
+      "numeric column still folds numerically")
+  }
+
   test("concurrent writers racing the cadence point still yield one good checkpoint") {
     val dir = tmp()
     val threads = (0 until 2).map { w =>
