@@ -30,30 +30,57 @@ object Bench {
 
   /** Fixed-work single-thread CPU sentinel: a 450M-iteration xorshift64
     * loop (loop-carried dependency, so the timing tracks scalar CPU
-    * throughput and is immune to memory/IO state). Measured once before
-    * and once after the suite; on an idle host it takes CalibNominalSec.
-    * A loaded host inflates it the same way it inflates every query
-    * timing — so the emitted JSON can self-report contamination instead
-    * of a busy box silently reading as an engine regression (round 11:
-    * driver artifact 66.4 s vs 47.9 s clean on identical code). */
+    * throughput and is immune to memory/IO state). A loaded host inflates
+    * it the same way it inflates every query timing — so the emitted JSON
+    * can self-report contamination instead of a busy box silently reading
+    * as an engine regression (round 11: driver artifact 66.4 s vs 47.9 s
+    * clean on identical code).
+    *
+    * Round-13 hardening: endpoint-only calibration has a structural blind
+    * spot — a host-load burst that starts after calib_before and dies
+    * before calib_after is invisible, and median-of-3 CONSECUTIVE runs
+    * cannot reject a burst that outlasts all three samples (round 12:
+    * both endpoints clean at 0.976/0.993 while two alphabetical query
+    * windows inflated 2-33x). Fix: a cheap 1/10-work PROBE interleaves
+    * every PROBE_EVERY queries during the serial pass; each query is
+    * bracketed by its nearest probes, queries whose bracket deviates >10%
+    * from nominal are re-run once at the end under their own clean-probe
+    * bracket, and any that cannot be cleanly re-timed are listed in
+    * "contaminated_queries" (with their probe window) instead of silently
+    * poisoning the headline. Per-query MIN is emitted alongside the
+    * median — for CPU-bound work min is the load-robust estimator, and a
+    * wide median/min spread is itself a per-query contamination signal. */
   val CalibIters = 450000000L
   /** Nominal idle-host sentinel time on the build/judge box, committed
     * round 12 (median of 5 idle runs; ~3% run-to-run spread). */
   val CalibNominalSec = 0.98
-  def calibrate(): Double = {
-    def work(iters: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0L
-      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
-    val sink = work(CalibIters / 10) // untimed: JIT the loop itself
+  /** The interleaved probe is 1/10 of the sentinel's work; same loop, so
+    * it scales linearly and shares the 10% deviation threshold. */
+  val ProbeIters = CalibIters / 10
+  val ProbeNominalSec = CalibNominalSec / 10
+  val ProbeEvery = 10
+
+  private def work(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+  private def timed(iters: Long): Double = {
     val t0 = System.nanoTime()
-    val r = work(CalibIters)
+    val r = work(iters)
     val t = (System.nanoTime() - t0) / 1e9
-    if ((r | sink) == 42) print("") // keep the result live (defeat DCE)
+    if (r == 42) print("") // keep the result live (defeat DCE)
     t
   }
+  def calibrate(): Double = {
+    val sink = work(CalibIters / 10) // untimed: JIT the loop itself
+    if (sink == 42) print("")
+    timed(CalibIters)
+  }
+  /** ~0.1 s on an idle host; run between query groups in the serial pass.
+    * The loop is already JIT-hot after calibrate(). */
+  def probe(): Double = timed(ProbeIters)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,24 +124,56 @@ object Bench {
     // directions under min-of-2 (one lucky run defines the number, one
     // GC pause poisons serial_first) — the median of 3 is robust to a
     // single outlier run in either direction. serial_value sums the
-    // medians.
+    // medians. Probe brackets around each ProbeEvery-query group catch
+    // mid-pass host-load bursts the endpoint sentinel cannot see.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val timings = benched.map { case (name, fn) =>
-      val ts = (1 to runs).map { _ =>
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Seq[Double] =
+      (1 to n).map { _ =>
         val q0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - q0) / 1e9
         sweep(spark) // untimed: cache hygiene is harness work, not query work
         t
       }
-      name -> ts
-    }
+    def cleanP(p: Double): Boolean = p <= ProbeNominalSec * 1.10
+    val probeLog = scala.collection.mutable.ArrayBuffer[Double]()
+    var lastProbe = probe()
+    probeLog += lastProbe
+    // name -> (samples, probeBefore, probeAfter), in suite order
+    val serialRaw = benched.grouped(ProbeEvery).flatMap { grp =>
+      val pBefore = lastProbe
+      val grpTimes = grp.map { case (name, fn) => (name, fn, timeQuery(fn, runs)) }
+      lastProbe = probe()
+      probeLog += lastProbe
+      grpTimes.map { case (name, fn, ts) => (name, fn, ts, pBefore, lastProbe) }
+    }.toSeq
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val results = timings.map { case (n, ts) => n -> median(ts) }
+    // Suspects: a host-load burst touched this query's probe bracket —
+    // its median is not trustworthy. Re-run ONCE under a fresh bracket;
+    // accept the re-run only if BOTH of its probes are clean.
+    val suspects = serialRaw.filter { case (_, _, _, pb, pa) =>
+      !(cleanP(pb) && cleanP(pa)) }
+    val requeried = suspects.flatMap { case (name, fn, _, _, _) =>
+      val p0 = probe()
+      val t = timeQuery(fn, 1).head
+      val p1 = probe()
+      probeLog += p0; probeLog += p1
+      if (cleanP(p0) && cleanP(p1)) Some(name -> t) else None
+    }.toMap
+    val contaminatedQueries = suspects.collect {
+      case (name, _, _, _, _) if !requeried.contains(name) => name }
+    val results = serialRaw.map { case (name, _, ts, _, _) =>
+      name -> requeried.getOrElse(name, median(ts)) }
+    // Per-query MIN over every sample (original runs + clean re-run):
+    // the load-robust estimator for CPU-bound work; median >> min flags
+    // residual interference on that query.
+    val mins = serialRaw.map { case (name, _, ts, _, _) =>
+      name -> (ts ++ requeried.get(name)).min }
     // Two serial estimators, labeled: serial_value = sum of per-query
     // median-of-N (steady-state latency, robust to outlier runs) and
     // serial_first = sum of per-query FIRST runs (a measured
@@ -122,7 +181,7 @@ object Bench {
     // single-run baseline). Round 3's 37.3 s was a serial_first-style
     // number; compare it to serial_first, not serial_value.
     val serialTotal = results.map(_._2).sum
-    val serialFirst = timings.map(_._2.head).sum
+    val serialFirst = serialRaw.map(_._3.head).sum
     // Pass 2 — concurrent throughput: the whole suite through a small
     // pool with the FAIR scheduler, overlapping per-query scheduling
     // gaps the way a multi-tenant cluster does. Starts only after the
@@ -150,12 +209,15 @@ object Bench {
     }
     pool.shutdown()
     val calibAfter = calibrate()
-    // Contaminated = the sentinel deviates >10% from its committed idle
-    // nominal on either side of the suite. Such a run's absolute numbers
-    // are not comparable round-over-round; the flag travels in the JSON
-    // so a reader (or the judge) can discount it without re-measuring.
+    // Contaminated = an endpoint sentinel deviates >10% from its committed
+    // idle nominal, OR a mid-pass probe bracket flagged queries that could
+    // not be cleanly re-timed. Such a run's absolute numbers are not
+    // comparable round-over-round; the flag (and the per-query list)
+    // travels in the JSON so a reader can discount exactly the affected
+    // window without re-measuring.
     val contaminated =
-      math.max(calibBefore, calibAfter) > CalibNominalSec * 1.10
+      math.max(calibBefore, calibAfter) > CalibNominalSec * 1.10 ||
+        contaminatedQueries.nonEmpty
     // The driver captures only the LAST 2000 chars of stdout and tries to
     // parse a JSON line out of them; a full 84-query map (~2.3 KB) can
     // never fit alongside sbt's trailing "[success]" line, so all three
@@ -169,14 +231,25 @@ object Bench {
     val total = median(concTotals)
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def jarr(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // One-time cached-stage builds paid inside this process (warm-up or
+    // serial_first): the write-amplification ledger, as data.
+    val cachedBuilds = graft.operators.StageCache.buildSeconds.toSeq.sortBy(_._1)
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","threads":$threads,""" +
         s""""concurrent_runs":[${concTotals.map(f3).mkString(",")}],""" +
         s""""serial_value":${f3(serialTotal)},"serial_first":${f3(serialFirst)},""" +
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
         s""""calib_nominal":${f3(CalibNominalSec)},"contaminated":$contaminated,""" +
+        s""""probe_nominal":${f3(ProbeNominalSec)},""" +
+        s""""requeried":${jarr(requeried.keys.toSeq.sorted)},""" +
+        s""""contaminated_queries":${jarr(contaminatedQueries)},""" +
         s""""runs":$runs,"sf":"$sfDir"$extra,"queries":$qs}"""
-    val full = line(qmap(results), "")
+    val full = line(qmap(results),
+      s""","probes":[${probeLog.map(f3).mkString(",")}]""" +
+        s""","cached_builds":${qmap(cachedBuilds)}""" +
+        s""","queries_min":${qmap(mins)}""")
     // Neither a contaminated run nor a BENCH_ONLY debug subset may
     // displace a clean full-suite bench_full.json: the committed artifact
     // is the round's comparable record.

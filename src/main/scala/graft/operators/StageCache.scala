@@ -38,6 +38,18 @@ object StageCache {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Wall seconds of each ACTUAL stage build this JVM paid (serves and
+    * fresh-marker skips don't record). Keyed `name@fixture`. Bench emits
+    * this as the `cached_builds` ledger so the one-time write-
+    * amplification cost inside serial_first is data, not prose. */
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private[graft] def buildSeconds: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    buildSecs.forEach((k, v) => b += k -> v.doubleValue)
+    b.result()
+  }
+
   /** Bypass for measurement harnesses (GRAFT_STAGE_CACHE=off): return the
     * freshly-built relation instead of the committed parquet copy, so each
     * consumer pays its stage's FULL declared computation. graft.ScaleBench
@@ -83,8 +95,11 @@ object StageCache {
           // the flock (no concurrent reader can hold the lock); the
           // marker lands only after a complete write, so a crash mid-
           // write reads as stale and rebuilds
+          val t0 = System.nanoTime()
           build.write.mode("overwrite").parquet(out.toString)
           Files.write(marker, want.getBytes)
+          buildSecs.put(s"$name@${new java.io.File(sfDir).getName}",
+            (System.nanoTime() - t0) / 1e9)
         }
       } finally { lock.release(); lockCh.close() }
       out.toString

@@ -126,6 +126,84 @@ object MiningOps {
         .orderBy("l_returnflag")
     }),
 
+    // The 100 TB twin of q_agg_spearman (the declared fix of its one
+    // scale-killer): the exact rank of a near-unique continuous domain
+    // needs a per-flag sort of the whole DISTINCT relation on one task;
+    // here the rank map instead comes from B-1 approx_percentile cutoffs
+    // per flag (one 3-row sketch agg, broadcast back), each row is
+    // bucket-assigned map-side, and Spearman runs tie-corrected over the
+    // bucket midranks — the discretized variable's EXACT Spearman, which
+    // converges to the continuous one as B grows (quantity has ~50
+    // distinct values < B, so its ranks stay exact). Shape: one bounded
+    // groupBy (flag, bx, by) with map-side combine (≤ 3·B² rows out),
+    // midranks from windows over ≤ B-row bucket marginals, broadcast
+    // joins, exact DECIMAL weighted moments. No corpus-sized sort or
+    // window anywhere. No oracle by design (sketch cutoffs are
+    // approximate and merge-order-dependent); OperatorSpec tolerance-
+    // gates ρ against the exact twin.
+    "q_agg_spearman_approx" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val B = 128
+      val ps = array((1 until B).map(i => lit(i.toDouble / B)): _*)
+      // accuracy 2500 (not the 10000 default): with B=128 buckets the
+      // midranks come from ACTUAL bucket counts, so cutoff placement
+      // error only nudges bucket boundaries — the sketch pass is the
+      // query's dominant cost and 4x coarser summaries measure ~0.4 s
+      // cheaper at sf0.1 with no visible ρ drift
+      val cuts = li.groupBy("flag").agg(
+        percentile_approx(col("x"), ps, lit(2500)).as("tx"),
+        percentile_approx(col("y"), ps, lit(2500)).as("ty"))
+      // bucket = #cutoffs strictly below the value: the codegen'd
+      // bucket_index kernel (O(log B) binary search inline in the fused
+      // stage — see BucketIndex.scala for why both declarative
+      // formulations lose by ~8x here). The joint histogram is ≤ 3·B²
+      // rows and feeds THREE consumers (two marginal rank maps + the
+      // moment agg) — eagerly materialize it once so the fact-table
+      // sketch+bucket pass isn't re-evaluated per consumer (same idiom
+      // as the committed pair-graph stages).
+      import graft.functions.BucketIndex.bucketIndex
+      val bk = li.join(broadcast(cuts), "flag")
+        .select(col("flag"),
+          bucketIndex(s, col("x").cast("double"),
+            col("tx").cast("array<double>")).as("bx"),
+          bucketIndex(s, col("y").cast("double"),
+            col("ty").cast("array<double>")).as("by"))
+        .groupBy("flag", "bx", "by").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      // doubled tie-averaged midranks per bucket (same exact-integer
+      // discipline as the exact twin), from ≤ B-row marginals
+      def rank2(bc: String, out: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("flag").orderBy(col(bc))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bk.groupBy(col("flag"), col(bc)).agg(sum(col("cnt")).as("c"))
+          .select(col("flag"), col(bc),
+            (coalesce(sum(col("c")).over(w), lit(0L)) * 2
+              + col("c") + 1).cast("long").as(out))
+      }
+      val rx = rank2("bx", "rx2").toDF("xf", "xb", "rx2")
+      val ry = rank2("by", "ry2").toDF("yf", "yb", "ry2")
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val m = bk
+        .join(broadcast(rx), col("flag") === col("xf") && col("bx") === col("xb"))
+        .join(broadcast(ry), col("flag") === col("yf") && col("by") === col("yb"))
+        .groupBy("flag")
+        .agg(sum(col("cnt")).as("n"),
+          sum(dec(col("cnt")) * dec(col("rx2"))).as("sx"),
+          sum(dec(col("cnt")) * dec(col("ry2"))).as("sy"),
+          sum(dec(col("cnt")) * dec(col("rx2")) * dec(col("rx2"))).as("sxx"),
+          sum(dec(col("cnt")) * dec(col("ry2")) * dec(col("ry2"))).as("syy"),
+          sum(dec(col("cnt")) * dec(col("rx2")) * dec(col("ry2"))).as("sxy"))
+      def D(c: Column) = c.cast("double")
+      val nd = D(col("n"))
+      m.select(col("flag").as("l_returnflag"), col("n"),
+          Det.r((nd * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+            sqrt((nd * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+              * (nd * D(col("syy")) - D(col("sy")) * D(col("sy")))), 4)
+            .as("spearman"))
+        .orderBy("l_returnflag")
+    }),
+
     // Per-document trigram novelty — the "how much of this doc is new
     // text" curation signal (docs whose grams all first appeared earlier
     // are recombinations/boilerplate; high-novelty docs carry new
@@ -317,6 +395,28 @@ object MiningOps {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           Det.r(col("pr"), 4).as("pr"),
           when(col("pr") <= 0.02, "low").otherwise("high").as("tail"))
+        .orderBy("doc_id")
+    }),
+
+    // The 100 TB twin of q_llm_len_pctile (its declared approx-cutoff
+    // path): the exact percent_rank sorts each language's FULL doc set
+    // on one task; here the 2%/98% cutoffs come from one per-language
+    // approx_percentile agg (bounded: one row per language), broadcast
+    // back, and tail membership is decided map-side — no window, no
+    // per-language sort, scan-shaped at any corpus size. No oracle by
+    // design (sketch cutoffs approximate, tie handling at the boundary
+    // differs from percent_rank's by construction); OperatorSpec gates
+    // each (lang, tail) population within tolerance of the exact twin.
+    "q_llm_len_pctile_approx" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cuts = docs.groupBy("lang").agg(percentile_approx(
+        col("n_chars"), array(lit(0.02), lit(0.98)), lit(10000)).as("c"))
+      docs.join(broadcast(cuts), "lang")
+        .filter(col("n_chars") <= col("c")(0) || col("n_chars") >= col("c")(1))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("n_chars") <= col("c")(0), "low").otherwise("high")
+            .as("tail"))
         .orderBy("doc_id")
     }),
 

@@ -42,13 +42,14 @@ class ContractSpec extends AnyFunSuite {
       s"SURVEY says ${m.group(2)} oracle-backed, registry has ${SparkEntry.oracleSql.size}")
   }
 
-  test("every oracle key has a matching query; no-oracle set is exactly the declared seven") {
+  test("every oracle key has a matching query; no-oracle set is exactly the declared nine") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_hll", "q_agg_approx_pct",
       "q_agg_profile_approx", "q_llm_ann_ivf", "q_llm_ann_lsh",
-      "q_llm_ppl_bucket_approx", "q_llm_compress_ratio"),
+      "q_llm_ppl_bucket_approx", "q_agg_spearman_approx",
+      "q_llm_len_pctile_approx", "q_llm_compress_ratio"),
       s"unexpected no-oracle set: $noOracle")
   }
 }

@@ -222,4 +222,30 @@ object KernelProps extends Properties("graft.kernels") {
         rep.length < 32 // degenerate ultra-short inputs have fixed overhead
     }
 
+  private val sortedCuts: Gen[Array[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)).map(_.sorted.toArray)
+
+  private def bucketOf(v: Double, cuts: Array[Double]): Int =
+    graft.functions.BucketIndex(null, null).nullSafeEval(v,
+      new GenericArrayData(cuts.map(java.lang.Double.valueOf).toArray[Any]))
+      .asInstanceOf[Int]
+
+  property("bucket-index: equals the linear count of cutoffs strictly below") =
+    forAll(Gen.chooseNum(-2e6, 2e6), sortedCuts) { (v, cuts) =>
+      bucketOf(v, cuts) == cuts.count(_ < v)
+    }
+
+  property("bucket-index: monotone in the value") =
+    forAll(Gen.chooseNum(-2e6, 2e6), Gen.chooseNum(0.0, 1e6), sortedCuts) {
+      (v, d, cuts) => bucketOf(v, cuts) <= bucketOf(v + d, cuts)
+    }
+
+  property("bucket-index: range is [0, |cuts|]; exact cutoff hits go right") =
+    forAll(sortedCuts) { cuts =>
+      val b0 = bucketOf(cuts.head, cuts) // first cutoff: nothing strictly below
+      bucketOf(Double.NegativeInfinity, cuts) == 0 &&
+        bucketOf(Double.PositiveInfinity, cuts) == cuts.length &&
+        b0 == 0
+    }
+
 }

@@ -231,4 +231,23 @@ class MiningOpsSpec extends SparkSpecBase {
     assert(math.abs(gotRho - want) < 1e-3, s"$f0: $gotRho vs direct $want")
   }
 
+  test("bucket_index: codegen'd kernel == interpreted HOF count in a real plan") {
+    // the spearman_approx hot path runs the generated code; this pins it
+    // against the declarative linear-count formulation (which exercises
+    // interpreted HOF eval) on the same rows — codegen/interpreted parity
+    // through an actual WholeStageCodegen stage, not just unit eval
+    import graft.functions.BucketIndex.bucketIndex
+    val cuts = (1 to 127).map(_ * 7.5).toArray
+    val df = Tables(spark, sf, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("v"))
+      .withColumn("cuts", typedLit(cuts))
+    val fast = df.select(col("v"), bucketIndex(spark, col("v"), col("cuts"))
+      .as("b")).as[(Double, Int)].collect()
+    val slow = df.select(col("v"),
+      aggregate(col("cuts"), lit(0),
+        (acc, c) => acc + when(col("v") > c, 1).otherwise(0)).as("b"))
+      .as[(Double, Int)].collect()
+    assert(fast.sorted.sameElements(slow.sorted))
+  }
+
 }

@@ -197,6 +197,50 @@ class OperatorSpec extends SparkSpecBase {
     }, avgs.mkString(","))
   }
 
+  test("sketch-rank Spearman within tolerance of the exact twin per flag") {
+    val exact = q("q_agg_spearman")
+      .select("l_returnflag", "n", "spearman")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val approx = q("q_agg_spearman_approx")
+      .select("l_returnflag", "n", "spearman")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (_, en, er)) =>
+      val (_, an, ar) = approx(flag)
+      assert(an == en, s"$flag: row count drifted ($an vs $en)")
+      // 128-bucket midrank discretization: |Δρ| bounded well under 0.02
+      // (quantity's ~50 values rank exactly; price's error is O(1/B²))
+      assert(math.abs(ar - er) <= 0.02, s"$flag: approx ρ $ar exact ρ $er")
+    }
+  }
+
+  test("sketch-cutoff length tails within tolerance of the exact percent_rank tails") {
+    val exact = q("q_llm_len_pctile")
+      .select("lang", "tail").as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val approx = q("q_llm_len_pctile_approx")
+      .select("lang", "tail").as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(approx.nonEmpty)
+    // every (lang, tail) population within boundary-tie slack of exact:
+    // percent_rank includes pr<=0.02 of n-1 denominators, the sketch
+    // includes value<=cutoff — ±2 docs or 50% at these tiny tails
+    (exact.keySet ++ approx.keySet).foreach { k =>
+      val e = exact.getOrElse(k, 0L); val a = approx.getOrElse(k, 0L)
+      assert(math.abs(a - e) <= math.max(2L, (0.5 * e).toLong),
+        s"$k: approx $a exact $e")
+    }
+    // tails are disjoint and ordered within each language
+    val rows = q("q_llm_len_pctile_approx")
+      .select("lang", "n_chars", "tail").as[(String, Long, String)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val lo = rs.filter(_._3 == "low").map(_._2)
+      val hi = rs.filter(_._3 == "high").map(_._2)
+      if (lo.nonEmpty && hi.nonEmpty)
+        assert(lo.max < hi.min, s"$lang: tails overlap")
+    }
+  }
+
   test("compress ratio: exact vs an in-JVM Deflater recomputation") {
     val got = q("q_llm_compress_ratio")
       .select("doc_id", "n_bytes", "z_bytes", "ratio")

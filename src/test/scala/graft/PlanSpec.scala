@@ -378,6 +378,32 @@ class PlanSpec extends SparkSpecBase {
     }), p.take(3000))
   }
 
+  test("q_agg_spearman_approx: midrank windows over bucket marginals only, no corpus-sized sort") {
+    // the sketch twin's whole point: every Window runs over the
+    // ≤ B-row-per-flag bucket-marginal aggregate, never the fact table —
+    // a HashAggregate must sit between each Window and any FileScan
+    val p = physical("q_agg_spearman_approx")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val segs = p.split("Window").drop(1)
+    assert(segs.forall(s => {
+      val scan = s.indexOf("Scan parquet")
+      val agg = s.indexOf("HashAggregate")
+      agg >= 0 && (scan < 0 || agg < scan)
+    }), p.take(3000))
+    // the cutoff and midrank maps ride broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_llm_len_pctile_approx: broadcast cutoffs, no window at all") {
+    // the exact twin's per-language percent_rank sort is exactly what
+    // this plan must NOT contain — tail membership is decided map-side
+    // against one broadcast cutoff row per language
+    val p = physical("q_llm_len_pctile_approx")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q_llm_pii_mask is map-only: no hash exchange anywhere") {
     // redaction is a pure scan projection — the only exchange allowed is
     // the determinism sort's range partitioning
