@@ -845,30 +845,48 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // any rival commit after the read occupies that version and our
       // claim fails; on failure re-read, and only re-assign + re-stage
       // when the watermark actually moved (a rival identity append).
-      var staged: Option[(Seq[(String, Long, Long, Long)], Map[String, String],
-        StagedAppend)] = None
-      while (true) {
-        val (gen, expected) = logTail.generatedState()
-        val rules = gen.toSeq.sortBy(_._1).collect {
-          case (n, IdentityRule(s, k, w)) => (n, s.toLong, k.toLong, w.toLong)
+      //
+      // Contention economics (measured, golden/occ_r13.json): at W
+      // concurrent writers every rival data commit moves the watermark,
+      // so a commit pays O(W) re-assign+re-stage parquet rewrites —
+      // identity values are baked into the staged files, and atomic
+      // GLOBAL CONTIGUITY (our declared semantics; crash leaves no gap
+      // because assignment and data ride ONE commit) is exactly what
+      // forbids reserving a range in a cheap metadata pre-commit. Delta
+      // makes the opposite call: identity guarantees only uniqueness and
+      // allows gaps, which is why it scales to high writer counts. The
+      // frame pin + partition counts ARE watermark-independent and are
+      // prepared once (prepareIdentity); retries pay re-projection +
+      // re-staging only. High-contention identity ingest should funnel
+      // through ONE streaming writer (appendBatch), which never races.
+      val prep = prepareIdentity(gdf, idr0.map(_._1))
+      try {
+        var staged: Option[(Seq[(String, Long, Long, Long)], Map[String, String],
+          StagedAppend)] = None
+        while (true) {
+          val (gen, expected) = logTail.generatedState()
+          val rules = gen.toSeq.sortBy(_._1).collect {
+            case (n, IdentityRule(s, k, w)) => (n, s.toLong, k.toLong, w.toLong)
+          }
+          if (!staged.exists(_._1 == rules)) {
+            // first attempt, or stale range — (re)assign and (re)stage;
+            // an abandoned staged dir is an orphan vacuum reclaims
+            if (staged.isDefined) ExactlyOnceSink.identityRestages.incrementAndGet()
+            val (adf, advanced) = assignFromPrep(prep, rules)
+            staged = Some((rules, gen ++ advanced,
+              stageAppend(adf, partitionBy, clusterBy, clusterFiles,
+                bloomBy, bloomBits)))
+          }
+          val (_, genOut, st) = staged.get
+          ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
+          if (claim(expected, entryJsonS(st.schemaJson, expected, st.dir,
+              partitionBy, snapshot = false, st.adds, st.stats,
+              blooms = st.blooms, generated = Some(genOut),
+              streamTxn = streamTxn, rows = st.rows)))
+            return expected
         }
-        if (!staged.exists(_._1 == rules)) {
-          // first attempt, or stale range — (re)assign and (re)stage;
-          // an abandoned staged dir is an orphan vacuum reclaims
-          val (adf, advanced, release) = assignIdentity(gdf, rules)
-          try staged = Some((rules, gen ++ advanced,
-            stageAppend(adf, partitionBy, clusterBy, clusterFiles,
-              bloomBy, bloomBits)))
-          finally release()
-        }
-        val (_, genOut, st) = staged.get
-        if (claim(expected, entryJsonS(st.schemaJson, expected, st.dir,
-            partitionBy, snapshot = false, st.adds, st.stats,
-            blooms = st.blooms, generated = Some(genOut),
-            streamTxn = streamTxn, rows = st.rows)))
-          return expected
-      }
-      -1L // unreachable
+        -1L // unreachable
+      } finally prep.release()
     }
   }
 
@@ -2487,8 +2505,26 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private def assignIdentity(df: DataFrame,
       rules: Seq[(String, Long, Long, Long)])
       : (DataFrame, Map[String, String], () => Unit) = {
+    val prep = prepareIdentity(df, rules.map(_._1))
+    val (assigned, advanced) = assignFromPrep(prep, rules)
+    (assigned, advanced, () => prep.release())
+  }
+
+  /** The watermark-INDEPENDENT half of identity assignment: pin the
+    * frame and measure per-partition counts once. Under OCC contention a
+    * rival commit moving the watermark invalidates the assigned VALUES,
+    * not the partitioning or the counts — so the retry loop reuses this
+    * prep and pays only re-projection + re-staging per retry, not a
+    * re-persist + an extra count job. */
+  private case class IdentityPrep(pinned: DataFrame,
+      offRows: Seq[(Int, Long)], total: Long) {
+    def release(): Unit = { pinned.unpersist(blocking = false); () }
+  }
+
+  private def prepareIdentity(df: DataFrame,
+      ruleNames: Seq[String]): IdentityPrep = {
     import org.apache.spark.sql.functions._
-    rules.foreach { case (n, _, _, _) =>
+    ruleNames.foreach { n =>
       require(!df.columns.contains(n),
         s"identity column '$n' is GENERATED ALWAYS — remove it from the frame")
     }
@@ -2498,13 +2534,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val total = counts.map(_._2).sum
     var acc = 0L
     val offRows = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
-    val sp = df.sparkSession
+    IdentityPrep(pinned, offRows.toSeq, total)
+  }
+
+  private def assignFromPrep(prep: IdentityPrep,
+      rules: Seq[(String, Long, Long, Long)])
+      : (DataFrame, Map[String, String]) = {
+    import org.apache.spark.sql.functions._
+    val sp = prep.pinned.sparkSession
     import sp.implicits._
-    val offDf = offRows.toSeq.toDF("__pid", "__off")
+    val offDf = prep.offRows.toDF("__pid", "__off")
     // __pid/__rip are projected over the PERSISTED blocks before the
     // broadcast join, so they see the exact partitioning the count pass
     // measured
-    var out = pinned
+    var out = prep.pinned
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rip",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
@@ -2515,9 +2558,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
     val assigned = out.drop("__pid", "__rip", "__off")
     val advanced = rules.map { case (n, s0, k, wm) =>
-      n -> s"IDENTITY($s0,$k,${wm + k * total})"
+      n -> s"IDENTITY($s0,$k,${wm + k * prep.total})"
     }.toMap
-    (assigned, advanced, () => { pinned.unpersist(blocking = false); () })
+    (assigned, advanced)
   }
 
   /** Declare `name` GENERATED ALWAYS AS IDENTITY (START WITH `start`
@@ -3045,4 +3088,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       org.apache.spark.sql.types.DataType.fromJson(raw.substring(from, to))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+}
+
+object ExactlyOnceSink {
+  /** JVM-wide instrumentation of the identity OCC path (claims are
+    * per-instance, contention is cross-instance — so the counters are
+    * static): total claim attempts and total re-assign+re-stage events.
+    * Read by the OCC stress spec to record retry cost under real
+    * contention (golden/occ_r13.json); never consulted by the protocol
+    * itself. */
+  private[graft] val identityClaimAttempts =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val identityRestages =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }
