@@ -98,4 +98,40 @@ class GeneratedColumnSpec extends SparkSpecBase {
     cold.commitAppend(rows(700, 2).coalesce(1))
     assert(cold.read(spark).filter(col("chunk").isNull).count() == 2)
   }
+
+  test("generated rule x column-mapping rename x replaceWhere: the interaction product") {
+    // VERDICT r12 #4: generated expressions are keyed to LOGICAL names,
+    // renames re-label logical onto frozen physical names, and
+    // replaceWhere re-derives generated columns on its snapshot — the
+    // three must compose without the rule silently going stale.
+    val (sink, _) = newSink("rw-rename")
+    sink.setGeneratedColumn(spark, "bucket", "id % 4")
+    sink.commitAppend(rows(0, 6).withColumn("z", lit("tag")))
+    // 1. renaming a column the rule REFERENCES is refused (the expr
+    //    would silently stop resolving) — the Delta guard
+    val g = intercept[IllegalArgumentException](sink.renameColumn("id", "id2"))
+    assert(g.getMessage.contains("referenced by"))
+    // 2. renaming an UNREFERENCED column is fine mid-history
+    sink.renameColumn("z", "z2")
+    // 3. replaceWhere under the renamed schema, replacement OMITS the
+    //    generated column: the snapshot must re-derive it for the
+    //    replacement rows and carry it for the kept rows
+    val repl = Seq((100L, "new100", "t"), (101L, "new101", "t"))
+      .toDF("id", "x", "z2")
+    sink.replaceWhere(spark, col("id") >= 3, repl)
+    val got = sink.read(spark).select("id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 100L -> 0L, 101L -> 1L),
+      s"generated column not re-derived under rename+replaceWhere: $got")
+    // 4. a replacement row carrying a WRONG generated value aborts the
+    //    snapshot (negative control: validation also survives the rename)
+    val bad = Seq((102L, "bad", "t")).toDF("id", "x", "z2")
+      .withColumn("bucket", lit(99L))
+    val e = intercept[Exception](
+      sink.replaceWhere(spark, col("id") >= 100, bad))
+    assert(chainMsg(e).contains("generated column"), chainMsg(e))
+    assert(sink.read(spark).count() == 5, "aborted replaceWhere committed")
+    // 5. and the rename is visible in the replaced table's schema
+    assert(sink.read(spark).columns.contains("z2"))
+  }
 }

@@ -186,4 +186,53 @@ class IdentitySpec extends SparkSpecBase {
     sink.commitAppend(spark.range(60, 65).toDF("x"))
     assert(idVals(sink) == (1L to 65L).toSeq)
   }
+
+  test("watermark never rolls back across RESTORE (no re-assignment of history's ids)") {
+    // restore rewinds DATA, not metadata: the generated-rule fold is
+    // latest-wins and a restore commit carries no generated slot, so the
+    // high watermark survives — new appends continue ABOVE the
+    // pre-restore maximum instead of re-assigning ids that live rows at
+    // other versions already carry (time travel would otherwise show one
+    // id naming two different rows).
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid")
+    val vA = sink.commitAppend(spark.range(0, 10).toDF("x")) // rids 1..10
+    sink.commitAppend(spark.range(10, 20).toDF("x")) // rids 11..20
+    sink.restore(spark, vA)
+    assert(idVals(sink) == (1L to 10L).toSeq)
+    sink.commitAppend(spark.range(20, 25).toDF("x"))
+    assert(idVals(sink) == ((1L to 10L) ++ (21L to 25L)),
+      "post-restore append re-assigned ids from the rolled-back range")
+    // and a replayed streaming batch after the restore cursors safely too
+    sink.appendBatch(spark.range(30, 32).toDF("x"), batchId = 0,
+      streamAppId = "s1")
+    val after = idVals(sink)
+    assert(after == ((1L to 10L) ++ (21L to 27L)),
+      s"streaming append after restore broke contiguity-above-watermark: $after")
+    sink.appendBatch(spark.range(30, 32).toDF("x"), batchId = 0,
+      streamAppId = "s1") // replay: must no-op, not re-assign
+    assert(idVals(sink) == after)
+  }
+
+  test("a clone continues the watermark; source and clone sequences stay independent") {
+    val srcDir = tmp()
+    val src = new ExactlyOnceSink(srcDir)
+    src.setIdentityColumn(spark, "rid")
+    src.commitAppend(spark.range(0, 10).toDF("x")) // rids 1..10
+    val cloneDir = tmp()
+    // cloneTo refuses a pre-existing log, not a pre-existing empty dir
+    src.cloneTo(cloneDir)
+    val clone = new ExactlyOnceSink(cloneDir)
+    // the clone inherited rule + watermark through the copied metadata
+    clone.commitAppend(spark.range(10, 15).toDF("x"))
+    assert(idVals(clone) == (1L to 15L).toSeq,
+      "clone did not continue the source's identity sequence")
+    // the source is unaffected by the clone's appends and continues its
+    // own sequence from ITS watermark — the forks are independent tables
+    src.commitAppend(spark.range(20, 23).toDF("x"))
+    assert(idVals(src) == ((1L to 10L) ++ (11L to 13L)),
+      "source sequence was disturbed by the clone's append")
+    assert(idVals(clone) == (1L to 15L).toSeq,
+      "clone state leaked from the source's later append")
+  }
 }

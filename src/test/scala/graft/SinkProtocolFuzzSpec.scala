@@ -41,18 +41,30 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
     else d.filter(col("y").isNotNull).select("id", "y").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  // the last variant FORCES the clone fork at step 8 — the arm is
-  // otherwise probabilistic and a no-fork run would leave the
+  // the forceCloneAt variants FORCE the clone fork at that step — the
+  // arm is otherwise probabilistic and a no-fork run would leave the
   // clone × {merge, DV, restore, evolution, rename, retention} product
-  // untested for that seed
-  for ((seed, forceCloneAt) <- Seq((7L, -1), (23L, -1), (101L, -1), (55L, 8),
+  // untested for that seed. cleanBeforeClone additionally runs
+  // cleanupLog(0) immediately before the forced fork, so the clone
+  // copies a CLEANED log — its early history exists only through the
+  // rewritten checkpoint entries (the r12 verdict's highest-value
+  // untested product: clone-of-a-cleaned-log).
+  for ((seed, forceCloneAt, cleanBeforeClone) <- Seq(
+      (7L, -1, false), (23L, -1, false), (101L, -1, false), (55L, 8, false),
       // two more sequence draws: one plain, one forking LATE (step 20 of 32)
       // so the clone inherits a long history — incl. whatever renames,
       // drops and full-clause merges the run accumulated — and the
       // post-fork verbs run against mostly-foreign files
-      (13L, -1), (42L, 20)))
+      (13L, -1, false), (42L, 20, false),
+      // checkpoint-seeded clone: retention truncates the source log
+      // mid-history, THEN the fork copies it — every pre-anchor version
+      // the clone serves resolves through checkpoint body entries whose
+      // dirs cloneTo made absolute
+      (91L, 16, true)))
     test(s"protocol fuzz seed=$seed" +
-        (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt)" else "") +
+        (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
+          (if (cleanBeforeClone) ", log cleaned first" else "") + ")"
+         else "") +
         ": reads, time travel and retention match the model") {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
@@ -267,6 +279,15 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             // end). Model state carries over unchanged: a clone IS the
             // source's state at clone time.
             if (clonedFrom.isEmpty && history.nonEmpty) {
+              if (cleanBeforeClone && step == forceCloneAt) {
+                // truncate the source log first: the clone must serve its
+                // early history from rewritten checkpoint entries alone
+                sink.cleanupLog(minAgeMs = 0)
+                history.lastOption.foreach { case (maxV, _, _) =>
+                  val ck = (maxV / interval) * interval
+                  if (ck > 0) anchor = math.max(anchor, ck)
+                }
+              }
               val cloneDir =
                 Files.createTempDirectory(s"graft-fuzz-$seed-clone").toString
               // createTempDirectory pre-creates the dir; cloneTo only
