@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
-/** Golden-artifact gate for the five declared-approximate ops (the ones
+/** Golden-artifact gate for the declared-approximate ops (the ones
   * the driver's DuckDB compare records as `no_oracle`): each run
   * recomputes the op's quality metric — sketch error or recall — at
   * sf0.01 (the correctness-gate SF) and compares it against the
-  * committed `golden/approx_r11.json`, so approximate-op quality is a
+  * committed `golden/approx_r13.json`, so approximate-op quality is a
   * diffable, regression-gated artifact instead of a blank in the
   * correctness file.
   *
@@ -21,7 +21,7 @@ class GoldenApproxSpec extends SparkSpecBase {
   import spark.implicits._
 
   private val sf01 = "/root/testdata/sf0.01"
-  private val goldenPath = Paths.get("golden/approx_r11.json")
+  private val goldenPath = Paths.get("golden/approx_r13.json")
   private val band = 0.02
 
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5
@@ -76,13 +76,31 @@ class GoldenApproxSpec extends SparkSpecBase {
     val lshFrac = queries.VectorOps.annLshCandidates(spark, sf01).count()
       .toDouble / (10 * nVec)
 
+    // Sketch-rank Spearman: max |Δρ| vs the exact twin across flags.
+    val spExact = SparkEntry.queries("q_agg_spearman")(spark, sf01)
+      .select("l_returnflag", "spearman").as[(String, Double)].collect().toMap
+    val spApprox = SparkEntry.queries("q_agg_spearman_approx")(spark, sf01)
+      .select("l_returnflag", "spearman").as[(String, Double)].collect().toMap
+    val spErr = spExact.map { case (k, e) => math.abs(spApprox(k) - e) }.max
+
+    // Sketch-cutoff length tails: recall of the exact (doc_id, tail)
+    // outlier set (the boundary-tie population difference is the
+    // approximation; recall is its quality readout).
+    val lenExact = SparkEntry.queries("q_llm_len_pctile")(spark, sf01)
+      .select("doc_id", "tail").as[(Long, String)].collect().toSet
+    val lenApprox = SparkEntry.queries("q_llm_len_pctile_approx")(spark, sf01)
+      .select("doc_id", "tail").as[(Long, String)].collect().toSet
+    val lenRecall = lenApprox.intersect(lenExact).size.toDouble / lenExact.size
+
     Map(
       "q_agg_approx_hll.max_rel_err" -> r4(hllErr),
       "q_agg_approx_pct.max_abs_err" -> r4(pctErr),
       "q_agg_profile_approx.max_rel_err" -> r4(profErr),
       "q_llm_ann_ivf.mean_recall_top5" -> r4(ivfRecall),
       "q_llm_ann_lsh.mean_recall_top5" -> r4(lshRecall),
-      "q_llm_ann_lsh.candidate_fraction" -> r4(lshFrac))
+      "q_llm_ann_lsh.candidate_fraction" -> r4(lshFrac),
+      "q_agg_spearman_approx.max_abs_rho_err" -> r4(spErr),
+      "q_llm_len_pctile_approx.exact_tail_recall" -> r4(lenRecall))
   }
 
   test("approx-op quality matches the committed golden artifact") {
@@ -95,6 +113,8 @@ class GoldenApproxSpec extends SparkSpecBase {
     assert(metrics("q_agg_profile_approx.max_rel_err") <= 0.10)
     assert(metrics("q_llm_ann_ivf.mean_recall_top5") >= 0.6)
     assert(metrics("q_llm_ann_lsh.candidate_fraction") <= 0.025)
+    assert(metrics("q_agg_spearman_approx.max_abs_rho_err") <= 0.02)
+    assert(metrics("q_llm_len_pctile_approx.exact_tail_recall") >= 0.6)
 
     val json = metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k": $v%.4f""" }
