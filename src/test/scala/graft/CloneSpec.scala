@@ -21,9 +21,9 @@ class CloneSpec extends SparkSpecBase {
 
   private def dataFilesUnder(dir: String): Seq[String] =
     if (!Files.isDirectory(Paths.get(dir, "data"))) Nil
-    else Files.walk(Paths.get(dir, "data")).iterator().asScala
+    else withDirStream(Files.walk(Paths.get(dir, "data")))(_
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq
+      .map(_.toString).toSeq)
 
   test("clone sees the source state at clone time without copying a byte") {
     val srcDir = tmp("graft-clone-src")
@@ -100,7 +100,7 @@ class CloneSpec extends SparkSpecBase {
     clone.compact(spark) // copy-on-write rewrite into clone-local files
     // destroy the source's data entirely — the documented Delta caveat,
     // now harmless because the clone no longer references it
-    Files.walk(Paths.get(srcDir, "data")).iterator().asScala.toSeq
+    withDirStream(Files.walk(Paths.get(srcDir, "data")))(_.toSeq)
       .reverse.foreach(Files.delete)
     assert(ids(clone) == (0L until 45L).toSeq)
   }

@@ -25,14 +25,14 @@ class ColumnMappingSpec extends SparkSpecBase {
     val (sink, dir) = newSink("rename")
     sink.commitAppend(rows(0, 10).coalesce(1))
     sink.deleteDV(spark, col("id") === 3L) // a tombstone rides along
-    val beforeFiles = Files.walk(Paths.get(dir, "data")).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    val beforeFiles = withDirStream(Files.walk(Paths.get(dir, "data")))(_
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet)
 
     sink.renameColumn("x", "label")
 
     // no data rewrite
-    val afterFiles = Files.walk(Paths.get(dir, "data")).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+    val afterFiles = withDirStream(Files.walk(Paths.get(dir, "data")))(_
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSet)
     assert(afterFiles == beforeFiles, "rename rewrote data files")
     // logical read: renamed column, same values, tombstone still applied
     val got = sink.read(spark)
@@ -56,8 +56,8 @@ class ColumnMappingSpec extends SparkSpecBase {
       .withColumnRenamed("v", "value"))
     assert(sink.read(spark).count() == 500)
     // the new file's physical column is still v
-    val newest = Files.walk(Paths.get(dir, "data")).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq
+    val newest = withDirStream(Files.walk(Paths.get(dir, "data")))(_
+      .filter(_.toString.endsWith(".parquet")).toSeq)
       .maxBy(p => Files.getLastModifiedTime(p).toMillis)
     assert(spark.read.parquet(newest.toString).columns.contains("v"))
     // stat skipping on the LOGICAL name prunes via the physical stats

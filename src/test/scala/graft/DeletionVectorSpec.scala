@@ -21,9 +21,9 @@ class DeletionVectorSpec extends SparkSpecBase {
     * change-row dirs — every commit records change rows by design; the
     * merge-on-read claim is about data files. */
   private def dataFiles(dir: String): Set[String] =
-    Files.walk(Paths.get(dir, "data")).iterator().asScala
+    withDirStream(Files.walk(Paths.get(dir, "data")))(_
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).filterNot(_.contains("/changes/")).toSet
+      .map(_.toString).filterNot(_.contains("/changes/")).toSet)
 
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     if (!df.columns.contains("id")) Set.empty

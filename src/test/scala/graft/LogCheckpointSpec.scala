@@ -25,9 +25,8 @@ class LogCheckpointSpec extends SparkSpecBase {
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
     (0 until 23).foreach(append(sink, _)) // versions 0..22
     val log = Paths.get(dir, "_graft_log")
-    val ckpts = Files.list(log).iterator()
-    val names = new scala.collection.mutable.ArrayBuffer[String]
-    while (ckpts.hasNext) names += ckpts.next().getFileName.toString
+    val names = withDirStream(Files.list(log))(
+      _.map(_.getFileName.toString).toSeq)
     assert(Seq(5L, 10L, 15L, 20L).forall(v =>
       names.contains(f"$v%020d.checkpoint")), s"missing checkpoints in $names")
 

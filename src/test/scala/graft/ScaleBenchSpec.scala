@@ -107,7 +107,7 @@ class ScaleBenchSpec extends SparkSpecBase
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)
       if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        withDirStream(Files.walk(p))(_.toSeq).reverse.foreach(Files.delete)
     }
     super.afterAll()
   }

@@ -776,9 +776,8 @@ class StreamingSpec extends SparkSpecBase {
       val part = tmp(s"graft-nd-part$k")
       docs.filter(pmod(col("doc_id"), lit(4)) === k)
         .coalesce(1).write.mode("overwrite").parquet(part)
-      val src = Files.list(Paths.get(part)).iterator()
-      val f = scala.jdk.CollectionConverters.IteratorHasAsScala(src).asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      val f = withDirStream(Files.list(Paths.get(part)))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).next())
       Files.move(f, Paths.get(streamDir, f"chunk-$k%02d.parquet"))
     }
     val sink = new ExactlyOnceSink(tableDir)
@@ -1056,7 +1055,8 @@ class StreamingSpec extends SparkSpecBase {
     assert(sink.commitAppend(df(1 to 10)) == 0L)
     assert(sink.commitAppend(df(11 to 15)) == 1L)
     assert(sink.commitAppend(df(16 to 18)) == 2L)
-    val filesBefore = Files.list(Paths.get(tableDir, "data", "files")).count()
+    val filesBefore = withDirStream(
+      Files.list(Paths.get(tableDir, "data", "files")))(_.length)
     val rv = sink.restore(spark, 0L)
     assert(rv == 3L)
     // live state == the version-0 snapshot
@@ -1064,7 +1064,8 @@ class StreamingSpec extends SparkSpecBase {
       == (1L to 10L))
     // metadata-only: the restore staged NO new data dir (the re-pointed
     // add actions reference version 0's existing files)
-    val filesAfter = Files.list(Paths.get(tableDir, "data", "files")).count()
+    val filesAfter = withDirStream(
+      Files.list(Paths.get(tableDir, "data", "files")))(_.length)
     assert(filesAfter == filesBefore, s"restore wrote data dirs: $filesBefore -> $filesAfter")
     // history stays linear and dense; pre-restore time travel intact
     assert(sink.committedVersions() == Seq(0L, 1L, 2L, 3L))
