@@ -78,9 +78,15 @@ object Bench {
     if (sink == 42) print("")
     timed(CalibIters)
   }
-  /** ~0.1 s on an idle host; run between query groups in the serial pass.
-    * The loop is already JIT-hot after calibrate(). */
-  def probe(): Double = timed(ProbeIters)
+  /** ~0.2 s on an idle host; run between query groups in the serial pass.
+    * The loop is already JIT-hot after calibrate(). MIN of two samples:
+    * a ~20 ms GC pause in a 0.1 s sample reads as a 20% deviation and
+    * would flag a whole query group spuriously (observed: single-sample
+    * blips at 0.110-0.125 vs 0.098 nominal on an otherwise idle box,
+    * while the r12-style bursts this probe exists to catch inflate
+    * everything 2-33x) — a pause hits one sample, a real load window
+    * inflates both. */
+  def probe(): Double = math.min(timed(ProbeIters), timed(ProbeIters))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
