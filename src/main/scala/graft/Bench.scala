@@ -242,6 +242,11 @@ object Bench {
     // One-time cached-stage builds paid inside this process (warm-up or
     // serial_first): the write-amplification ledger, as data.
     val cachedBuilds = graft.operators.StageCache.buildSeconds.toSeq.sortBy(_._1)
+    // the full arrays ride ONLY the persisted full line: a sustained load
+    // window can flag 100+ queries, and unbounded arrays on the compact
+    // stdout line would blow the driver's 2000-char tail window exactly
+    // when the contamination report matters — the compact line carries
+    // counts (the `contaminated` bool is the load-bearing flag)
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","threads":$threads,""" +
         s""""concurrent_runs":[${concTotals.map(f3).mkString(",")}],""" +
@@ -249,11 +254,13 @@ object Bench {
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
         s""""calib_nominal":${f3(CalibNominalSec)},"contaminated":$contaminated,""" +
         s""""probe_nominal":${f3(ProbeNominalSec)},""" +
-        s""""requeried":${jarr(requeried.keys.toSeq.sorted)},""" +
-        s""""contaminated_queries":${jarr(contaminatedQueries)},""" +
+        s""""requeried_n":${requeried.size},""" +
+        s""""contaminated_n":${contaminatedQueries.size},""" +
         s""""runs":$runs,"sf":"$sfDir"$extra,"queries":$qs}"""
     val full = line(qmap(results),
-      s""","probes":[${probeLog.map(f3).mkString(",")}]""" +
+      s""","requeried":${jarr(requeried.keys.toSeq.sorted)}""" +
+        s""","contaminated_queries":${jarr(contaminatedQueries)}""" +
+        s""","probes":[${probeLog.map(f3).mkString(",")}]""" +
         s""","cached_builds":${qmap(cachedBuilds)}""" +
         s""","queries_min":${qmap(mins)}""")
     // Neither a contaminated run nor a BENCH_ONLY debug subset may

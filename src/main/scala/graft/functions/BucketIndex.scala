@@ -53,6 +53,12 @@ case class BucketIndex(left: Expression, right: Expression)
     var hi = cuts.numElements()
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
+      // fail loudly on a null cutoff: the function is registered
+      // session-wide, and getDouble on a null slot reads garbage bits —
+      // a silently arbitrary bucket for sql callers outside the
+      // internal cast-upstream contract
+      if (cuts.isNullAt(mid)) throw new IllegalArgumentException(
+        "bucket_index: null element in the cutoff array")
       if (cuts.getDouble(mid) < v) lo = mid + 1 else hi = mid
     }
     lo
@@ -68,6 +74,10 @@ case class BucketIndex(left: Expression, right: Expression)
          |int $hi = $b.numElements();
          |while ($lo < $hi) {
          |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($b.isNullAt($mid)) {
+         |    throw new IllegalArgumentException(
+         |      "bucket_index: null element in the cutoff array");
+         |  }
          |  if ($b.getDouble($mid) < $a) { $lo = $mid + 1; } else { $hi = $mid; }
          |}
          |${ev.value} = $lo;

@@ -1598,10 +1598,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // per file, and numerically folding string stats that happen to
     // parse as doubles ("9" vs "10") would return extremes that are
     // neither the lexicographic nor the numeric answer. Parseability of
-    // the stat strings is not evidence of numeric ordering.
-    val numeric = latestSchema()
+    // the stat strings is not evidence of numeric ordering. A column
+    // absent from the CURRENT schema (dropped, or never existed) gets
+    // None — the same current-schema view read() presents at every
+    // version, and the refuse-to-misread posture for versionAsOf stats
+    // whose folding discipline we can no longer type-check. For columns
+    // that do exist the latest type is valid at EVERY version: renames
+    // are metadata-only and a same-name type flip always aborts
+    // (enforceSchema), so types are immutable over a column's life.
+    val fieldType = latestSchema()
       .flatMap(_.fields.find(_.name == column).map(_.dataType))
-      .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (fieldType.isEmpty) return None
+    val numeric =
+      fieldType.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
     if (numeric && ranges.forall { case (lo, hi) =>
         lo.toDoubleOption.isDefined && hi.toDoubleOption.isDefined })
       Some((ranges.minBy(_._1.toDouble)._1, ranges.maxBy(_._2.toDouble)._2))
@@ -2541,6 +2550,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       rules: Seq[(String, Long, Long, Long)])
       : (DataFrame, Map[String, String]) = {
     import org.apache.spark.sql.functions._
+    // re-check the FRESH rules against the frame, not just the ones read
+    // at loop entry: a rival can declare a NEW identity column mid-race
+    // (legal while the table is empty), and silently overwriting a
+    // same-named user column would violate GENERATED ALWAYS
+    rules.foreach { case (n, _, _, _) =>
+      require(!prep.pinned.columns.contains(n),
+        s"identity column '$n' is GENERATED ALWAYS — remove it from the frame")
+    }
     val sp = prep.pinned.sparkSession
     import sp.implicits._
     val offDf = prep.offRows.toDF("__pid", "__off")

@@ -81,6 +81,8 @@ class GoldenApproxSpec extends SparkSpecBase {
       .select("l_returnflag", "spearman").as[(String, Double)].collect().toMap
     val spApprox = SparkEntry.queries("q_agg_spearman_approx")(spark, sf01)
       .select("l_returnflag", "spearman").as[(String, Double)].collect().toMap
+    assert(spApprox.keySet == spExact.keySet,
+      s"spearman flag sets diverged: approx ${spApprox.keySet} vs exact ${spExact.keySet}")
     val spErr = spExact.map { case (k, e) => math.abs(spApprox(k) - e) }.max
 
     // Sketch-cutoff length tails: recall of the exact (doc_id, tail)
