@@ -2525,12 +2525,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * not the partitioning or the counts — so the retry loop reuses this
     * prep and pays only re-projection + re-staging per retry, not a
     * re-persist + an extra count job. */
-  private case class IdentityPrep(pinned: DataFrame,
+  private[graft] case class IdentityPrep(pinned: DataFrame,
       offRows: Seq[(Int, Long)], total: Long) {
     def release(): Unit = { pinned.unpersist(blocking = false); () }
   }
 
-  private def prepareIdentity(df: DataFrame,
+  private[graft] def prepareIdentity(df: DataFrame,
       ruleNames: Seq[String]): IdentityPrep = {
     import org.apache.spark.sql.functions._
     ruleNames.foreach { n =>
@@ -2546,7 +2546,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     IdentityPrep(pinned, offRows.toSeq, total)
   }
 
-  private def assignFromPrep(prep: IdentityPrep,
+  private[graft] def assignFromPrep(prep: IdentityPrep,
       rules: Seq[(String, Long, Long, Long)])
       : (DataFrame, Map[String, String]) = {
     import org.apache.spark.sql.functions._

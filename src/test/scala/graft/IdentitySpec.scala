@@ -214,6 +214,26 @@ class IdentitySpec extends SparkSpecBase {
     assert(idVals(sink) == after)
   }
 
+  test("retry-path assignment re-checks FRESH rules against the frame (mid-race declaration)") {
+    // the OCC loop prepares the frame once (idr0) but re-reads rules per
+    // retry; a rival can declare a NEW identity column mid-race (legal on
+    // an empty table), and a same-named user column must fail loudly at
+    // the retry's re-assignment, never be silently overwritten —
+    // exercised directly through the (package-visible) retry half
+    val sink = new ExactlyOnceSink(tmp())
+    sink.setIdentityColumn(spark, "rid")
+    val frame = spark.range(0, 5).toDF("payload")
+    val prep = sink.prepareIdentity(frame, Seq("rid")) // loop-entry rules
+    try {
+      // rules as a retry would re-read them AFTER a rival declared
+      // identity on a column this frame carries
+      val fresh = Seq(("rid", 1L, 1L, 0L), ("payload", 1L, 1L, 0L))
+      val e = intercept[IllegalArgumentException](
+        sink.assignFromPrep(prep, fresh))
+      assert(e.getMessage.contains("GENERATED ALWAYS"))
+    } finally prep.release()
+  }
+
   test("a clone continues the watermark; source and clone sequences stay independent") {
     val srcDir = tmp()
     val src = new ExactlyOnceSink(srcDir)

@@ -60,7 +60,12 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // mid-history, THEN the fork copies it — every pre-anchor version
       // the clone serves resolves through checkpoint body entries whose
       // dirs cloneTo made absolute
-      (91L, 16, true)))
+      (91L, 16, true),
+      // same product, LATE fork (step 28 of 32): the cleaned log carries
+      // a long accumulated history (renames/drops/full-clause merges),
+      // so most of what the clone serves is checkpoint-rewritten, and
+      // only a handful of verbs run post-fork
+      (67L, 28, true)))
     test(s"protocol fuzz seed=$seed" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
           (if (cleanBeforeClone) ", log cleaned first" else "") + ")"
