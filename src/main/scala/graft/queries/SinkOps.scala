@@ -308,7 +308,48 @@ object SinkOps {
       }
     }
 
+  /** The type-widening table's build recipe (mirrored verbatim in the
+    * oracle): seed the EVEN event ids with an INT cents column, then a
+    * WIDENING append of the odd ids as LONG cents offset +3e9 (values a
+    * 32-bit column cannot hold — so the widen is semantically load-
+    * bearing, not just a metadata flip; the commit declares the
+    * `typeWidening` reader feature), then a NARROW int append of the
+    * %97 ids (the upcast-at-write path: the staged file carries long).
+    * The read must coerce the mixed-width live files to the widened
+    * type and aggregate exactly. */
+  private val builtWiden = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def widenedEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(builtWiden, s, d, "graft-widenread",
+        "proto=evenIntSeed,widenOdd+3e9,narrow%97+7") { (ev, dir) =>
+      val sink = new ExactlyOnceSink(dir.toString)
+      val cents = Det.cents(col("value"), 2) // LongType, int-range values
+      sink.commitAppend(ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").cast("long").as("id"),
+          cents.cast("int").as("c")))
+      sink.commitAppend(ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").cast("long").as("id"),
+          (cents + lit(3000000000L)).as("c")), mergeSchema = true)
+      sink.commitAppend(ev.filter(col("event_id") % 97 === 0)
+        .select((col("event_id") + lit(100000000L)).as("id"),
+          (cents + lit(7)).cast("int").as("c")))
+    }
+
   val queries: Map[String, QueryFn] = Map(
+    // Aggregate over the type-widened committed table: live files mix
+    // int32 and int64 encodings of one column, the read coerces them to
+    // the widened (declared) type, and count/sum/min/max must equal
+    // DuckDB recomputing the same arithmetic over the raw fixture — the
+    // widening lands in the per-round oracle gate, not just
+    // TypeWideningSpec.
+    "q_sink_widen_read" -> ((s, d) => {
+      widenedEvents(s, d).read(s)
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).cast("double").as("c_sum"),
+          min(col("c")).as("c_min"),
+          max(col("c")).as("c_max"))
+    }),
+
     // Two-column range aggregate over the clustered committed table: file
     // pruning via footer stats on BOTH z-ordered columns, then the exact
     // predicate, then the usual deterministic money aggregate.
@@ -466,6 +507,18 @@ object SinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sink_widen_read" ->
+      """WITH src AS (
+           SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_id
+           FROM events
+         ), u AS (
+           SELECT c FROM src WHERE event_id % 2 = 0
+           UNION ALL SELECT c + 3000000000 FROM src WHERE event_id % 2 = 1
+           UNION ALL SELECT c + 7 FROM src WHERE event_id % 97 = 0
+         )
+         SELECT count(*) AS n, CAST(sum(c) AS DOUBLE) AS c_sum,
+                min(c) AS c_min, max(c) AS c_max
+         FROM u""",
     "q_sink_merge_read" ->
       s"""WITH st AS (
             SELECT event_type,

@@ -276,7 +276,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       generated: Option[Map[String, String]] = None,
       columnMapping: Option[Map[String, String]] = None,
       droppedCols: Option[Seq[String]] = None,
-      rows: Map[String, Long] = Map.empty): String = {
+      rows: Map[String, Long] = Map.empty,
+      widened: Boolean = false): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -336,7 +337,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (removes.nonEmpty || dvs.nonEmpty) Some("dv") else None,
       if (columnMapping.exists(_.nonEmpty) || droppedCols.exists(_.nonEmpty))
         Some("columnMapping") else None,
-      if (restoreDirs.nonEmpty) Some("restore") else None).flatten
+      if (restoreDirs.nonEmpty) Some("restore") else None,
+      // a type-widening commit leaves files of BOTH widths live: a
+      // reader that cannot coerce them would misread the column
+      if (widened) Some("typeWidening") else None).flatten
     val protoJson =
       if (feats.isEmpty) ""
       else s""""protocol":{"readerFeatures":[${feats.map(jstr).mkString(",")}]},"""
@@ -630,15 +634,65 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * (`unionByName(allowMissingColumns)`), Delta's nullable-missing
     * rule. Metadata-only (one latest-commit parse, no data touched);
     * nullability is ignored via `catalogString`. */
+  /** Lossless widening lattice (the Delta type-widening feature's core):
+    * byte < short < int < long within the integral family, float <
+    * double within the fractional one. Everything else is NOT a
+    * widening — cross-family and narrowing flips always abort. */
+  private def widenRank(t: org.apache.spark.sql.types.DataType)
+      : Option[(Char, Int)] = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType => Some(('i', 0)); case ShortType => Some(('i', 1))
+      case IntegerType => Some(('i', 2)); case LongType => Some(('i', 3))
+      case FloatType => Some(('f', 0)); case DoubleType => Some(('f', 1))
+      case _ => None
+    }
+  }
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    (widenRank(from), widenRank(to)) match {
+      case (Some((fa, ra)), Some((fb, rb))) => fa == fb && ra < rb
+      case _ => false
+    }
+
+  /** Upcast frame columns NARROWER than the committed table type to the
+    * table type (int frame into a long column, the everyday half of
+    * type widening): the staged files then carry the table's type, so a
+    * narrow write after a widening never re-introduces narrow files.
+    * Run after [[enforceSchema]] at every data-write entry point. */
+  private def conformToTable(df: DataFrame): DataFrame =
+    latestSchema().filter(_.fields.nonEmpty).map { cur =>
+      val curT = cur.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        curT.get(f.name) match {
+          case Some(t) if widens(f.dataType, t) =>
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.col(f.name).cast(t))
+          case _ => d
+        }
+      }
+    }.getOrElse(df)
+
   private def enforceSchema(df: DataFrame, mergeSchema: Boolean,
       verb: String): Unit =
     // a metadata-only commit on an EMPTY table records an empty struct —
     // that is "no schema yet", not "every column is new"
     latestSchema().filter(_.fields.nonEmpty).foreach { cur =>
-      val curT = cur.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      val curT = cur.fields.map(f => f.name -> f.dataType).toMap
       val conflicts = df.schema.fields.flatMap(f =>
-        curT.get(f.name).filter(_ != f.dataType.catalogString)
-          .map(t => s"${f.name}: table $t vs write ${f.dataType.catalogString}"))
+        curT.get(f.name).filter(_ != f.dataType).flatMap { t =>
+          if (widens(f.dataType, t))
+            None // narrower write: upcast on stage (conformToTable)
+          else if (widens(t, f.dataType) && mergeSchema)
+            None // TYPE WIDENING evolution — recorded by evolvedSchema
+          else if (widens(t, f.dataType))
+            Some(s"${f.name}: table ${t.catalogString} vs write " +
+              s"${f.dataType.catalogString} — a lossless WIDENING; pass " +
+              "mergeSchema=true to widen the table type")
+          else
+            Some(s"${f.name}: table ${t.catalogString} vs write " +
+              s"${f.dataType.catalogString}")
+        })
       if (conflicts.nonEmpty)
         sys.error(s"$verb: column type mismatch with the committed table " +
           s"schema — ${conflicts.mkString("; ")}")
@@ -665,13 +719,31 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * narrower append (columns omitted, null-padded on read) must not
     * shrink the recorded table schema, exactly as a Delta append leaves
     * metaData untouched. */
-  private def evolvedSchemaJson(df: DataFrame): String =
+  private def evolvedSchemaJson(df: DataFrame): String = evolvedSchema(df)._1
+
+  /** (recorded schema json, widenedAnyField): shared fields take the
+    * WIDER of (committed, frame) type — enforceSchema already rejected
+    * any flip that is not a lossless widening under mergeSchema — and
+    * the flag makes the commit declare the `typeWidening` reader
+    * feature (a reader unioning per-commit scans must coerce the mixed
+    * narrow/wide files, or it would misread the column's type). */
+  private def evolvedSchema(df: DataFrame): (String, Boolean) =
     latestSchema().filter(_.fields.nonEmpty) match {
-      case None => df.schema.json
+      case None => (df.schema.json, false)
       case Some(cur) =>
+        val frameT = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        var widened = false
+        val updated = cur.fields.map { f =>
+          frameT.get(f.name) match {
+            case Some(ft) if widens(f.dataType, ft) =>
+              widened = true; f.copy(dataType = ft)
+            case _ => f
+          }
+        }
         val have = cur.fieldNames.toSet
-        org.apache.spark.sql.types.StructType(
-          cur.fields ++ df.schema.fields.filterNot(f => have(f.name))).json
+        (org.apache.spark.sql.types.StructType(
+          updated ++ df.schema.fields.filterNot(f => have(f.name))).json,
+          widened)
     }
 
   /** foreachBatch body: write-then-commit, idempotent on batchId.
@@ -729,7 +801,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         "tolerate — drive this table through appendBatch (streamTxn-" +
         "cursored) instead")
     enforceSchema(df, mergeSchema, s"process(batchId=$batchId)")
-    val gdf0 = applyGenerated(df)
+    val gdf0 = applyGenerated(conformToTable(df))
     // identity assignment: the stream is the SINGLE writer, so there is
     // no watermark race — a crash-replay of this batch re-reads the
     // previous batch's committed watermark and the claim's idempotence
@@ -768,9 +840,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       //    But verify it: a maintenance OCC commit (or a foreign
       //    stream) racing into version=batchId while this batch staged
       //    would otherwise swallow the batch silently.
-      if (!claim(batchId, entryJsonS(evolvedSchemaJson(gdf), batchId,
+      val (schemaJson, widened) = evolvedSchema(gdf)
+      if (!claim(batchId, entryJsonS(schemaJson, batchId,
           dir, partitionBy, snapshot, adds,
-          meta.stats, generated = advancedGen, rows = meta.rows))) {
+          meta.stats, generated = advancedGen, rows = meta.rows,
+          widened = widened))) {
         require(isOwnStreamBatch(parseCommit(batchId), batchId),
           s"process(batchId=$batchId): lost the version claim to a " +
             "non-streaming or foreign-stream commit — use appendBatch " +
@@ -825,7 +899,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       mergeSchema: Boolean = false,
       streamTxn: Option[(String, Long)] = None): Long = {
     enforceSchema(df, mergeSchema, "commitAppend")
-    val gdf = applyGenerated(df)
+    val gdf = applyGenerated(conformToTable(df))
     val idr0 = identityRules()
     if (idr0.isEmpty) {
       val st = stageAppend(gdf, partitionBy, clusterBy, clusterFiles,
@@ -833,7 +907,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       var v = nextVersion()
       while (!claim(v, entryJsonS(st.schemaJson, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
-          streamTxn = streamTxn, rows = st.rows))) {
+          streamTxn = streamTxn, rows = st.rows, widened = st.widened))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
       }
       v
@@ -882,7 +956,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           if (claim(expected, entryJsonS(st.schemaJson, expected, st.dir,
               partitionBy, snapshot = false, st.adds, st.stats,
               blooms = st.blooms, generated = Some(genOut),
-              streamTxn = streamTxn, rows = st.rows)))
+              streamTxn = streamTxn, rows = st.rows,
+              widened = st.widened)))
             return expected
         }
         -1L // unreachable
@@ -918,7 +993,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private case class StagedAppend(dir: String, adds: Seq[Path],
       stats: Map[String, Map[String, (String, String)]],
       blooms: Map[String, Map[String, Array[Long]]],
-      schemaJson: String, rows: Map[String, Long])
+      schemaJson: String, rows: Map[String, Long],
+      widened: Boolean = false)
 
   /** Stage one optimistic append's data files under a writer-unique dir
     * and collect its per-file stats/blooms — everything a claim needs,
@@ -951,7 +1027,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Files.createDirectories(target.getParent)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     touchNow(target)
-    StagedAppend(dir, adds, stats, blooms, evolvedSchemaJson(gdf), rowsM)
+    val (schemaJson, widened) = evolvedSchema(gdf)
+    StagedAppend(dir, adds, stats, blooms, schemaJson, rowsM, widened)
   }
 
   /** Optimistic read-modify-write transaction (Delta's OCC loop): reads
@@ -1086,7 +1163,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * instead of being silently misread — the Delta protocol-versioning
     * contract. */
   private val SupportedReaderFeatures =
-    Set("dv", "columnMapping", "restore", "absolutePaths")
+    Set("dv", "columnMapping", "restore", "absolutePaths", "typeWidening")
 
   /** Parse one commit-entry JSON. The version comes from the entry's own
     * txn action (every entry this sink writes records it); `vHint` — the
@@ -1792,13 +1869,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     enforceSchema(updates, mergeSchema = false, "merge")
+    val updatesC = conformToTable(updates)
     transactSnapshotChanges(spark, "MERGE", streamTxn = streamTxn) { current =>
       if (current.isEmpty) {
-        (updates, Some(updates.withColumn("_change_type", lit("insert"))))
+        (updatesC, Some(updatesC.withColumn("_change_type", lit("insert"))))
       } else {
         val mdel = matchedDelete.getOrElse(lit(false))
         val sdel = notMatchedBySourceDelete.getOrElse(lit(false))
-        val keyRel = updates.select(keys.map(col): _*).distinct()
+        val keyRel = updatesC.select(keys.map(col): _*).distinct()
         val matched = current.join(keyRel, keys, "left_semi")
         val bySource = current.join(keyRel, keys, "left_anti")
         val deletedMatched = matched.filter(mdel)
@@ -1806,8 +1884,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         // only keys whose committed row SURVIVED the matched-delete
         // clause take the update row; matched-delete keys drop both sides
         val replKeys = replaced.select(keys.map(col): _*).distinct()
-        val updReplace = updates.join(replKeys, keys, "left_semi")
-        val updInsert = updates
+        val updReplace = updatesC.join(replKeys, keys, "left_semi")
+        val updInsert = updatesC
           .join(current.select(keys.map(col): _*), keys, "left_anti")
         val deletedBySource = bySource.filter(sdel)
         val state = bySource.filter(!sdel)
@@ -1987,7 +2065,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       streamTxn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     enforceSchema(updates0, mergeSchema = false, "mergeDV")
-    val updates = applyGenerated(updates0)
+    val updates = applyGenerated(conformToTable(updates0))
     if (visibleCommits(None).forall(_.adds.isEmpty))
       return merge(spark, updates, keys, streamTxn)
     // the source's per-key-column bounds prune the probe to files whose
@@ -2223,10 +2301,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       replacement: DataFrame): Long = {
     import org.apache.spark.sql.functions._
     enforceSchema(replacement, mergeSchema = false, "replaceWhere")
-    val guarded = replacement.filter(
+    val replacementC = conformToTable(replacement)
+    val guarded = replacementC.filter(
       when(predicate, lit(true)).otherwise(raise_error(concat(
         lit("replaceWhere: replacement row outside the predicate: "),
-        to_json(struct(replacement.columns.map(col): _*))))))
+        to_json(struct(replacementC.columns.map(col): _*))))))
     transactSnapshotChanges(spark, "REPLACE WHERE") { current =>
       if (current.isEmpty)
         (guarded, Some(guarded.withColumn("_change_type", lit("insert"))))

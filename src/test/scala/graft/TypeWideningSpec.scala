@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+import graft.streaming.ExactlyOnceSink
+
+/** Type widening (the Delta type-widening feature analog): a lossless
+  * widen (byte<short<int<long, float<double) is the ONE type flip the
+  * write path accepts — as an explicit evolution under mergeSchema=true
+  * (the table type widens, the commit declares the `typeWidening`
+  * reader feature, old narrow files stay live and coerce on read), or
+  * implicitly for a NARROWER write (the frame upcasts to the table type
+  * before staging, so no new narrow files appear). Everything else
+  * (narrowing, cross-family) still aborts. */
+class TypeWideningSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-widen").toString
+
+  test("int -> long widening under mergeSchema: type, values, metadata all coherent") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((1, "a"), (2, "b")).toDF("v", "x")) // v: int
+    assert(sink.read(spark).schema("v").dataType == IntegerType)
+    // the widening write: long frame, evolution opt-in
+    sink.commitAppend(Seq((3000000000L, "c")).toDF("v", "x"),
+      mergeSchema = true)
+    val got = sink.read(spark)
+    assert(got.schema("v").dataType == LongType,
+      "read must present the widened type over mixed-width files")
+    assert(got.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3000000000L))
+    // table schema recorded widened; later metadata still coherent
+    assert(sink.latestSchema().get("v").dataType == LongType)
+    assert(sink.rowCount(spark) == 3L)
+    // numeric stats fold across narrow and wide files
+    assert(sink.columnStats("v") == Some(("1", "3000000000")))
+  }
+
+  test("widening without mergeSchema fails loudly, naming the fix") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.commitAppend(Seq((1, "a")).toDF("v", "x"))
+    val e = intercept[RuntimeException](
+      sink.commitAppend(Seq((2L, "b")).toDF("v", "x")))
+    assert(e.getMessage.contains("WIDENING") &&
+      e.getMessage.contains("mergeSchema"), e.getMessage)
+  }
+
+  test("a NARROWER write upcasts to the table type — no new narrow files, no opt-in needed") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((10L, "a")).toDF("v", "x")) // table: long
+    sink.commitAppend(Seq((20, "b")).toDF("v", "x")) // int frame: fine
+    val got = sink.read(spark)
+    assert(got.schema("v").dataType == LongType)
+    assert(got.select("v").as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    // the staged file itself carries long: reading JUST the second
+    // commit's files shows the upcast happened at write, not read
+    val secondDir = sink.commitDataDirs(1).head
+    val raw = spark.read.parquet(
+      Paths.get(dir, "data", secondDir).toString)
+    assert(raw.schema("v").dataType == LongType,
+      "narrow frame must be upcast before staging")
+  }
+
+  test("cross-family and narrowing flips still abort") {
+    val sink = new ExactlyOnceSink(tmp())
+    sink.commitAppend(Seq((1L, "a")).toDF("v", "x"))
+    // narrowing long -> int is the UPCAST path (accepted); but a float
+    // into an integral column is cross-family and must abort even with
+    // mergeSchema
+    val e1 = intercept[RuntimeException](
+      sink.commitAppend(Seq((1.5f, "b")).toDF("v", "x"), mergeSchema = true))
+    assert(e1.getMessage.contains("type mismatch"), e1.getMessage)
+    // string into a numeric column: same
+    val e2 = intercept[RuntimeException](
+      sink.commitAppend(Seq(("nope", "b")).toDF("v", "x"), mergeSchema = true))
+    assert(e2.getMessage.contains("type mismatch"), e2.getMessage)
+  }
+
+  test("float -> double widens; the widening commit declares the reader feature") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((1.5f, "a")).toDF("v", "x"))
+    val wv = sink.commitAppend(Seq((2.25d, "b")).toDF("v", "x"),
+      mergeSchema = true)
+    assert(sink.read(spark).schema("v").dataType == DoubleType)
+    assert(sink.read(spark).schema("v").dataType != FloatType)
+    val entry = Files.readString(
+      Paths.get(dir, "_graft_log", f"$wv%020d.json"))
+    assert(entry.contains("\"typeWidening\""),
+      "the widening commit must declare the reader feature — a reader " +
+        "that cannot coerce mixed-width files would misread the column")
+    // non-widening commits do NOT carry it
+    val v2 = sink.commitAppend(Seq((3.5d, "c")).toDF("v", "x"))
+    assert(!Files.readString(Paths.get(dir, "_graft_log",
+      f"$v2%020d.json")).contains("typeWidening"))
+  }
+
+  test("widening survives checkpoint + cleanupLog; DV delete and merge work over mixed files") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 3)
+    sink.commitAppend(Seq((1, "a"), (2, "b")).toDF("v", "x").coalesce(1))
+    sink.commitAppend(Seq((5000000000L, "c")).toDF("v", "x"),
+      mergeSchema = true)
+    // MOR delete hits a row in the NARROW (pre-widening) file
+    sink.deleteDV(spark, col("v") === 1)
+    // CoW-free upsert with a narrow updates frame into the widened table
+    sink.mergeDV(spark, Seq((2, "b2")).toDF("v", "x"), Seq("v"))
+    (0 until 3).foreach(i =>
+      sink.commitAppend(Seq((100L + i, s"d$i")).toDF("v", "x")))
+    sink.cleanupLog(minAgeMs = 0)
+    val cold = new ExactlyOnceSink(dir)
+    val got = cold.read(spark)
+    assert(got.schema("v").dataType == LongType)
+    assert(got.select("v", "x").as[(Long, String)].collect().toMap ==
+      Map(2L -> "b2", 5000000000L -> "c", 100L -> "d0", 101L -> "d1",
+        102L -> "d2"))
+  }
+
+  test("time travel before the widening presents the as-of (narrow) type — the Delta semantics") {
+    val sink = new ExactlyOnceSink(tmp())
+    val v0 = sink.commitAppend(Seq((1, "a")).toDF("v", "x"))
+    sink.commitAppend(Seq((2L, "b")).toDF("v", "x"), mergeSchema = true)
+    // unlike column mapping (current names at every version), the TYPE a
+    // version presents is its snapshot's own: pre-widening files are int
+    assert(sink.read(spark, versionAsOf = Some(v0))
+      .schema("v").dataType == IntegerType)
+    assert(sink.read(spark).schema("v").dataType == LongType)
+  }
+}
