@@ -120,6 +120,47 @@ class TypeWideningSpec extends SparkSpecBase {
         102L -> "d2"))
   }
 
+  test("a clone of a widened table serves the widened type and the mixed-width files") {
+    val srcDir = tmp()
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(Seq((1, "a")).toDF("v", "x"))
+    src.commitAppend(Seq((4000000000L, "b")).toDF("v", "x"),
+      mergeSchema = true)
+    val cloneDir = tmp()
+    src.cloneTo(cloneDir) // the typeWidening feature rides the copied log
+    val clone = new ExactlyOnceSink(cloneDir)
+    val got = clone.read(spark)
+    assert(got.schema("v").dataType == LongType)
+    assert(got.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4000000000L))
+    // and the clone keeps evolving independently
+    clone.commitAppend(Seq((7, "c")).toDF("v", "x")) // narrow: upcast
+    assert(clone.read(spark).count() == 3)
+    assert(src.read(spark).count() == 2, "clone append leaked to source")
+  }
+
+  test("RESTORE to a pre-widening version rolls the type back with the snapshot") {
+    val sink = new ExactlyOnceSink(tmp())
+    val v0 = sink.commitAppend(Seq((1, "a")).toDF("v", "x"))
+    sink.commitAppend(Seq((4000000000L, "b")).toDF("v", "x"),
+      mergeSchema = true)
+    sink.restore(spark, v0)
+    // the restore snapshot's live files are all narrow, and the commit
+    // records the as-of schema — the table IS int again (the Delta
+    // RESTORE semantics: schema rolls back with the data)
+    assert(sink.read(spark).schema("v").dataType == IntegerType)
+    assert(sink.latestSchema().get("v").dataType == IntegerType)
+    // re-widening afterwards still needs the explicit opt-in
+    val e = intercept[RuntimeException](
+      sink.commitAppend(Seq((5L, "c")).toDF("v", "x")))
+    assert(e.getMessage.contains("WIDENING"))
+    sink.commitAppend(Seq((5000000000L, "c")).toDF("v", "x"),
+      mergeSchema = true)
+    assert(sink.read(spark).schema("v").dataType == LongType)
+    assert(sink.read(spark).select("v").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 5000000000L))
+  }
+
   test("time travel before the widening presents the as-of (narrow) type — the Delta semantics") {
     val sink = new ExactlyOnceSink(tmp())
     val v0 = sink.commitAppend(Seq((1, "a")).toDF("v", "x"))
