@@ -160,26 +160,29 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
     // Suspects: a host-load burst touched this query's probe bracket —
-    // its median is not trustworthy. Re-run ONCE under a fresh bracket;
+    // its median is not trustworthy. Re-run under a fresh bracket with
+    // the SAME estimator as everyone else (median of `runs` samples, so
+    // the headline never sums mixed estimators and a one-off GC pause
+    // in the re-run is smoothed exactly like in a first-pass query);
     // accept the re-run only if BOTH of its probes are clean.
     val suspects = serialRaw.filter { case (_, _, _, pb, pa) =>
       !(cleanP(pb) && cleanP(pa)) }
     val requeried = suspects.flatMap { case (name, fn, _, _, _) =>
       val p0 = probe()
-      val t = timeQuery(fn, 1).head
+      val ts = timeQuery(fn, runs)
       val p1 = probe()
       probeLog += p0; probeLog += p1
-      if (cleanP(p0) && cleanP(p1)) Some(name -> t) else None
+      if (cleanP(p0) && cleanP(p1)) Some(name -> ts) else None
     }.toMap
     val contaminatedQueries = suspects.collect {
       case (name, _, _, _, _) if !requeried.contains(name) => name }
     val results = serialRaw.map { case (name, _, ts, _, _) =>
-      name -> requeried.getOrElse(name, median(ts)) }
-    // Per-query MIN over every sample (original runs + clean re-run):
+      name -> median(requeried.getOrElse(name, ts)) }
+    // Per-query MIN over every sample (original runs + clean re-runs):
     // the load-robust estimator for CPU-bound work; median >> min flags
     // residual interference on that query.
     val mins = serialRaw.map { case (name, _, ts, _, _) =>
-      name -> (ts ++ requeried.get(name)).min }
+      name -> (ts ++ requeried.getOrElse(name, Nil)).min }
     // Two serial estimators, labeled: serial_value = sum of per-query
     // median-of-N (steady-state latency, robust to outlier runs) and
     // serial_first = sum of per-query FIRST runs (a measured

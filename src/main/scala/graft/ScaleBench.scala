@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *      make every doc an exact cross-copy duplicate and inflate every
   *      pair-producing query's OUTPUT quadratically by construction,
   *      measuring the synthetic fixture, not the engine:
-  *        - documents.text: per-copy Caesar rotation of [a-zA-Z]
-  *          (translate, codegen'd). Within a copy all pairwise
-  *          token/shingle relations are isomorphic to the base corpus;
-  *          across copies rotated tokens share nothing, so similarity
-  *          collapses and pairs/components/buckets scale ~K×.
+  *        - documents.text: per-copy token SUFFIX TAGGING
+  *          (regexp_replace, codegen'd; r14 — replaces the Caesar
+  *          rotation family, which capped at 26 token-disjoint
+  *          copies). Within a copy all pairwise token/shingle
+  *          relations are isomorphic to the base corpus (frequencies
+  *          exact, lengths +3); across copies tagged tokens share
+  *          nothing, so similarity collapses and pairs/components/
+  *          buckets scale ~K× at ANY K.
   *        - embeddings.embedding: per-copy cyclic rotation of the
   *          64-dim vector. Rotation is orthogonal — intra-copy dot
   *          products are bit-preserved — while cross-copy cosine decays
@@ -64,8 +67,6 @@ object ScaleBench {
     // the one rank-based op, measured rather than argued
     "q_agg_spearman")
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
-
   /** Write a `scale`× fixture under `outDir`. Every fixture table is
     * present (unscaled tables are copied through) so any declared query
     * runs against the directory. */
@@ -81,21 +82,28 @@ object ScaleBench {
 
     val docStride = stride(Tables(spark, baseDir, "documents"), "doc_id")
     val docs = scaled("documents") { (df, k) =>
-      // shift k*7 mod 26: distinct nonzero shifts for k in 1..25 —
-      // enough for any plausible canary scale (scale ≤ 26 asserted)
-      val sh = (k * 7) % 26
-      val rot = Alpha.drop(sh) + Alpha.take(sh)
-      val shifted =
-        if (sh == 0) df
-        else df.withColumn("text", translate(col("text"),
-          Alpha + Alpha.toUpperCase, rot + rot.toUpperCase))
-      shifted.withColumn("doc_id", col("doc_id") + lit(k * docStride))
+      // per-copy TOKEN SUFFIX TAGGING (r13 verdict #6: the Caesar-
+      // rotation family capped the canary at 26 token-disjoint copies;
+      // this family is uncapped). Every token of copy k>0 gets a short
+      // per-copy tag appended: within a copy all token/shingle
+      // relations are isomorphic to the base corpus (frequencies
+      // preserved exactly, lengths +3 chars); across copies no token is
+      // ever shared, so similarity collapses and pairs/components/
+      // buckets scale ~K× — constant duplicate density, any K.
+      val tagged =
+        if (k == 0) df
+        else df.withColumn("text", regexp_replace(col("text"),
+          "(\\S+)", "$1z" + java.lang.Integer.toString(k, 36)))
+      tagged.withColumn("doc_id", col("doc_id") + lit(k * docStride))
     }
-    require(scale <= 26, s"per-copy rotations collide above 26× (got $scale)")
 
     val vecStride = stride(Tables(spark, baseDir, "embeddings"), "vec_id")
     val dim = Tables(spark, baseDir, "embeddings")
       .select(size(col("embedding"))).head().getInt(0)
+    // 17 is coprime with the 64-dim fixture, so shifts are distinct for
+    // k < dim — the embedding family's own (much higher) copy cap
+    require(scale <= dim,
+      s"per-copy vector rotations collide above ${dim}× (got $scale)")
     val embs = scaled("embeddings") { (df, k) =>
       val sh = (k * 17) % dim
       val rotated =

@@ -362,6 +362,40 @@ object MiningOps {
         .orderBy("stage_ord")
     }),
 
+    // The 100 TB split of q_llm_dedup_funnel (SURVEY §2.11's declared
+    // HLL path, shipped as a twin like spearman_approx/len_pctile_
+    // approx): the exact funnel's four corpus-wide COUNT(DISTINCT)s
+    // each shuffle every fingerprint in the corpus; here they swap for
+    // HLL++ sketches (approx_count_distinct, rsd 1%) built in ONE
+    // map-side pass — four fixed-size sketches merge in O(sketch), so
+    // the readout costs a single scan regardless of corpus size. Same
+    // output shape as the exact funnel. No DuckDB twin by design (HLL
+    // implementations differ across engines); tolerance-gated vs the
+    // exact funnel in OperatorSpec and golden/approx_r14.json.
+    "q_llm_dedup_funnel_approx" -> ((s, d) => {
+      val bow = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val m = t(s, d, "documents").agg(
+        count(lit(1)).as("total"),
+        approx_count_distinct(md5(col("text")), 0.01).as("n_exact"),
+        approx_count_distinct(md5(substring(col("text"), 1, 64)), 0.01)
+          .as("n_prefix"),
+        approx_count_distinct(bow, 0.01).as("n_bow"))
+      def row(ord: Int, name: String, c: Column) =
+        struct(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          c.as("n_docs"))
+      m.select(col("total"), explode(array(
+          row(1, "all", col("total")),
+          row(2, "exact", col("n_exact")),
+          row(3, "prefix64", col("n_prefix")),
+          row(4, "bag_of_words", col("n_bow")))).as("r"))
+        .select(col("r.stage_ord").as("stage_ord"), col("r.stage").as("stage"),
+          col("r.n_docs").as("n_docs"),
+          Det.r(col("r.n_docs").cast("double") / col("total"), 4)
+            .as("keep_ratio"))
+        .orderBy("stage_ord")
+    }),
+
     // Prefix-fingerprint dedup groups: docs sharing the same first-64-
     // char md5 (the cheap crawl heuristic the funnel counts), with the
     // canonical survivor (min doc_id) and group size. One

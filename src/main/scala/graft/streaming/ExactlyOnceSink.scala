@@ -633,7 +633,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * Columns the frame OMITS are fine — the read path null-pads them
     * (`unionByName(allowMissingColumns)`), Delta's nullable-missing
     * rule. Metadata-only (one latest-commit parse, no data touched);
-    * nullability is ignored via `catalogString`. */
+    * nullability — top-level AND nested (array containsNull, map
+    * valueContainsNull, struct field nullable) — is ignored via
+    * [[nullNorm]] normalization on both sides: a literal-built
+    * `array<int> containsNull=false` frame vs the same column read
+    * back from the table's own parquet is the SAME type, not a flip. */
   /** Lossless widening lattice (the Delta type-widening feature's core):
     * byte < short < int < long within the integral family, float <
     * double within the fractional one. Everything else is NOT a
@@ -673,6 +677,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }
     }.getOrElse(df)
 
+  /** Nullability-normal form for type comparison: all containsNull /
+    * valueContainsNull / field-nullable flags forced true, field
+    * metadata stripped, recursively. (Spark's own `asNullable` is
+    * `private[spark]`.) */
+  private def nullNorm(t: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ArrayType(e, _) => ArrayType(nullNorm(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(nullNorm(k), nullNorm(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        StructField(f.name, nullNorm(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   private def enforceSchema(df: DataFrame, mergeSchema: Boolean,
       verb: String): Unit =
     // a metadata-only commit on an EMPTY table records an empty struct —
@@ -680,7 +701,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     latestSchema().filter(_.fields.nonEmpty).foreach { cur =>
       val curT = cur.fields.map(f => f.name -> f.dataType).toMap
       val conflicts = df.schema.fields.flatMap(f =>
-        curT.get(f.name).filter(_ != f.dataType).flatMap { t =>
+        curT.get(f.name).filter(t => nullNorm(t) != nullNorm(f.dataType))
+          .flatMap { t =>
           if (widens(f.dataType, t))
             None // narrower write: upcast on stage (conformToTable)
           else if (widens(t, f.dataType) && mergeSchema)
@@ -728,10 +750,24 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * feature (a reader unioning per-commit scans must coerce the mixed
     * narrow/wide files, or it would misread the column's type). */
   private def evolvedSchema(df: DataFrame): (String, Boolean) =
+    evolvedSchemaOf(df.schema)
+
+  /** Schema-only form, re-runnable on an OCC retry: a rival commit
+    * between stage and claim may itself have evolved the table
+    * (widened a type, added a column), and re-recording the schema
+    * computed BEFORE the lost race would silently revert the rival's
+    * evolution in the new latest metaData. Callers re-invoke this
+    * against the fresh committed schema on every claim retry —
+    * metadata-only (one latest-commit parse), no re-stage: staged
+    * files may stay narrower than the table type, the read path
+    * coerces via unionByName. Idempotent: re-evolving an
+    * already-evolved schema against an unchanged table is identity. */
+  private def evolvedSchemaOf(fs: org.apache.spark.sql.types.StructType)
+      : (String, Boolean) =
     latestSchema().filter(_.fields.nonEmpty) match {
-      case None => (df.schema.json, false)
+      case None => (fs.json, false)
       case Some(cur) =>
-        val frameT = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val frameT = fs.fields.map(f => f.name -> f.dataType).toMap
         var widened = false
         val updated = cur.fields.map { f =>
           frameT.get(f.name) match {
@@ -742,7 +778,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         }
         val have = cur.fieldNames.toSet
         (org.apache.spark.sql.types.StructType(
-          updated ++ df.schema.fields.filterNot(f => have(f.name))).json,
+          updated ++ fs.fields.filterNot(f => have(f.name))).json,
           widened)
     }
 
@@ -778,12 +814,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // entry below the truncation marker, invisible to readers but
     // muddying the exactly-once accounting. Fail loudly instead, like
     // the occupied-version require.
-    require(batchId >= truncatedBelow(),
-      s"process(batchId=$batchId): this version is below the log's " +
-        s"truncation marker (${truncatedBelow()}) — its raw entry was " +
-        "reclaimed by cleanupLog, so version-pinned replay detection " +
-        "cannot run; drive this table through appendBatch (streamTxn-" +
-        "cursored) instead")
+    if (batchId < truncatedBelow()) {
+      // The raw file is gone, but the batch may still be VERIFIABLY
+      // committed: a surviving checkpoint carries the entry (txn action
+      // included). A lagging/restored streaming checkpoint replaying an
+      // already-committed own batch is then a provable exactly-once
+      // no-op — only a genuinely unverifiable batch must fail.
+      if (allKnownCommits().find(_.version == batchId)
+          .exists(isOwnStreamBatch(_, batchId))) return
+      sys.error(
+        s"process(batchId=$batchId): this version is below the log's " +
+          s"truncation marker (${truncatedBelow()}), its raw entry was " +
+          "reclaimed by cleanupLog, and no surviving checkpoint entry " +
+          "verifies it as this stream's commit — version-pinned replay " +
+          "detection cannot run; drive this table through appendBatch " +
+          "(streamTxn-cursored) instead")
+    }
     if (isCommitted(batchId)) {
       // replay after crash → no-op, but ONLY when the occupying commit
       // really is this stream's batch (tables with a pre-stream log
@@ -905,12 +951,78 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val st = stageAppend(gdf, partitionBy, clusterBy, clusterFiles,
         bloomBy, bloomBits)
       var v = nextVersion()
-      while (!claim(v, entryJsonS(st.schemaJson, v, st.dir, partitionBy,
+      // re-derive the recorded schema AFTER staging and on every retry:
+      // a rival that committed an evolution (widening / new column)
+      // while this writer staged — or between claim attempts — must not
+      // have it reverted by our stale stage-time schemaString
+      // (evolvedSchemaOf doc; staged files are untouched, reads coerce).
+      // A rival landing between this read and the claim takes our
+      // version, the claim fails, and the retry re-reads — so a
+      // SUCCESSFUL claim always recorded fresh metadata.
+      var (sj, wd) = evolvedSchema(gdf)
+      while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
-          streamTxn = streamTxn, rows = st.rows, widened = st.widened))) {
+          streamTxn = streamTxn, rows = st.rows, widened = wd))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
+        val fresh = evolvedSchema(gdf); sj = fresh._1; wd = fresh._2
       }
       v
+    } else if (idr0.forall(_._5)) {
+      // ALLOW-GAPS identity (the Delta-parity trade, setIdentityColumn
+      // allowGaps = true): RESERVE the range in a cheap METADATA
+      // pre-commit — a metadata-only entry advancing the watermark by
+      // step × rowCount — then bake the reserved values into ONE
+      // staging pass and claim like a plain append. Guarantees kept:
+      // uniqueness and per-column monotonicity (reservations serialize
+      // through the dense claim sequence). Guarantee dropped:
+      // contiguity — a crash between reservation and data commit
+      // leaves a GAP (never a duplicate), exactly Delta's identity
+      // semantics. Contention economics vs the contiguous mode: a
+      // rival costs one O(1) metadata re-claim instead of a re-assign
+      // + re-stage parquet rewrite (measured side by side in
+      // golden/occ_r14.json).
+      val prep = prepareIdentity(gdf, idr0.map(_._1))
+      try {
+        // 1. reserve: read (rules, next version) as ONE log view and
+        //    claim exactly that version — dense claims make the
+        //    read-reserve atomic (same argument as the contiguous loop)
+        var base: Seq[(String, Long, Long, Long, Boolean)] = Nil
+        var reserved = false
+        while (!reserved) {
+          val (gen, expected) = logTail.generatedState()
+          val rules = gen.toSeq.sortBy(_._1).collect {
+            case (n, IdentityRule(st0, k, w, g)) =>
+              (n, st0.toLong, k.toLong, w.toLong, g != null)
+          }
+          val advanced = rules.map { case (n, s0, k, wm, _) =>
+            n -> s"IDENTITY($s0,$k,${wm + k * prep.total},gaps)"
+          }.toMap
+          ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
+          val sjR = latestSchema().map(_.json)
+            .getOrElse("""{"type":"struct","fields":[]}""")
+          if (claim(expected, entryJsonS(sjR, expected, "", Nil,
+              snapshot = false, Nil, Map.empty, "RESERVE IDENTITY", None,
+              Map.empty, generated = Some(gen ++ advanced)))) {
+            base = rules; reserved = true
+          }
+        }
+        // 2. assign from the reserved base and stage ONCE; the advanced
+        //    watermark already rode the reservation commit
+        val (adf, _) = assignFromPrep(prep, base)
+        val st = stageAppend(adf, partitionBy, clusterBy, clusterFiles,
+          bloomBy, bloomBits)
+        // 3. commit like a plain append — blind version retries, fresh
+        //    schema re-derivation per attempt (evolvedSchemaOf doc)
+        var v = nextVersion()
+        var (sj, wd) = evolvedSchema(adf)
+        while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
+            snapshot = false, st.adds, st.stats, blooms = st.blooms,
+            streamTxn = streamTxn, rows = st.rows, widened = wd))) {
+          v = math.max(v + 1, nextVersion())
+          val fresh = evolvedSchema(adf); sj = fresh._1; wd = fresh._2
+        }
+        v
+      } finally prep.release()
     } else {
       // identity appends CAN conflict (two writers reading one watermark
       // would assign overlapping ranges), so the blind re-target above is
@@ -935,12 +1047,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // through ONE streaming writer (appendBatch), which never races.
       val prep = prepareIdentity(gdf, idr0.map(_._1))
       try {
-        var staged: Option[(Seq[(String, Long, Long, Long)], Map[String, String],
-          StagedAppend)] = None
+        var staged: Option[(Seq[(String, Long, Long, Long, Boolean)],
+          Map[String, String], StagedAppend)] = None
         while (true) {
           val (gen, expected) = logTail.generatedState()
           val rules = gen.toSeq.sortBy(_._1).collect {
-            case (n, IdentityRule(s, k, w)) => (n, s.toLong, k.toLong, w.toLong)
+            case (n, IdentityRule(s, k, w, g)) =>
+              (n, s.toLong, k.toLong, w.toLong, g != null)
           }
           if (!staged.exists(_._1 == rules)) {
             // first attempt, or stale range — (re)assign and (re)stage;
@@ -953,11 +1066,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           }
           val (_, genOut, st) = staged.get
           ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
-          if (claim(expected, entryJsonS(st.schemaJson, expected, st.dir,
+          // same stale-schema hazard as the non-identity retry loop: a
+          // rival that does NOT move the watermark (plain append with
+          // mergeSchema) skips the restage branch, so re-derive the
+          // recorded schema from the staged one against the fresh
+          // committed table on every attempt (evolvedSchemaOf doc)
+          val (sjI, wdI) = evolvedSchemaOf(
+            org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          if (claim(expected, entryJsonS(sjI, expected, st.dir,
               partitionBy, snapshot = false, st.adds, st.stats,
               blooms = st.blooms, generated = Some(genOut),
               streamTxn = streamTxn, rows = st.rows,
-              widened = st.widened)))
+              widened = wdI)))
             return expected
         }
         -1L // unreachable
@@ -2565,13 +2686,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * replay, and checkpoint-aux survival all come for free. `watermark`
     * is the LAST VALUE USED; the next assigned value is
     * watermark + step. */
-  private val IdentityRule = """IDENTITY\((-?\d+),(-?\d+),(-?\d+)\)""".r
+  private val IdentityRule =
+    """IDENTITY\((-?\d+),(-?\d+),(-?\d+)(,gaps)?\)""".r
 
   /** Active identity rules as (column, start, step, watermark),
     * name-sorted for deterministic multi-column assignment order. */
-  private def identityRules(): Seq[(String, Long, Long, Long)] =
+  private def identityRules(): Seq[(String, Long, Long, Long, Boolean)] =
     logTail.activeGenerated().toSeq.sortBy(_._1).collect {
-      case (n, IdentityRule(s, k, w)) => (n, s.toLong, k.toLong, w.toLong)
+      case (n, IdentityRule(s, k, w, g)) =>
+        (n, s.toLong, k.toLong, w.toLong, g != null)
     }
 
   /** Assign contiguous identity values to every row of `df` from each
@@ -2591,7 +2714,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * assigned frame, the advanced rules for the commit's metaData,
     * and a release handle for the persist pin. */
   private def assignIdentity(df: DataFrame,
-      rules: Seq[(String, Long, Long, Long)])
+      rules: Seq[(String, Long, Long, Long, Boolean)])
       : (DataFrame, Map[String, String], () => Unit) = {
     val prep = prepareIdentity(df, rules.map(_._1))
     val (assigned, advanced) = assignFromPrep(prep, rules)
@@ -2626,14 +2749,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   }
 
   private[graft] def assignFromPrep(prep: IdentityPrep,
-      rules: Seq[(String, Long, Long, Long)])
+      rules: Seq[(String, Long, Long, Long, Boolean)])
       : (DataFrame, Map[String, String]) = {
     import org.apache.spark.sql.functions._
     // re-check the FRESH rules against the frame, not just the ones read
     // at loop entry: a rival can declare a NEW identity column mid-race
     // (legal while the table is empty), and silently overwriting a
     // same-named user column would violate GENERATED ALWAYS
-    rules.foreach { case (n, _, _, _) =>
+    rules.foreach { case (n, _, _, _, _) =>
       require(!prep.pinned.columns.contains(n),
         s"identity column '$n' is GENERATED ALWAYS — remove it from the frame")
     }
@@ -2648,13 +2771,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .withColumn("__rip",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .join(broadcast(offDf), "__pid")
-    rules.foreach { case (n, _, step, wm) =>
+    rules.foreach { case (n, _, step, wm, _) =>
       out = out.withColumn(n,
         lit(wm + step) + lit(step) * (col("__off") + col("__rip")))
     }
     val assigned = out.drop("__pid", "__rip", "__off")
-    val advanced = rules.map { case (n, s0, k, wm) =>
-      n -> s"IDENTITY($s0,$k,${wm + k * prep.total})"
+    val advanced = rules.map { case (n, s0, k, wm, g) =>
+      n -> s"IDENTITY($s0,$k,${wm + k * prep.total}${if (g) ",gaps" else ""})"
     }.toMap
     (assigned, advanced)
   }
@@ -2672,13 +2795,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * assign to its inserted rows — route new rows through an append.
     * Concurrent appends are safe: a writer that loses its claim race
     * re-reads the watermark and re-assigns before retrying, so ranges
-    * never collide ([[commitAppend]]'s identity loop). */
+    * never collide ([[commitAppend]]'s identity loop).
+    *
+    * `allowGaps = true` trades CONTIGUITY away for cheap contention
+    * (the Delta identity semantics): each append reserves its range in
+    * a metadata-only pre-commit, so a rival costs one O(1) metadata
+    * re-claim instead of a re-assign + re-stage rewrite, and a crash
+    * after the reservation leaves a gap in the sequence — values stay
+    * unique and increasing either way. Default (false) keeps the
+    * stronger gap-free guarantee: assignment and data ride one atomic
+    * commit (contention cost measured in golden/occ_r14.json). */
   def setIdentityColumn(spark: SparkSession, name: String,
-      start: Long = 1L, step: Long = 1L): Long = {
+      start: Long = 1L, step: Long = 1L, allowGaps: Boolean = false): Long = {
     require(step != 0, "setIdentityColumn: step must be non-zero")
     require(liveData(spark).isEmpty,
       s"setIdentityColumn '$name': declare identity columns before data lands")
-    generatedCommit(_ + (name -> s"IDENTITY($start,$step,${start - step})"))
+    generatedCommit(_ + (name ->
+      s"IDENTITY($start,$step,${start - step}${if (allowGaps) ",gaps" else ""})"))
   }
 
   private def generatedCommit(f: Map[String, String] => Map[String, String]): Long = {

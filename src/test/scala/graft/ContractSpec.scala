@@ -42,13 +42,41 @@ class ContractSpec extends AnyFunSuite {
       s"SURVEY says ${m.group(2)} oracle-backed, registry has ${SparkEntry.oracleSql.size}")
   }
 
-  test("every oracle key has a matching query; no-oracle set is exactly the declared nine") {
+  test("SURVEY's kernel prose names every shipped codegen'd Expression (no drift)") {
+    // r13's verdict caught §4/§7.4 saying "six"/"seven" two rounds after
+    // the eighth kernel landed. Pin the count word and the name list to
+    // the files actually in graft/functions: a kernel file is one whose
+    // body overrides doGenCode (codegen'd Expression, not an Aggregator).
+    import scala.jdk.CollectionConverters._
+    val fnDir = java.nio.file.Paths.get("src/main/scala/graft/functions")
+    val kernels = {
+      val s = java.nio.file.Files.list(fnDir)
+      try s.iterator().asScala.toList.filter(p =>
+        java.nio.file.Files.readString(p).contains("doGenCode"))
+        .map(_.getFileName.toString.stripSuffix(".scala")).sorted
+      finally s.close()
+    }
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val word = Seq("", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine", "ten", "eleven", "twelve")(kernels.size)
+    assert(text.contains(s"$word shipped, each behind profiling evidence"),
+      s"SURVEY §4 kernel count drifted: ${kernels.size} kernels on disk " +
+        s"($kernels) but '$word shipped' not found")
+    assert(text.contains(s"$word codegen'd `Expression`s"),
+      s"SURVEY §7.4 kernel count drifted from ${kernels.size}")
+    kernels.foreach(k => assert(text.contains(s"`$k`"),
+      s"kernel $k is not named in SURVEY"))
+  }
+
+  test("every oracle key has a matching query; no-oracle set is exactly the declared ten") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_hll", "q_agg_approx_pct",
       "q_agg_profile_approx", "q_llm_ann_ivf", "q_llm_ann_lsh",
       "q_llm_ppl_bucket_approx", "q_agg_spearman_approx",
+      "q_llm_dedup_funnel_approx",
       "q_llm_len_pctile_approx", "q_llm_compress_ratio"),
       s"unexpected no-oracle set: $noOracle")
   }

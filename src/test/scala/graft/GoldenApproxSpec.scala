@@ -7,7 +7,7 @@ import java.nio.file.{Files, Paths}
   * the driver's DuckDB compare records as `no_oracle`): each run
   * recomputes the op's quality metric — sketch error or recall — at
   * sf0.01 (the correctness-gate SF) and compares it against the
-  * committed `golden/approx_r13.json`, so approximate-op quality is a
+  * committed `golden/approx_r14.json`, so approximate-op quality is a
   * diffable, regression-gated artifact instead of a blank in the
   * correctness file.
   *
@@ -21,7 +21,7 @@ class GoldenApproxSpec extends SparkSpecBase {
   import spark.implicits._
 
   private val sf01 = "/root/testdata/sf0.01"
-  private val goldenPath = Paths.get("golden/approx_r13.json")
+  private val goldenPath = Paths.get("golden/approx_r14.json")
   private val band = 0.02
 
   /** Mean recall of an ANN query's (qid, nbr) rows vs the exact top-5
@@ -85,6 +85,19 @@ class GoldenApproxSpec extends SparkSpecBase {
       s"spearman flag sets diverged: approx ${spApprox.keySet} vs exact ${spExact.keySet}")
     val spErr = spExact.map { case (k, e) => math.abs(spApprox(k) - e) }.max
 
+    // HLL dedup funnel: max relative error of the three sketched
+    // distinct counts vs the exact funnel's (stage 'all' is an exact
+    // count in both).
+    val fExact = SparkEntry.queries("q_llm_dedup_funnel")(spark, sf01)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    val fApprox = SparkEntry.queries("q_llm_dedup_funnel_approx")(spark, sf01)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(fApprox.keySet == fExact.keySet,
+      s"funnel stage sets diverged: ${fApprox.keySet} vs ${fExact.keySet}")
+    assert(fApprox("all") == fExact("all"), "stage 'all' must stay exact")
+    val funnelErr = fExact.collect { case (k, e) if k != "all" =>
+      math.abs(fApprox(k) - e).toDouble / e }.max
+
     // Sketch-cutoff length tails: recall of the exact (doc_id, tail)
     // outlier set (the boundary-tie population difference is the
     // approximation; recall is its quality readout).
@@ -102,6 +115,7 @@ class GoldenApproxSpec extends SparkSpecBase {
       "q_llm_ann_lsh.mean_recall_top5" -> r4(lshRecall),
       "q_llm_ann_lsh.candidate_fraction" -> r4(lshFrac),
       "q_agg_spearman_approx.max_abs_rho_err" -> r4(spErr),
+      "q_llm_dedup_funnel_approx.max_rel_err" -> r4(funnelErr),
       "q_llm_len_pctile_approx.exact_tail_recall" -> r4(lenRecall))
   }
 
@@ -116,6 +130,7 @@ class GoldenApproxSpec extends SparkSpecBase {
     assert(metrics("q_llm_ann_ivf.mean_recall_top5") >= 0.6)
     assert(metrics("q_llm_ann_lsh.candidate_fraction") <= 0.025)
     assert(metrics("q_agg_spearman_approx.max_abs_rho_err") <= 0.02)
+    assert(metrics("q_llm_dedup_funnel_approx.max_rel_err") <= 0.10)
     assert(metrics("q_llm_len_pctile_approx.exact_tail_recall") >= 0.6)
 
     val json = metrics.toSeq.sortBy(_._1)

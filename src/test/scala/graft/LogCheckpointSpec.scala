@@ -256,23 +256,34 @@ class LogCheckpointSpec extends SparkSpecBase {
         "timestampAsOf/history monotonicity would break on a skewed host")
   }
 
-  test("process() refuses a batchId below the truncation marker instead of re-writing it") {
+  test("process() below the truncation marker: checkpoint-verified own batch no-ops, unverifiable refuses") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
-    (0 until 10).foreach(i =>
+    // version 0: a NON-stream commit — the occupant kind the guard must
+    // keep refusing even when it survives in the checkpoint
+    sink.commitAppend(Seq((100L, "occ")).toDF("id", "x"))
+    (1 until 10).foreach(i =>
       sink.process(Seq((i.toLong, s"r$i")).toDF("id", "x"), i.toLong))
     sink.cleanupLog(minAgeMs = 0) // anchor = ckpt 5; raw 0..4 reclaimed
     // replay of a batch whose raw entry still exists: silent no-op
     sink.process(Seq((7L, "dup")).toDF("id", "x"), 7L)
-    // replay of a RECLAIMED batch: isCommitted=false would re-stage and
-    // re-claim an orphan duplicate below the marker — must fail loudly
-    val e = intercept[IllegalArgumentException] {
-      sink.process(Seq((2L, "dup")).toDF("id", "x"), 2L)
+    // replay of a RECLAIMED batch that IS verifiably this stream's
+    // commit (its entry, txn included, survives in checkpoint 5): a
+    // provable exactly-once no-op — a lagging/restored streaming
+    // checkpoint must not abort the query here
+    sink.process(Seq((2L, "dup")).toDF("id", "x"), 2L)
+    // ... from a FRESH handle too (same appId = same stream identity)
+    new ExactlyOnceSink(dir, checkpointInterval = 5)
+      .process(Seq((3L, "dup")).toDF("id", "x"), 3L)
+    // version 0 is below the marker but NOT a stream batch: re-staging
+    // it would write an orphan duplicate — must keep failing loudly
+    val e = intercept[RuntimeException] {
+      sink.process(Seq((0L, "dup")).toDF("id", "x"), 0L)
     }
     assert(e.getMessage.contains("truncation marker"))
     val reader = new ExactlyOnceSink(dir)
-    assert(ids(reader.read(spark)) === (0L until 10L),
-      "the refused replay must not have changed table state")
+    assert(ids(reader.read(spark)) === ((1L until 10L) :+ 100L),
+      "no replay may have changed table state")
   }
 
   test("cloneTo refuses a checkpoint entry whose version cannot be determined") {

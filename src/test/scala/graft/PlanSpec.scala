@@ -443,6 +443,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_graph_triangles shuffle-joins the adjacency (no broadcast build)") {
+    // at 100 TB the near-dup graph's adjacency is corpus-sized: a
+    // broadcast build of it OOMs driver and executors, so both probe
+    // joins must be shuffled equality joins on the node key — the
+    // r13-verdict scale-killer this plan shape retires
+    val p = finalPhysical("q_graph_triangles")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_llm_edit_pairs plans the banded DP behind an equi-join") {
     // the source block key must reach the join as its equality key — the
     // threshold levenshtein only runs inside matched blocks

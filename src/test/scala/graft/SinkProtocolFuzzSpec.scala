@@ -33,6 +33,14 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
     else d.select("id", xName).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  /** The widened numeric column's state: (id → n) for rows carrying a
+    * non-null n, longValue-normalized so the same map compares across
+    * the int and long phases of the column's life. */
+  private def nState(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    if (!d.columns.contains("n")) Map.empty
+    else d.filter(col("n").isNotNull).select("id", "n").collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
+
   /** The evolved column's state: (id → y) for rows carrying a non-null
     * y. Rows written before the evolution, and whole-row upserts that
     * omit y, read back null — the model tracks exactly that. */
@@ -77,12 +85,19 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       var sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
       var curDir = dir // the table the verbs currently target
       // set once by the clone arm: (source dir, its frozen model state)
-      var clonedFrom: Option[(String, Map[Long, String], Map[Long, String], String)] = None
+      var clonedFrom: Option[(String, Map[Long, String], Map[Long, String],
+        Map[Long, Long], Option[Boolean], String)] = None
 
       var live = Map.empty[Long, String] // the model's committed state
       var ys = Map.empty[Long, String] // evolved column (empty before arm 13)
-      // (version, x-state-after, y-state-after)
-      var history = Vector.empty[(Long, Map[Long, String], Map[Long, String])]
+      var ns = Map.empty[Long, Long] // widened column (empty before arm 19)
+      // n's lifecycle: None = not in the schema; Some(false) = int;
+      // Some(true) = widened to long. A RESTORE rolls both back with
+      // the snapshot, and the WIDTH a read presents must track this.
+      var nsType: Option[Boolean] = None
+      // (version, x-state, y-state, n-state, n-type) after each commit
+      var history = Vector.empty[(Long, Map[Long, String],
+        Map[Long, String], Map[Long, Long], Option[Boolean])]
       var nextId = 0L
       var anchor = 0L // versions below this are outside retained history
       // current LOGICAL name of the x column (arm 14 renames it once;
@@ -104,6 +119,18 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           s"live state diverged after ${history.size} commits")
         assert(yState(d) === ys,
           s"evolved-column state diverged after ${history.size} commits")
+        assert(nState(d) === ns,
+          s"widened-column state diverged after ${history.size} commits")
+        // the WIDTH the read presents must track the model's lifecycle
+        // (int before the widening commit, long after, rolled back by
+        // RESTORE with the rest of the snapshot)
+        nsType.foreach { wide =>
+          if (d.columns.contains("n"))
+            assert(d.schema("n").dataType ==
+              (if (wide) org.apache.spark.sql.types.LongType
+               else org.apache.spark.sql.types.IntegerType),
+              s"n presents the wrong width after ${history.size} commits")
+        }
         // metadata-only COUNT(*) must equal the model after EVERY verb —
         // appends, CoW/MOR merges, DV deletes (remove/vector/rewrite
         // tiers), restore, compaction, retention, and post-clone verbs
@@ -122,12 +149,12 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 32).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(19)) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(21)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
             live = live ++ rows
-            history :+= ((v, live, ys))
+            history :+= ((v, live, ys, ns, nsType))
           case 4 | 5 => // merge: update some existing + insert some fresh
             val upd = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
               .map(k => (k, s"upd$step-$k"))
@@ -141,7 +168,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               else sink.merge(spark, df(rows, xName), Seq("id"))
               live = live ++ rows
               ys = ys -- rows.map(_._1) // whole-row upsert omits y -> null
-              history :+= ((v, live, ys))
+              ns = ns -- rows.map(_._1) // ... and n
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 6 => // delete a random id range
             if (live.nonEmpty) {
@@ -149,7 +177,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               val v = sink.delete(spark, col("id") <= cut)
               live = live.filter(_._1 > cut)
               ys = ys.filter(_._1 > cut)
-              history :+= ((v, live, ys))
+              ns = ns.filter(_._1 > cut)
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 10 => // merge-on-read delete of a random id range
             if (live.nonEmpty) {
@@ -159,7 +188,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 dvMaxRows = if (rnd.nextBoolean()) 1 else 100000)
               live = live.filter(_._1 > cut)
               ys = ys.filter(_._1 > cut)
-              history :+= ((v, live, ys))
+              ns = ns.filter(_._1 > cut)
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 11 => // merge-on-read delete of specific ids
             if (live.nonEmpty) {
@@ -167,11 +197,12 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               val v = sink.deleteDV(spark, col("id").isin(picks: _*))
               live = live -- picks
               ys = ys -- picks
-              history :+= ((v, live, ys))
+              ns = ns -- picks
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 7 => // retention: reclaim below the newest checkpoint
             sink.cleanupLog(minAgeMs = 0)
-            history.lastOption.foreach { case (maxV, _, _) =>
+            history.lastOption.foreach { case (maxV, _, _, _, _) =>
               val ck = (maxV / interval) * interval
               if (ck > 0) anchor = math.max(anchor, ck)
             }
@@ -181,26 +212,31 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             if (rnd.nextBoolean()) sink.vacuum(minAgeMs = 0)
             else {
               val v = sink.compactSmall(spark, targetBytes = 1L << 20)
-              if (v >= 0) history :+= ((v, live, ys)) // state unchanged
+              if (v >= 0) history :+= ((v, live, ys, ns, nsType)) // state unchanged
             }
           case 9 => // time travel to a random retained version
             history.filter(_._1 >= anchor) match {
               case h if h.nonEmpty =>
-                val (v, expect, expectY) = h(rnd.nextInt(h.size))
+                val (v, expect, expectY, expectN, _) = h(rnd.nextInt(h.size))
                 val past = sink.read(spark, versionAsOf = Some(v))
                 assert(state(past, xName) === expect, s"time travel to $v diverged")
                 assert(yState(past) === expectY,
                   s"time travel to $v diverged on the evolved column")
+                assert(nState(past) === expectN,
+                  s"time travel to $v diverged on the widened column")
               case _ => ()
             }
           case 12 => // RESTORE to a random retained non-empty version
             history.filter(h => h._1 >= anchor && h._2.nonEmpty) match {
               case h if h.nonEmpty =>
-                val (v, expect, expectY) = h(rnd.nextInt(h.size))
+                val (v, expect, expectY, expectN, expectW) =
+                  h(rnd.nextInt(h.size))
                 val rv = sink.restore(spark, v)
                 live = expect
                 ys = expectY
-                history :+= ((rv, live, ys))
+                ns = expectN // n rolls back with the snapshot —
+                nsType = expectW // width included (TypeWideningSpec)
+                history :+= ((rv, live, ys, ns, nsType))
               case _ => ()
             }
           case 13 => // schema evolution: append WIDENED rows (id, x, y).
@@ -214,7 +250,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               val v = sink.commitAppend(wide, mergeSchema = true)
               live = live ++ rows
               ys = ys ++ rows.map { case (i, _) => i -> s"y$i" }
-              history :+= ((v, live, ys))
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 14 => // column mapping: rename x ONCE, mid-history —
             // every later verb must keep translating; reads at every
@@ -222,7 +258,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             if (xName == "x" && history.nonEmpty) {
               val v = sink.renameColumn("x", "x2")
               xName = "x2"
-              history :+= ((v, live, ys))
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 18 => // REPLACE WHERE: the atomic backfill verb — delete
             // everything at/above a sampled key and insert fresh rows
@@ -235,7 +271,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 df(rows, xName))
               live = live.filter(_._1 < lo) ++ rows
               ys = ys.filter(_._1 < lo)
-              history :+= ((v, live, ys))
+              ns = ns.filter(_._1 < lo)
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 17 => // FULL-CLAUSE MERGE: one matched key DELETED (its
             // source row consumed, not inserted), one absent key retired
@@ -257,7 +294,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               live = (live -- delK -- syncK) ++
                 updK.map(k => (k, s"mf$step-$k")) ++ ins
               ys = ys -- delK -- syncK -- updK -- ins.map(_._1)
-              history :+= ((v, live, ys))
+              ns = ns -- delK -- syncK -- updK -- ins.map(_._1)
+              history :+= ((v, live, ys, ns, nsType))
             }
           case 16 => // DROP COLUMN: drop the evolved column once,
             // mid-history — reads at EVERY version present the current
@@ -271,10 +309,48 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               val v = sink.dropColumn("y")
               droppedY = true
               ys = Map.empty
-              history = history.map { case (hv, hx, _) =>
-                (hv, hx, Map.empty[Long, String])
+              history = history.map { case (hv, hx, _, hn, hw) =>
+                (hv, hx, Map.empty[Long, String], hn, hw)
               }
-              history :+= ((v, live, ys))
+              history :+= ((v, live, ys, ns, nsType))
+            }
+          case 19 | 20 => // TYPE WIDENING (the r13 feature under the
+            // full verb product): n enters the schema as INT via
+            // evolution, one later hit WIDENS it to long under
+            // mergeSchema (mixed-width files stay live), and every hit
+            // after that writes a NARROW int frame into the widened
+            // table (the upcast-at-write path — no new narrow files).
+            // DV deletes, merges, replaceWhere, compaction, restore,
+            // rename, clone, retention and the CDC fold then all run
+            // over the mixed-width file set; restore rolls the WIDTH
+            // back with the snapshot and the model tracks it.
+            nsType match {
+              case None => // introduce n: int, schema evolution
+                val rows = freshRows(1 + rnd.nextInt(2))
+                val wide = rows.map { case (i, s) => (i, s, i.toInt * 10) }
+                  .toDF("id", xName, "n")
+                val v = sink.commitAppend(wide, mergeSchema = true)
+                live = live ++ rows
+                ns = ns ++ rows.map { case (i, _) => i -> (i * 10L) }
+                nsType = Some(false)
+                history :+= ((v, live, ys, ns, nsType))
+              case Some(false) => // widen int -> long (beyond-int value)
+                val rows = freshRows(1)
+                val wide = rows.map { case (i, s) => (i, s, (1L << 33) + i) }
+                  .toDF("id", xName, "n")
+                val v = sink.commitAppend(wide, mergeSchema = true)
+                live = live ++ rows
+                ns = ns ++ rows.map { case (i, _) => i -> ((1L << 33) + i) }
+                nsType = Some(true)
+                history :+= ((v, live, ys, ns, nsType))
+              case Some(true) => // narrow int frame into the widened table
+                val rows = freshRows(1)
+                val wide = rows.map { case (i, s) => (i, s, i.toInt) }
+                  .toDF("id", xName, "n")
+                val v = sink.commitAppend(wide, mergeSchema = true)
+                live = live ++ rows
+                ns = ns ++ rows.map { case (i, _) => i -> i }
+                history :+= ((v, live, ys, ns, nsType))
             }
           case 15 => // SHALLOW CLONE once, mid-history: fork the table
             // and run EVERY remaining verb against the clone — merges,
@@ -288,7 +364,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 // truncate the source log first: the clone must serve its
                 // early history from rewritten checkpoint entries alone
                 sink.cleanupLog(minAgeMs = 0)
-                history.lastOption.foreach { case (maxV, _, _) =>
+                history.lastOption.foreach { case (maxV, _, _, _, _) =>
                   val ck = (maxV / interval) * interval
                   if (ck > 0) anchor = math.max(anchor, ck)
                 }
@@ -298,7 +374,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               // createTempDirectory pre-creates the dir; cloneTo only
               // rejects an existing LOG, so this is fine
               sink.cloneTo(cloneDir)
-              clonedFrom = Some((dir, live, ys, xName))
+              clonedFrom = Some((dir, live, ys, ns, nsType, xName))
               curDir = cloneDir
               sink = new ExactlyOnceSink(cloneDir,
                 checkpointInterval = interval)
@@ -320,26 +396,37 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // side of the rename a change dir was staged on), retention, and
       // the clone fork (pre-fork change dirs resolve through cloneTo's
       // rewritten absolute paths).
-      history.filter(_._1 >= anchor).headOption.foreach { case (v0, s0, y0) =>
+      history.filter(_._1 >= anchor).headOption.foreach { case (v0, s0, y0, n0, _) =>
         val feed = sink.readChanges(spark, fromVersion = v0)
         var fx = s0
         var fy = y0
+        var fn = n0
         if (feed.columns.contains("_change_type")) {
           val hasY = feed.columns.contains("y")
+          val hasN = feed.columns.contains("n")
           val rows = feed.select(col("batch").cast("long"),
               col("_change_type"), col("id"), col(xName),
-              (if (hasY) col("y") else lit(null).cast("string")).as("y"))
+              (if (hasY) col("y") else lit(null).cast("string")).as("y"),
+              // cast flattens the int/long mix the widened column's
+              // pre- and post-widening change dirs present
+              (if (hasN) col("n").cast("long")
+               else lit(null).cast("long")).as("n"))
             .collect()
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-              r.getString(3), if (r.isNullAt(4)) null else r.getString(4)))
+              r.getString(3), if (r.isNullAt(4)) null else r.getString(4),
+              if (r.isNullAt(5)) None else Some(r.getLong(5))))
           rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, batch) =>
-            batch.filter(_._2 == "delete").foreach { case (_, _, id, _, _) =>
-              fx -= id; fy -= id
+            batch.filter(_._2 == "delete").foreach { case (_, _, id, _, _, _) =>
+              fx -= id; fy -= id; fn -= id
             }
             batch.filter(c => c._2 == "insert" || c._2 == "update_postimage")
-              .foreach { case (_, _, id, x, y) =>
+              .foreach { case (_, _, id, x, y, nOpt) =>
                 fx += (id -> x)
                 if (y == null) fy -= id else fy += (id -> y)
+                nOpt match {
+                  case None => fn -= id
+                  case Some(nv) => fn += (id -> nv)
+                }
               }
           }
         }
@@ -347,17 +434,21 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           s"CDC replay from v$v0 diverged from the model on x")
         assert(fy === ys,
           s"CDC replay from v$v0 diverged from the model on the evolved column")
+        assert(fn === ns,
+          s"CDC replay from v$v0 diverged from the model on the widened column")
       }
 
       // if the run forked onto a clone, the SOURCE must read exactly its
       // frozen at-clone state — no later verb may have leaked across
-      clonedFrom.foreach { case (srcDir, frozen, frozenY, frozenX) =>
+      clonedFrom.foreach { case (srcDir, frozen, frozenY, frozenN, _, frozenX) =>
         val src = new ExactlyOnceSink(srcDir)
         val d = src.read(spark)
         assert(state(d, frozenX) === frozen,
           "source table diverged after the clone forked")
         assert(yState(d) === frozenY,
           "source evolved-column state diverged after the clone forked")
+        assert(nState(d) === frozenN,
+          "source widened-column state diverged after the clone forked")
       }
 
       // a cold reader (fresh instance, checkpoint-seeded) sees the same
@@ -366,7 +457,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       assert(state(cold.read(spark), xName) === live,
         "cold replay diverged from the model")
       if (anchor > 0)
-        history.filter(_._1 < anchor).lastOption.foreach { case (v, _, _) =>
+        history.filter(_._1 < anchor).lastOption.foreach { case (v, _, _, _, _) =>
           val e = intercept[RuntimeException](
             cold.read(spark, versionAsOf = Some(v)))
           assert(e.getMessage.contains("retained history"))

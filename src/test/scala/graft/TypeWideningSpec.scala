@@ -161,6 +161,84 @@ class TypeWideningSpec extends SparkSpecBase {
       Seq(1L, 5000000000L))
   }
 
+  test("nested-nullability-only differences are the same type, not a flip") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val sink = new ExactlyOnceSink(tmp())
+    // literal-built array column: containsNull = false
+    sink.commitAppend(Seq((1L, Seq(1, 2))).toDF("k", "arr"))
+    assert(!sink.latestSchema().get("arr").dataType
+      .asInstanceOf[ArrayType].containsNull)
+    // the same logical type with containsNull = true (what a parquet
+    // round-trip of the table's own data can produce) must APPEND, not
+    // abort as a 'column type mismatch' printing two identical
+    // catalogStrings
+    val loose = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, Seq(3))),
+      StructType(Seq(StructField("k", LongType),
+        StructField("arr", ArrayType(IntegerType, containsNull = true)))))
+    sink.commitAppend(loose)
+    assert(sink.read(spark).count() == 2)
+    // round-trip append of the table's own data: the canonical trigger
+    sink.commitAppend(sink.read(spark).select("k", "arr").limit(1))
+    assert(sink.read(spark).count() == 3)
+    // a REAL element-type flip under the same array shell still aborts
+    val flip = spark.createDataFrame(
+      java.util.Arrays.asList(Row(3L, Seq("s"))),
+      StructType(Seq(StructField("k", LongType),
+        StructField("arr", ArrayType(StringType, containsNull = true)))))
+    val e = intercept[RuntimeException](sink.commitAppend(flip))
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+  }
+
+  test("an OCC append racing a widening commit never reverts the widened schema") {
+    import java.util.concurrent.{Callable, CountDownLatch, Executors}
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((1, "a")).toDF("v", "x")) // table: int
+    // Appenders stage int frames while a widening commit lands mid-race.
+    // A writer that staged BEFORE the widening but claimed AFTER used to
+    // re-record its stale stage-time schemaString as the new latest
+    // metaData — silently reverting the evolution. The recorded schema
+    // is now re-derived against the fresh committed table at every
+    // claim attempt.
+    val n = 6
+    val pool = Executors.newFixedThreadPool(n)
+    val started = new CountDownLatch(n)
+    try {
+      val appenders = (0 until n).map { i =>
+        pool.submit(new Callable[Long] {
+          def call(): Long = {
+            started.countDown()
+            new ExactlyOnceSink(dir)
+              .commitAppend(Seq((10 + i, s"w$i")).toDF("v", "x"))
+          }
+        })
+      }
+      started.await()
+      val wv = new ExactlyOnceSink(dir).commitAppend(
+        Seq((9000000000L, "wide")).toDF("v", "x"), mergeSchema = true)
+      appenders.foreach(_.get())
+      // once widened, EVERY later commit's recorded schema must stay
+      // long — the TypeWideningSpec latestSchema invariant, now under
+      // concurrency
+      val log = Paths.get(dir, "_graft_log")
+      withDirStream(Files.list(log)) { s =>
+        s.filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+          val ver = p.getFileName.toString.stripSuffix(".json").toLong
+          if (ver >= wv) {
+            val body = Files.readString(p)
+            assert(!body.contains("\"name\":\"v\",\"type\":\"integer\""),
+              s"commit $ver reverted the widened column type:\n" +
+                body.take(400))
+          }
+        }
+      }
+      assert(sink.latestSchema().get("v").dataType == LongType)
+      assert(sink.read(spark).count() == (n + 2).toLong)
+    } finally pool.shutdown()
+  }
+
   test("time travel before the widening presents the as-of (narrow) type — the Delta semantics") {
     val sink = new ExactlyOnceSink(tmp())
     val v0 = sink.commitAppend(Seq((1, "a")).toDF("v", "x"))
