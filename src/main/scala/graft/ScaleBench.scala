@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   *          relations are isomorphic to the base corpus (frequencies
   *          exact, lengths +3); across copies tagged tokens share
   *          nothing, so similarity collapses and pairs/components/
-  *          buckets scale ~K× at ANY K.
+  *          buckets scale ~K× at ANY K. Known family constant: the
+  *          one CHARACTER-gram query (q_llm_winnow_dup) sees a fixed
+  *          ~3.25× within-copy pair-density lift — tags change the
+  *          char stream, unlike the char-bijective rotation — so its
+  *          rows scale as ~3.25·K× (still exactly linear in K, which
+  *          is what the canary measures; disclosed in the golden).
   *        - embeddings.embedding: per-copy cyclic rotation of the
   *          64-dim vector. Rotation is orthogonal — intra-copy dot
   *          products are bit-preserved — while cross-copy cosine decays
@@ -65,7 +70,14 @@ object ScaleBench {
     // exact Spearman ranks the near-unique price domain: its distinct
     // relation and the value-key join back both scale with the corpus —
     // the one rank-based op, measured rather than argued
-    "q_agg_spearman")
+    "q_agg_spearman",
+    // round 14: the pair-graph PRODUCER stage isolate — q_graph_degree
+    // is pairGraph + a map-only corner explode + two bounded aggs, so
+    // its timing ≈ the shared similarity-join stage every graph/CC
+    // consumer pays under GRAFT_STAGE_CACHE=off. Comparing its marginal
+    // slope against pagerank/triangles separates "the producer stage
+    // bends" from "the consumer plan bends" at high K.
+    "q_graph_degree")
 
   /** Write a `scale`× fixture under `outDir`. Every fixture table is
     * present (unscaled tables are copied through) so any declared query
@@ -158,9 +170,16 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    // Cluster-parity knob: on a real cluster partitions scale with the
+    // data (more executors), holding per-partition volume roughly
+    // constant; this harness pins one JVM, so a high-K point at the
+    // base partition count measures per-partition memory pressure as
+    // well as plan shape. Overriding lets the two effects be separated
+    // (the r14 golden records both readings for the graph family).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -55,11 +55,10 @@ object TextOps {
     * arrays: primitive long compares, no per-pair hash-set build or
     * string hashing (distinct strings → distinct longs; a collision
     * within one block pair is ~|a|·|b|/2^64 ≈ 1e-16, so hashed-Jaccard
-    * ≡ string-Jaccard). Conjunct order is load-bearing: join-condition
-    * codegen keeps the written order (a post-join .filter would be
-    * pushed in FIRST by Catalyst): the O(1) size band — jac >= 0.5
-    * implies |a|/|b| ∈ [1/2, 2] — runs before the O(|a|+|b|)
-    * merge-intersect threshold (jac >= 0.5 ⟺ 3·|∩| >= |a|+|b|). */
+    * ≡ string-Jaccard). Candidate generation is PPJoin prefix
+    * filtering since round 14 — see [[jaccardPairsWithHandle]] for the
+    * plan and the canary evidence that retired the source-blocked
+    * form. */
   private[queries] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsWithHandle(s, d)._1
 
@@ -68,25 +67,67 @@ object TextOps {
     * unpersist it instead of leaking it into later queries' storage
     * memory (round-2 verdict: un-unpersisted handles inflated every
     * query benched after the similarity joins 4-16x). */
+  /** Same-source token-set Jaccard >= 1/2 pairs via PPJoin prefix
+    * filtering (the q_llm_jaccard_global machinery at t = 1/2, with
+    * `source` folded into the equi-key). Round-14 rewrite: the
+    * previous form blocked the self-join on `source` ALONE, and the
+    * 50× canary priced that plan quadratic — block sizes grow with
+    * the corpus (a bounded source set at 100 TB means corpus-sized
+    * blocks), and the measured 80× time at 50× data fits Σ block²
+    * exactly (golden/scaling_r14.json's q_graph_degree isolate).
+    * Prefix filtering is LOSSLESS, so every oracle-checked consumer
+    * (jaccard_pairs, dup_groups, split_safe, pagerank, triangles,
+    * degree) keeps byte-identical results: under a global rarest-first
+    * token order, two sets with J >= 1/2 must share a token within
+    * each one's first ⌊sz/2⌋ + 1 tokens — candidates come from an
+    * equality join on (source, prefix token), whose groups scale with
+    * token frequency, not corpus². All threshold math is integer
+    * (3·|∩| >= sa + sb ⟺ J >= 1/2; the length filter sa <= 2·sb is
+    * implied by J >= 1/2 and kept as the PPJoin length companion). */
   private[queries] def jaccardPairsWithHandle(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("sz"),
+        array_sort(transform(col("toks"), tk => xxhash64(tk))).as("hs"))
       .persist()
-    val a = docs.alias("a")
-    val b = docs.alias("b")
-    val hinter = graft.functions.SortedIntersectSize
-      .sortedIntersectSize(s, col("a.hs"), col("b.hs"))
-    val sa = size(col("a.toks")); val sb = size(col("b.toks"))
-    val jac = hinter.cast("double") / (sa + sb - hinter)
-    val pairs = a.join(b, col("a.source") === col("b.source")
-        && col("a.doc_id") < col("b.doc_id")
-        && sa <= sb * 2 && sb <= sa * 2
-        && hinter * 3 >= sa + sb)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        Det.r(jac, 4).as("jaccard"))
+    val tok = docs.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("toks")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    // prefix length for t = 1/2: sz - ceil(sz/2) + 1 = ⌊sz/2⌋ + 1
+    val prefix = tok.join(dfreq, Seq("token"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= floor(col("sz") / 2) + 1)
+      .select(col("token"), col("source"), col("doc_id"), col("sz"),
+        col("rk"))
+    // positional filter: overlap reachable from shared position (i, j)
+    // is at most min(sa-i, sb-j) + 1, which must still meet 3·|∩| >= sa+sb
+    val cand = prefix.alias("x").join(prefix.alias("y"),
+        col("x.token") === col("y.token")
+          && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id")
+          && col("x.sz") <= col("y.sz") * 2
+          && col("y.sz") <= col("x.sz") * 2
+          && (least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))
+            + 1) * 3 >= col("x.sz") + col("y.sz"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val m = graft.functions.SortedIntersectSize
+      .sortedIntersectSize(s, col("hs1"), col("hs2"))
+    // the doc-array side is a broadcastable dimension at this scale;
+    // at 100 TB the same join runs as a shuffle join on doc_id — only
+    // the hint changes (same disclosed trade as q_llm_jaccard_global)
+    val pairs = cand
+      .join(broadcast(docs.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        col("sz").as("sz1"))), Seq("d1"))
+      .join(broadcast(docs.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        col("sz").as("sz2"))), Seq("d2"))
+      .filter(m * 3 >= col("sz1") + col("sz2"))
+      .withColumn("jac", m.cast("double") / (col("sz1") + col("sz2") - m))
+      .select(col("d1"), col("d2"), Det.r(col("jac"), 4).as("jaccard"))
     (pairs, docs)
   }
 
@@ -385,9 +426,10 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Exact n-gram (token-set) Jaccard near-dup pairs, blocked by
-    // `source` — the blocking key bounds the quadratic term; at 100 TB
-    // the block is a shard/bucket key, never the full corpus.
+    // Exact n-gram (token-set) Jaccard near-dup pairs within `source`,
+    // via PPJoin prefix filtering on (source, rare-token) — round 14
+    // replaced the source-only blocked join after the 50× canary
+    // priced it quadratic in corpus size (see jaccardPairsWithHandle).
     "q_llm_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy("d1", "d2")),
 

@@ -39,22 +39,26 @@ class ScaleBenchSpec extends SparkSpecBase
     val toks = docs
       .withColumn("copy", floor(col("doc_id") / stride))
       .select(col("copy"), explode(split(col("text"), " ")).as("tok"))
-      // digits/punctuation survive rotation by design; the similarity
-      // claim is about alphabetic token content
-      .filter(col("tok").rlike("[a-zA-Z]"))
-    // a token containing letters never appears in two copies
+      .filter(col("tok") =!= "")
+    // a token never appears in two copies (the suffix-tag family tags
+    // EVERY token of copy k>0, so disjointness is total — the Caesar
+    // family it replaced leaked digit/punctuation tokens by design)
     val shared = toks.groupBy("tok")
       .agg(countDistinct(col("copy")).as("nc"))
       .filter(col("nc") > 1).count()
-    assert(shared === 0, "rotated alphabets leaked tokens across copies")
-    // isomorphic within: rotation preserves text length and token count
+    assert(shared === 0, "suffix tags leaked tokens across copies")
+    // isomorphic within: tagging preserves the token count and the
+    // per-doc distinct-token count — the shape every shingle/set-
+    // similarity relation keys on (text LENGTH grows by one tag per
+    // token, disclosed in the ScaleBench scaladoc)
     val bad = docs
       .withColumn("base_id", col("doc_id") % stride)
       .groupBy("base_id")
-      .agg(countDistinct(length(col("text"))).as("nl"),
-        countDistinct(size(split(col("text"), " "))).as("nt"))
-      .filter(col("nl") > 1 || col("nt") > 1).count()
-    assert(bad === 0, "rotation changed doc structure")
+      .agg(countDistinct(size(split(col("text"), " "))).as("nt"),
+        countDistinct(size(array_distinct(split(col("text"), " "))))
+          .as("nd"))
+      .filter(col("nt") > 1 || col("nd") > 1).count()
+    assert(bad === 0, "tagging changed doc token structure")
   }
 
   test("embedding rotation preserves intra-copy dot products exactly") {
