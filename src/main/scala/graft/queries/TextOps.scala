@@ -103,17 +103,28 @@ object TextOps {
       .filter(col("rk") <= floor(col("sz") / 2) + 1)
       .select(col("token"), col("source"), col("doc_id"), col("sz"),
         col("rk"))
-    // positional filter: overlap reachable from shared position (i, j)
-    // is at most min(sa-i, sb-j) + 1, which must still meet 3·|∩| >= sa+sb
+    // PPJoin asymmetry (Xiao et al.'s indexing prefix): orient each
+    // pair so x is the SMALLER side ((sz, doc_id) order). For a true
+    // pair, |∩| >= (sx+sy)/3 >= 2·sx/3 (sy >= sx) and >= sy/2 (length
+    // filter sx >= sy/2), so by the joint-prefix lemma a shared token
+    // sits within x's first sx − ⌈2·sx/3⌉ + 1 tokens AND y's first
+    // ⌊sy/2⌋ + 1 — the x side probes with the SHORTER mid-prefix,
+    // cutting candidates ~a third with zero loss. Positional filter:
+    // overlap reachable from shared position (i, j) is at most
+    // min(sx−i, sy−j) + 1, which must still meet 3·|∩| >= sx+sy.
     val cand = prefix.alias("x").join(prefix.alias("y"),
         col("x.token") === col("y.token")
           && col("x.source") === col("y.source")
-          && col("x.doc_id") < col("y.doc_id")
-          && col("x.sz") <= col("y.sz") * 2
+          && (col("x.sz") < col("y.sz")
+            || (col("x.sz") === col("y.sz")
+              && col("x.doc_id") < col("y.doc_id")))
           && col("y.sz") <= col("x.sz") * 2
+          && col("x.rk") <= col("x.sz")
+            - floor((col("x.sz") * 2 + 2) / 3) + 1
           && (least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))
             + 1) * 3 >= col("x.sz") + col("y.sz"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
       .distinct()
     val m = graft.functions.SortedIntersectSize
       .sortedIntersectSize(s, col("hs1"), col("hs2"))

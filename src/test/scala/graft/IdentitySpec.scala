@@ -284,6 +284,31 @@ class IdentitySpec extends SparkSpecBase {
     } finally prep.release()
   }
 
+  test("a clone of an allowGaps table inherits the reserved watermark — burned ranges included") {
+    val srcDir = tmp()
+    val src = new ExactlyOnceSink(srcDir)
+    src.setIdentityColumn(spark, "rid", allowGaps = true)
+    src.commitAppend(spark.range(0, 10).toDF("x")) // rids 1..10
+    // burn a range in the SOURCE: the reservation lands, the staged
+    // write aborts on the CHECK constraint — rid 11 is gone for good
+    src.setConstraint(spark, "pos", "x >= 0")
+    intercept[Exception] {
+      src.commitAppend(Seq(-1L).toDF("x"))
+    }
+    val cloneDir = tmp()
+    src.cloneTo(cloneDir)
+    val clone = new ExactlyOnceSink(cloneDir)
+    // both sides continue ABOVE the burned range, independently — a
+    // clone that re-derived the watermark from data (max rid = 10)
+    // would re-issue 11 and collide with nothing today, but its gap
+    // semantics would silently differ from the source's
+    clone.commitAppend(spark.range(0, 5).toDF("x"))
+    src.commitAppend(spark.range(0, 5).toDF("x"))
+    assert(idVals(clone) == ((1L to 10L) ++ (12L to 16L)),
+      s"clone lost the burned range: ${idVals(clone)}")
+    assert(idVals(src) == ((1L to 10L) ++ (12L to 16L)))
+  }
+
   test("a clone continues the watermark; source and clone sequences stay independent") {
     val srcDir = tmp()
     val src = new ExactlyOnceSink(srcDir)
