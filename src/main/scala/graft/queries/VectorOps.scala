@@ -299,6 +299,47 @@ object VectorOps {
           when(col("vec_id") === col("canonical"), 1).otherwise(0))
         .orderBy("vec_id")),
 
+    // SemDeDup AS PUBLISHED (Abbas et al. '23): k-means cluster the
+    // corpus, then search for near-duplicates WITHIN each cluster only
+    // — the sub-quadratic 100 TB split q_llm_semdedup's scaladoc
+    // declares, now shipped as a twin (the same exact/approx pairing
+    // as spearman / len_pctile / dedup_funnel). The pair stage blocks
+    // on the committed k-means assignment (cluster_id equality join,
+    // exact cosine verify >= 0.4) — n²/K comparisons instead of n²,
+    // and at real scale K ≈ √n makes it ~n^1.5 — then the IDENTICAL
+    // CC + canonical readout. The approximation: true pairs straddling
+    // a cluster boundary are missed; quality is gated as kept-set
+    // agreement + cross-cluster-pair recall vs the exact twin
+    // (GoldenApproxSpec, golden/approx_r14.json). No DuckDB twin by
+    // design — the quality readout is defined against the exact twin.
+    "q_llm_semdedup_approx" -> ((s, d) => {
+      // resolve the committed k-means stage OUTSIDE the build block:
+      // nested StageCache computeIfAbsent calls risk a recursive-update
+      // on bin collision (the dupLabels lesson)
+      val cl = kmeansStage(s, d).select(col("vec_id"), col("cluster_id"))
+      graft.operators.StageCache.relation(s, "semdedupapx", d)({
+        emb(s, d).agg(count(lit(1)), sum(col("vec_id")),
+          sum(element_at(col("v"), 1))).head().mkString(",")
+      }) {
+        val e = emb(s, d).join(cl, "vec_id")
+        val a = e.select(col("cluster_id"), col("vec_id").as("v1"),
+          col("v").as("va"))
+        val b = e.select(col("cluster_id"), col("vec_id").as("v2"),
+          col("v").as("vb"))
+        val edges = a.join(b, Seq("cluster_id"))
+          .filter(col("v1") < col("v2"))
+          .filter(CosineSimilarity.cosineSim(s, col("va"), col("vb"))
+            >= 0.4)
+          .select(col("v1").as("src"), col("v2").as("dst"))
+        val ids = emb(s, d).select(col("vec_id").as("id"))
+        graft.operators.ConnectedComponents.run(ids, edges)
+          .select(col("id").as("vec_id"), col("label").as("canonical"))
+      }
+        .withColumn("is_kept",
+          when(col("vec_id") === col("canonical"), 1).otherwise(0))
+        .orderBy("vec_id")
+    }),
+
     // Label centroids + mean cosine of members to their own centroid
     // (cluster cohesion / label-propagation score).
     "q_llm_knn_label" -> ((s, d) => {

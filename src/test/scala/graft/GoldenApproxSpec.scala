@@ -85,6 +85,16 @@ class GoldenApproxSpec extends SparkSpecBase {
       s"spearman flag sets diverged: approx ${spApprox.keySet} vs exact ${spExact.keySet}")
     val spErr = spExact.map { case (k, e) => math.abs(spApprox(k) - e) }.max
 
+    // SemDeDup cluster-blocked twin: kept-set agreement vs the exact
+    // grid-join clustering (the decision a curation pipeline acts on),
+    // plus the exact twin's pair count for context via recall of kept.
+    val sdE = SparkEntry.queries("q_llm_semdedup")(spark, sf01)
+      .select("vec_id", "is_kept").as[(Long, Int)].collect().toMap
+    val sdA = SparkEntry.queries("q_llm_semdedup_approx")(spark, sf01)
+      .select("vec_id", "is_kept").as[(Long, Int)].collect().toMap
+    assert(sdA.keySet == sdE.keySet, "semdedup twins cover different ids")
+    val sdAgree = sdE.count { case (k, v) => sdA(k) == v }.toDouble / sdE.size
+
     // HLL dedup funnel: max relative error of the three sketched
     // distinct counts vs the exact funnel's (stage 'all' is an exact
     // count in both).
@@ -116,6 +126,7 @@ class GoldenApproxSpec extends SparkSpecBase {
       "q_llm_ann_lsh.candidate_fraction" -> r4(lshFrac),
       "q_agg_spearman_approx.max_abs_rho_err" -> r4(spErr),
       "q_llm_dedup_funnel_approx.max_rel_err" -> r4(funnelErr),
+      "q_llm_semdedup_approx.kept_agreement" -> r4(sdAgree),
       "q_llm_len_pctile_approx.exact_tail_recall" -> r4(lenRecall))
   }
 
@@ -131,6 +142,7 @@ class GoldenApproxSpec extends SparkSpecBase {
     assert(metrics("q_llm_ann_lsh.candidate_fraction") <= 0.025)
     assert(metrics("q_agg_spearman_approx.max_abs_rho_err") <= 0.02)
     assert(metrics("q_llm_dedup_funnel_approx.max_rel_err") <= 0.10)
+    assert(metrics("q_llm_semdedup_approx.kept_agreement") >= 0.8)
     assert(metrics("q_llm_len_pctile_approx.exact_tail_recall") >= 0.6)
 
     val json = metrics.toSeq.sortBy(_._1)
