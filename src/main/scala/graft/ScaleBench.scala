@@ -93,6 +93,20 @@ object ScaleBench {
     }
 
     val docStride = stride(Tables(spark, baseDir, "documents"), "doc_id")
+    // disjointness BY CONSTRUCTION, not by one-scale spot check (r14
+    // advice #3): the tag separator 'z' must be absent from the base
+    // corpus — then every tagged token decomposes uniquely at its FIRST
+    // 'z' into (z-free base, per-copy tag), tags are distinct per k, and
+    // untagged copy-0 tokens (z-free) can never equal a tagged one. A
+    // base token that already contained the separator (e.g. "dogz1" vs
+    // copy-1's "dog"->"dogz1") would break total cross-copy
+    // disjointness silently at some K, so refuse to build the fixture
+    // rather than time a distorted canary.
+    require(Tables(spark, baseDir, "documents")
+      .filter(col("text").contains("z")).limit(1).isEmpty,
+      "suffix-tag separator 'z' appears in the base corpus — pick a " +
+        "separator outside the token alphabet or the per-copy token " +
+        "disjointness the canary relies on does not hold at every K")
     val docs = scaled("documents") { (df, k) =>
       // per-copy TOKEN SUFFIX TAGGING (r13 verdict #6: the Caesar-
       // rotation family capped the canary at 26 token-disjoint copies;

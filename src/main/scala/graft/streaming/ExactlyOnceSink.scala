@@ -695,12 +695,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   }
 
   private def enforceSchema(df: DataFrame, mergeSchema: Boolean,
-      verb: String): Unit =
+      verb: String): Unit = enforceSchemaOf(df.schema, mergeSchema, verb)
+
+  private def enforceSchemaOf(fs: org.apache.spark.sql.types.StructType,
+      mergeSchema: Boolean, verb: String): Unit =
     // a metadata-only commit on an EMPTY table records an empty struct —
     // that is "no schema yet", not "every column is new"
     latestSchema().filter(_.fields.nonEmpty).foreach { cur =>
       val curT = cur.fields.map(f => f.name -> f.dataType).toMap
-      val conflicts = df.schema.fields.flatMap(f =>
+      val conflicts = fs.fields.flatMap(f =>
         curT.get(f.name).filter(t => nullNorm(t) != nullNorm(f.dataType))
           .flatMap { t =>
           if (widens(f.dataType, t))
@@ -718,7 +721,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (conflicts.nonEmpty)
         sys.error(s"$verb: column type mismatch with the committed table " +
           s"schema — ${conflicts.mkString("; ")}")
-      val extra = df.schema.fieldNames.filterNot(curT.contains)
+      val extra = fs.fieldNames.filterNot(curT.contains)
       if (extra.nonEmpty && !mergeSchema)
         sys.error(s"$verb: columns ${extra.mkString(", ")} are not in the " +
           "committed table schema; pass mergeSchema=true to evolve it " +
@@ -781,6 +784,29 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           updated ++ fs.fields.filterNot(f => have(f.name))).json,
           widened)
     }
+
+  /** Re-run write-schema validation iff the committed table schema moved
+    * since it was last validated (the json `validated` captured). An OCC
+    * claim retry re-derives its recorded schema against a table a rival
+    * may have evolved INCOMPATIBLY since [[enforceSchema]] ran at entry
+    * (e.g. the rival mergeSchema-adds `x:int` while this writer's staged
+    * frame carries a not-yet-committed `x:string`): [[evolvedSchemaOf]]
+    * keeps the committed type when neither side widens, so without this
+    * check the claim would commit metadata whose type disagrees with the
+    * staged parquet bytes — silently, no conflict error. Delta surfaces
+    * exactly this as MetadataChangedException; aborting here does the
+    * same (the staged dir becomes an orphan vacuum reclaims). Cheap when
+    * nothing moved: one latest-commit schema read and a json compare.
+    * Returns the fresh json so the next retry compares against it. */
+  private def reEnforceOnRetry(fs: org.apache.spark.sql.types.StructType,
+      mergeSchema: Boolean, validated: Option[String],
+      verb: String): Option[String] = {
+    val now = latestSchema().map(_.json)
+    if (now != validated)
+      enforceSchemaOf(fs, mergeSchema, s"$verb (claim retry: the table " +
+        "schema changed underneath this writer)")
+    now
+  }
 
   /** foreachBatch body: write-then-commit, idempotent on batchId.
     * `partitionBy` columns produce hive-style subdirectories inside the
@@ -939,17 +965,32 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     *
     * `mergeSchema` opts this append into schema evolution
     * ([[enforceSchema]] — new columns rejected by default). */
+  /** Test seams (no-ops in production): `stagedHook` fires after the
+    * plain-append staging write, `identityReserveHook` at the top of
+    * every allow-gaps reservation attempt — each lets a spec land a
+    * RIVAL commit at exactly the racy instant (rival schema evolution,
+    * rival contiguous-rule declaration) that a thread race would only
+    * hit probabilistically. */
+  private[graft] var stagedHook: () => Unit = () => ()
+  private[graft] var identityReserveHook: () => Unit = () => ()
+
   def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 8,
       bloomBy: Seq[String] = Nil, bloomBits: Int = 4096,
       mergeSchema: Boolean = false,
       streamTxn: Option[(String, Long)] = None): Long = {
     enforceSchema(df, mergeSchema, "commitAppend")
+    // the table schema enforceSchema just validated against: every claim
+    // (re)derivation below first compares latestSchema() to this and
+    // RE-VALIDATES when a rival moved it — evolvedSchemaOf alone would
+    // silently keep a rival's incompatible type (reEnforceOnRetry doc)
+    var validated = latestSchema().map(_.json)
     val gdf = applyGenerated(conformToTable(df))
     val idr0 = identityRules()
     if (idr0.isEmpty) {
       val st = stageAppend(gdf, partitionBy, clusterBy, clusterFiles,
         bloomBy, bloomBits)
+      stagedHook()
       var v = nextVersion()
       // re-derive the recorded schema AFTER staging and on every retry:
       // a rival that committed an evolution (widening / new column)
@@ -958,12 +999,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // (evolvedSchemaOf doc; staged files are untouched, reads coerce).
       // A rival landing between this read and the claim takes our
       // version, the claim fails, and the retry re-reads — so a
-      // SUCCESSFUL claim always recorded fresh metadata.
+      // SUCCESSFUL claim always recorded fresh metadata. Each
+      // (re)derivation re-validates first: a rival evolution that is
+      // INCOMPATIBLE with the staged frame must abort, not be re-derived
+      // around (reEnforceOnRetry doc).
+      validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
+        "commitAppend") // a rival may have landed while this writer staged
       var (sj, wd) = evolvedSchema(gdf)
       while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
           streamTxn = streamTxn, rows = st.rows, widened = wd))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
+        validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
+          "commitAppend")
         val fresh = evolvedSchema(gdf); sj = fresh._1; wd = fresh._2
       }
       v
@@ -988,40 +1036,68 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         //    read-reserve atomic (same argument as the contiguous loop)
         var base: Seq[(String, Long, Long, Long, Boolean)] = Nil
         var reserved = false
-        while (!reserved) {
+        var contiguousRival = false
+        while (!reserved && !contiguousRival) {
+          identityReserveHook()
           val (gen, expected) = logTail.generatedState()
           val rules = gen.toSeq.sortBy(_._1).collect {
             case (n, IdentityRule(st0, k, w, g)) =>
               (n, st0.toLong, k.toLong, w.toLong, g != null)
           }
-          val advanced = rules.map { case (n, s0, k, wm, _) =>
-            n -> s"IDENTITY($s0,$k,${wm + k * prep.total},gaps)"
-          }.toMap
-          ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
-          val sjR = latestSchema().map(_.json)
-            .getOrElse("""{"type":"struct","fields":[]}""")
-          if (claim(expected, entryJsonS(sjR, expected, "", Nil,
-              snapshot = false, Nil, Map.empty, "RESERVE IDENTITY", None,
-              Map.empty, generated = Some(gen ++ advanced)))) {
-            base = rules; reserved = true
+          if (rules.exists(!_._5)) {
+            // a rival declared a CONTIGUOUS (allowGaps = false) identity
+            // rule after our idr0 read — legal while the table is empty.
+            // A reservation would advance that rule's watermark in a
+            // metadata-only commit, which is exactly what contiguity
+            // forbids (a crash before the data commit would leave its
+            // sequence a hole). Abandon the reservation and take the
+            // contiguous OCC path, which assigns EVERY rule — gaps ones
+            // included — inside the data commit itself.
+            contiguousRival = true
+          } else {
+            // each rule's OWN mode flag — a fresh re-read must never
+            // rewrite a rival rule's declared mode in the advanced map
+            val advanced = rules.map { case (n, s0, k, wm, g) =>
+              n -> (s"IDENTITY($s0,$k,${wm + k * prep.total}" +
+                s"${if (g) ",gaps" else ""})")
+            }.toMap
+            ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
+            val sjR = latestSchema().map(_.json)
+              .getOrElse("""{"type":"struct","fields":[]}""")
+            if (claim(expected, entryJsonS(sjR, expected, "", Nil,
+                snapshot = false, Nil, Map.empty, "RESERVE IDENTITY", None,
+                Map.empty, generated = Some(gen ++ advanced)))) {
+              base = rules; reserved = true
+            }
           }
         }
-        // 2. assign from the reserved base and stage ONCE; the advanced
-        //    watermark already rode the reservation commit
-        val (adf, _) = assignFromPrep(prep, base)
-        val st = stageAppend(adf, partitionBy, clusterBy, clusterFiles,
-          bloomBy, bloomBits)
-        // 3. commit like a plain append — blind version retries, fresh
-        //    schema re-derivation per attempt (evolvedSchemaOf doc)
-        var v = nextVersion()
-        var (sj, wd) = evolvedSchema(adf)
-        while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
-            snapshot = false, st.adds, st.stats, blooms = st.blooms,
-            streamTxn = streamTxn, rows = st.rows, widened = wd))) {
-          v = math.max(v + 1, nextVersion())
-          val fresh = evolvedSchema(adf); sj = fresh._1; wd = fresh._2
+        if (contiguousRival)
+          commitIdentityContiguous(prep, mergeSchema, validated,
+            partitionBy, clusterBy, clusterFiles, bloomBy, bloomBits,
+            streamTxn)
+        else {
+          // 2. assign from the reserved base and stage ONCE; the advanced
+          //    watermark already rode the reservation commit
+          val (adf, _) = assignFromPrep(prep, base)
+          val st = stageAppend(adf, partitionBy, clusterBy, clusterFiles,
+            bloomBy, bloomBits)
+          // 3. commit like a plain append — blind version retries, fresh
+          //    re-validation + schema re-derivation per attempt
+          //    (reEnforceOnRetry / evolvedSchemaOf docs)
+          var v = nextVersion()
+          validated = reEnforceOnRetry(adf.schema, mergeSchema, validated,
+            "commitAppend")
+          var (sj, wd) = evolvedSchema(adf)
+          while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
+              snapshot = false, st.adds, st.stats, blooms = st.blooms,
+              streamTxn = streamTxn, rows = st.rows, widened = wd))) {
+            v = math.max(v + 1, nextVersion())
+            validated = reEnforceOnRetry(adf.schema, mergeSchema,
+              validated, "commitAppend")
+            val fresh = evolvedSchema(adf); sj = fresh._1; wd = fresh._2
+          }
+          v
         }
-        v
       } finally prep.release()
     } else {
       // identity appends CAN conflict (two writers reading one watermark
@@ -1046,44 +1122,66 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // re-staging only. High-contention identity ingest should funnel
       // through ONE streaming writer (appendBatch), which never races.
       val prep = prepareIdentity(gdf, idr0.map(_._1))
-      try {
-        var staged: Option[(Seq[(String, Long, Long, Long, Boolean)],
-          Map[String, String], StagedAppend)] = None
-        while (true) {
-          val (gen, expected) = logTail.generatedState()
-          val rules = gen.toSeq.sortBy(_._1).collect {
-            case (n, IdentityRule(s, k, w, g)) =>
-              (n, s.toLong, k.toLong, w.toLong, g != null)
-          }
-          if (!staged.exists(_._1 == rules)) {
-            // first attempt, or stale range — (re)assign and (re)stage;
-            // an abandoned staged dir is an orphan vacuum reclaims
-            if (staged.isDefined) ExactlyOnceSink.identityRestages.incrementAndGet()
-            val (adf, advanced) = assignFromPrep(prep, rules)
-            staged = Some((rules, gen ++ advanced,
-              stageAppend(adf, partitionBy, clusterBy, clusterFiles,
-                bloomBy, bloomBits)))
-          }
-          val (_, genOut, st) = staged.get
-          ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
-          // same stale-schema hazard as the non-identity retry loop: a
-          // rival that does NOT move the watermark (plain append with
-          // mergeSchema) skips the restage branch, so re-derive the
-          // recorded schema from the staged one against the fresh
-          // committed table on every attempt (evolvedSchemaOf doc)
-          val (sjI, wdI) = evolvedSchemaOf(
-            org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType])
-          if (claim(expected, entryJsonS(sjI, expected, st.dir,
-              partitionBy, snapshot = false, st.adds, st.stats,
-              blooms = st.blooms, generated = Some(genOut),
-              streamTxn = streamTxn, rows = st.rows,
-              widened = wdI)))
-            return expected
-        }
-        -1L // unreachable
-      } finally prep.release()
+      try commitIdentityContiguous(prep, mergeSchema, validated,
+        partitionBy, clusterBy, clusterFiles, bloomBy, bloomBits,
+        streamTxn)
+      finally prep.release()
     }
+  }
+
+  /** The contiguous-identity OCC commit loop (see [[commitAppend]]'s
+    * branch comment for the contention economics): read (rules, next
+    * version) as one log view, (re)assign + (re)stage only when the
+    * watermark actually moved, claim exactly the read version. Also the
+    * fallback for an allow-gaps append that discovers a rival-declared
+    * CONTIGUOUS rule mid-reservation — this loop assigns every rule
+    * inside the data commit, which is correct (if conservative) for
+    * gaps-mode rules too. Caller owns `prep`'s release. */
+  private def commitIdentityContiguous(prep: IdentityPrep,
+      mergeSchema: Boolean, validated0: Option[String],
+      partitionBy: Seq[String], clusterBy: Seq[String], clusterFiles: Int,
+      bloomBy: Seq[String], bloomBits: Int,
+      streamTxn: Option[(String, Long)]): Long = {
+    var validated = validated0
+    var staged: Option[(Seq[(String, Long, Long, Long, Boolean)],
+      Map[String, String], StagedAppend)] = None
+    while (true) {
+      val (gen, expected) = logTail.generatedState()
+      val rules = gen.toSeq.sortBy(_._1).collect {
+        case (n, IdentityRule(s, k, w, g)) =>
+          (n, s.toLong, k.toLong, w.toLong, g != null)
+      }
+      if (!staged.exists(_._1 == rules)) {
+        // first attempt, or stale range — (re)assign and (re)stage;
+        // an abandoned staged dir is an orphan vacuum reclaims
+        if (staged.isDefined) ExactlyOnceSink.identityRestages.incrementAndGet()
+        val (adf, advanced) = assignFromPrep(prep, rules)
+        staged = Some((rules, gen ++ advanced,
+          stageAppend(adf, partitionBy, clusterBy, clusterFiles,
+            bloomBy, bloomBits)))
+      }
+      val (_, genOut, st) = staged.get
+      ExactlyOnceSink.identityClaimAttempts.incrementAndGet()
+      // same stale-schema hazard as the non-identity retry loop: a
+      // rival that does NOT move the watermark (plain append with
+      // mergeSchema) skips the restage branch, so re-validate
+      // (reEnforceOnRetry — an incompatible rival evolution must abort,
+      // not be silently kept) and re-derive the recorded schema from
+      // the staged one against the fresh committed table on every
+      // attempt (evolvedSchemaOf doc)
+      val fsI = org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      validated = reEnforceOnRetry(fsI, mergeSchema, validated,
+        "commitAppend")
+      val (sjI, wdI) = evolvedSchemaOf(fsI)
+      if (claim(expected, entryJsonS(sjI, expected, st.dir,
+          partitionBy, snapshot = false, st.adds, st.stats,
+          blooms = st.blooms, generated = Some(genOut),
+          streamTxn = streamTxn, rows = st.rows,
+          widened = wdI)))
+        return expected
+    }
+    -1L // unreachable
   }
 
   /** Streaming APPEND cursored on the (appId, batchId) txn action — the

@@ -58,8 +58,14 @@ class ContractSpec extends AnyFunSuite {
     }
     val text = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
+    // lift, don't index: a kernel count past the word list must produce
+    // the descriptive drift message, not an IndexOutOfBoundsException
+    // (r14 advice #4)
     val word = Seq("", "one", "two", "three", "four", "five", "six",
-      "seven", "eight", "nine", "ten", "eleven", "twelve")(kernels.size)
+      "seven", "eight", "nine", "ten", "eleven", "twelve", "thirteen",
+      "fourteen", "fifteen", "sixteen").lift(kernels.size).getOrElse(
+      fail(s"SURVEY kernel-count word list exhausted: ${kernels.size} " +
+        s"kernels on disk ($kernels) — extend the list and sync SURVEY"))
     assert(text.contains(s"$word shipped, each behind profiling evidence"),
       s"SURVEY §4 kernel count drifted: ${kernels.size} kernels on disk " +
         s"($kernels) but '$word shipped' not found")

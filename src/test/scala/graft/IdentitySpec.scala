@@ -51,6 +51,49 @@ class IdentitySpec extends SparkSpecBase {
     assert(e.getMessage.contains("GENERATED ALWAYS"))
   }
 
+  test("allowGaps reservation abandons to the contiguous path when a rival declares a contiguous rule mid-race") {
+    // r14 advice #1: the reservation loop re-reads rules from the fresh
+    // log; a rival may declare a CONTIGUOUS identity column between our
+    // entry read and the reservation read (legal while the table is
+    // empty). Reserving would advance that rule's watermark in a
+    // metadata-only pre-commit — a crash then holes the contiguous
+    // sequence — and the old code additionally rewrote the rule's mode
+    // as ",gaps". The writer must abandon the reservation and commit
+    // through the contiguous OCC path, both rules' modes preserved.
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.setIdentityColumn(spark, "rid", allowGaps = true)
+    val b = new ExactlyOnceSink(dir)
+    a.identityReserveHook = () => {
+      a.identityReserveHook = () => () // fire once
+      b.setIdentityColumn(spark, "cid", start = 100L) // contiguous
+    }
+    a.commitAppend(Seq("a", "b", "c").toDF("x"))
+    val rows = a.read(spark).select("rid", "cid")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+    assert(rows.map(_._2) == Seq(100L, 101L, 102L),
+      s"the rival contiguous rule must be assigned by the data commit: $rows")
+    // the abandoned reservation must not have landed, and neither
+    // rule's declared MODE may appear rewritten anywhere in the log
+    import scala.jdk.CollectionConverters._
+    val bodies = {
+      val s = Files.list(java.nio.file.Paths.get(dir, "_graft_log"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map(Files.readString(_)).toList
+      finally s.close()
+    }
+    assert(!bodies.exists(_.contains("RESERVE IDENTITY")),
+      "the abandoned reservation landed a metadata pre-commit")
+    assert(!bodies.exists(s =>
+      """"cid":"IDENTITY\([^)]*,gaps\)""".r.findFirstIn(s).isDefined),
+      "the rival contiguous rule's mode was rewritten as gaps")
+    assert(bodies.exists(s =>
+      """"rid":"IDENTITY\([^)]*,gaps\)""".r.findFirstIn(s).isDefined),
+      "the gaps rule lost its own mode flag")
+  }
+
   test("allowGaps mode: concurrent writers never collide (uniqueness without contiguity)") {
     val dir = tmp()
     new ExactlyOnceSink(dir).setIdentityColumn(spark, "rid", allowGaps = true)

@@ -249,4 +249,52 @@ class TypeWideningSpec extends SparkSpecBase {
       .schema("v").dataType == IntegerType)
     assert(sink.read(spark).schema("v").dataType == LongType)
   }
+
+  test("claim retry re-validates: a rival's INCOMPATIBLE evolution aborts the commit, never silently keeps the rival type") {
+    // r14 advice #2: enforceSchema ran once at commitAppend entry; a
+    // rival that mergeSchema-adds x:int while this writer stages x:string
+    // is not a widening in either direction, so evolvedSchemaOf would
+    // keep the rival's committed type and the claim would record
+    // metadata disagreeing with the staged parquet bytes — silently.
+    // The retry path must re-validate and abort instead (the
+    // MetadataChangedException Delta raises for this).
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.commitAppend(Seq((1, "p"), (2, "q")).toDF("n", "pay"))
+    val b = new ExactlyOnceSink(dir)
+    a.stagedHook = () => {
+      a.stagedHook = () => () // fire once
+      b.commitAppend(Seq((3, "r", 7)).toDF("n", "pay", "x"),
+        mergeSchema = true) // rival lands x:int AFTER a validated+staged
+    }
+    val e = intercept[RuntimeException] {
+      a.commitAppend(Seq((4, "s", "oops")).toDF("n", "pay", "x"),
+        mergeSchema = true) // our staged x is a STRING
+    }
+    assert(e.getMessage.contains("type mismatch"),
+      s"expected a metadata-conflict abort, got: ${e.getMessage}")
+    // the table is unharmed: rival's x:int stands, our staged dir is an
+    // orphan (never claimed), reads stay coherent
+    val got = b.read(spark)
+    assert(got.schema("x").dataType == IntegerType)
+    assert(got.count() == 3L)
+  }
+
+  test("claim retry re-validates: a rival's COMPATIBLE evolution (new unrelated column) does not block the commit") {
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.commitAppend(Seq((1, "p")).toDF("n", "pay"))
+    val b = new ExactlyOnceSink(dir)
+    a.stagedHook = () => {
+      a.stagedHook = () => ()
+      b.commitAppend(Seq((2, "q", 9L)).toDF("n", "pay", "extra"),
+        mergeSchema = true)
+    }
+    a.commitAppend(Seq((3, "r")).toDF("n", "pay"))
+    val got = a.read(spark)
+    assert(got.count() == 3L)
+    // the rival's evolution survived our commit's recorded metadata
+    assert(got.schema.fieldNames.contains("extra"))
+    assert(got.filter(col("n") === 3).select("extra").head().isNullAt(0))
+  }
 }
