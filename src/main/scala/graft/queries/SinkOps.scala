@@ -335,7 +335,63 @@ object SinkOps {
           (cents + lit(7)).cast("int").as("c")))
     }
 
+  private val builtRowId = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The row-tracking table build for q_sink_rowid_read, mirrored
+    * arithmetically in its oracle. Every step is order-pinned so the
+    * VIRTUAL id rule (file baseRowId + row position) is reproducible in
+    * SQL, and every rewrite exercises MATERIALIZATION:
+    *
+    *   v0 enable; v1 append eid%3==0 (one file, event_id order →
+    *   ids 0..n1-1, rcv 1); v2 append eid%3==1 (ids n1.., rcv 2);
+    *   v3 DV-delete eid%7==0 (vector tier forced — no rewrite, no id
+    *   burn); v4 compactSmall (materializes every survivor's id+rcv;
+    *   its add burns a block of `live` ids); v5 mergeDV updating
+    *   eid%5==0 — updated rows keep their id (MATERIALIZED into the
+    *   appended file, so no intra-file-order assumption) with rcv 5;
+    *   v6 a fresh append (surviving eid%11==0, shifted +1e9) whose
+    *   virtual ids start at the post-merge watermark.
+    *
+    * The oracle recomputes ids/rcvs from row_numbers and counts over
+    * the raw fixture — the whole id-lineage contract (allocation,
+    * watermark burn under two rewrites, materialized survival, update
+    * lineage, fresh allocation above burned blocks) lands in the
+    * DuckDB hash gate, not just RowTrackingSpec. */
+  private def rowTrackedEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(builtRowId, s, d, "graft-rowid",
+        "enable;a1=%3:0;a2=%3:1;dv=%7;compact;merge upd=%5;app ins=%11+1e9") {
+      (ev, dir) =>
+      val sink = new ExactlyOnceSink(dir.toString)
+      sink.enableRowTracking(s)
+      val base = ev.select(col("event_id"), col("user_id"))
+      def oneFile(df: org.apache.spark.sql.DataFrame) =
+        df.repartition(1).sortWithinPartitions("event_id")
+      sink.commitAppend(oneFile(base.filter(col("event_id") % 3 === 0)))
+      sink.commitAppend(oneFile(base.filter(col("event_id") % 3 === 1)))
+      sink.deleteDV(s, col("event_id") % 7 === 0, dvMaxRows = Int.MaxValue)
+      sink.compactSmall(s, minFiles = 2)
+      val live = sink.read(s).select(col("event_id"), col("user_id"))
+      val upd = live.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("user_id") + 1000).as("user_id"))
+      sink.mergeDV(s, upd, Seq("event_id"), dvMaxRows = Int.MaxValue)
+      val ins = live.filter(col("event_id") % 11 === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          col("user_id"))
+      sink.commitAppend(oneFile(ins))
+    }
+
   val queries: Map[String, QueryFn] = Map(
+    // Read the row-tracked table: stable `_row_id` / `_row_commit_version`
+    // per surviving row after append → DV delete → OPTIMIZE
+    // (materialization) → MERGE (update lineage + fresh-insert
+    // allocation) must equal the oracle's arithmetic reconstruction —
+    // the Delta row-tracking analog, hash-checked per row.
+    "q_sink_rowid_read" -> ((s, d) => {
+      rowTrackedEvents(s, d).readWithRowIds(s)
+        .select(col("event_id"), col("_row_id").as("row_id"),
+          col("_row_commit_version").as("row_commit_version"))
+        .orderBy("event_id")
+    }),
     // Aggregate over the type-widened committed table: live files mix
     // int32 and int64 encodings of one column, the read coerces them to
     // the widened (declared) type, and count/sum/min/max must equal
@@ -507,6 +563,46 @@ object SinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // arithmetic reconstruction of the row-id lineage (build recipe in
+    // rowTrackedEvents): append order gives virtual ids, the DV delete
+    // removes rows without moving ids, the compaction and the merge
+    // each burn a block of ids for their rewritten/appended add, merge
+    // updates keep their id with the merge commit (v5) as the new
+    // version, and the final append allocates above both burned blocks
+    "q_sink_rowid_read" ->
+      """WITH a1 AS (
+           SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rid
+           FROM events WHERE event_id % 3 = 0
+         ), a2 AS (
+           SELECT event_id,
+                  (SELECT count(*) FROM a1)
+                    + row_number() OVER (ORDER BY event_id) - 1 AS rid
+           FROM events WHERE event_id % 3 = 1
+         ), base AS (
+           SELECT event_id, rid, 1 AS rcv FROM a1
+           UNION ALL SELECT event_id, rid, 2 AS rcv FROM a2
+         ), live AS (
+           SELECT * FROM base WHERE event_id % 7 <> 0
+         ), wm5 AS (
+           -- post-merge watermark: every base id, plus the compaction
+           -- add's burned block (|live|), plus the merge add's (|upd|)
+           SELECT (SELECT count(*) FROM base)
+                    + (SELECT count(*) FROM live)
+                    + (SELECT count(*) FROM live WHERE event_id % 5 = 0) AS w
+         ), final AS (
+           SELECT l.event_id, l.rid AS row_id,
+                  CASE WHEN l.event_id % 5 = 0 THEN 5 ELSE l.rcv END AS v
+           FROM live l
+           UNION ALL
+           SELECT l.event_id + 1000000000 AS event_id,
+                  (SELECT w FROM wm5)
+                    + row_number() OVER (ORDER BY l.event_id) - 1 AS row_id,
+                  6 AS v
+           FROM live l WHERE l.event_id % 11 = 0
+         )
+         SELECT event_id, CAST(row_id AS BIGINT) AS row_id,
+                CAST(v AS BIGINT) AS row_commit_version
+         FROM final ORDER BY event_id""",
     "q_sink_widen_read" ->
       """WITH src AS (
            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_id

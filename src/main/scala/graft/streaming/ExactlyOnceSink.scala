@@ -257,9 +257,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       blooms: Map[String, Map[String, Array[Long]]] = Map.empty,
       constraints: Option[Map[String, String]] = None,
       streamTxn: Option[(String, Long)] = None,
-      rows: Map[String, Long] = Map.empty): String =
-    entryJsonS(df.schema.json, version, dir, partitionBy, snapshot, adds,
-      stats, op, changeDir, blooms, constraints, streamTxn, rows = rows)
+      rows: Map[String, Long] = Map.empty,
+      matFiles: Boolean = false): String =
+    // the recorded TABLE schema never includes the row-tracking
+    // materialization columns — they are physical file payload, like
+    // column-mapping physical names
+    entryJsonS(org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(_.name.startsWith(MatPrefix))).json,
+      version, dir, partitionBy, snapshot, adds,
+      stats, op, changeDir, blooms, constraints, streamTxn, rows = rows,
+      matFiles = matFiles)
 
   private def entryJsonS(schemaJson: String, version: Long, dir: String,
       partitionBy: Seq[String], snapshot: Boolean,
@@ -277,11 +284,44 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       columnMapping: Option[Map[String, String]] = None,
       droppedCols: Option[Seq[String]] = None,
       rows: Map[String, Long] = Map.empty,
-      widened: Boolean = false): String = {
+      widened: Boolean = false,
+      rowIdsCarry: Option[Map[String, (Long, Long)]] = None,
+      rowWmForce: Option[Long] = None,
+      matFiles: Boolean = false): String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
       else if (snapshot) "SNAPSHOT" else "STREAMING UPDATE"
+    // ROW TRACKING (the Delta row-tracking feature analog): when the
+    // table has it enabled (a rowIdWatermark exists in the latest-wins
+    // metaData state), every fresh add action is assigned a contiguous
+    // baseRowId block from the watermark (file row counts are already
+    // recorded) plus its default row-commit-version, and the advanced
+    // watermark rides this commit's metaData. Freshness under OCC: this
+    // is (re)built per claim attempt against the live log tail, and
+    // dense claims mean a successful claim saw every prior allocation —
+    // the identity-watermark argument. `rowIdsCarry` overrides
+    // allocation with carried (baseRowId, rcv) pairs (RESTORE lifts the
+    // source adds' ids verbatim); `rowWmForce` force-emits a watermark
+    // on a metadata-only commit (enableRowTracking).
+    val rowWmNow: Option[Long] =
+      rowWmForce.orElse(if (rowIdsCarry.isDefined || adds.nonEmpty ||
+        snapshot) logTail.rowIdState() else None)
+    val (rowIdOf: Map[String, (Long, Long)], rowWmOut: Option[Long]) =
+      (rowWmNow, rowIdsCarry) match {
+        case (None, _) => (Map.empty[String, (Long, Long)], rowWmForce)
+        case (Some(wm), Some(m)) => (m, Some(wm))
+        case (Some(wm), None) =>
+          var w = wm
+          val m = adds.map { p =>
+            val rel = p.toString.replace("\\", "/")
+            val n = rows.getOrElse(rel, sys.error(
+              s"rowTracking: add $rel carries no row count — cannot " +
+                "allocate a baseRowId block"))
+            val b = w; w += n; rel -> (b, version)
+          }.toMap
+          (m, Some(w))
+      }
     val addJson = adds.map { p =>
       val rel = p.toString.replace("\\", "/")
       val st = stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).map {
@@ -299,8 +339,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // per-file row count (the Delta numRecords stat): metadata-only
       // COUNT(*) and history metrics read it from the log
       val rw = rows.get(rel).map(n => s""","rows":$n""").getOrElse("")
-      s"""{"path":${jstr(rel)},"stats":{$st}$blJson$rw}"""
+      val rid = rowIdOf.get(rel).map { case (b, cv) =>
+        s""","baseRowId":$b,"rcv":$cv""" }.getOrElse("")
+      s"""{"path":${jstr(rel)},"stats":{$st}$blJson$rw$rid}"""
     }.mkString(",")
+    val rowWmJson = rowWmOut.map(w => s""","rowIdWatermark":$w""").getOrElse("")
     val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
     // constraints ride the metaData action (Delta's table-config slot): a
     // commit carrying the field REPLACES the active set; commits without
@@ -340,7 +383,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (restoreDirs.nonEmpty) Some("restore") else None,
       // a type-widening commit leaves files of BOTH widths live: a
       // reader that cannot coerce them would misread the column
-      if (widened) Some("typeWidening") else None).flatten
+      if (widened) Some("typeWidening") else None,
+      // a commit adding files that carry MATERIALIZED row-id columns: a
+      // reader unaware of row tracking would surface the reserved
+      // physical columns as user data — a misread, unlike the additive
+      // baseRowId/rcv metadata an old reader ignores harmlessly
+      if (matFiles) Some("rowTracking") else None).flatten
     val protoJson =
       if (feats.isEmpty) ""
       else s""""protocol":{"readerFeatures":[${feats.map(jstr).mkString(",")}]},"""
@@ -348,7 +396,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       protoJson +
       s""""snapshot":$snapshot,""" +
       s""""metaData":{"schemaString":$schemaJson,""" +
-      s""""partitionColumns":[$parts]$consJson$genJson$mapJson$dropJson},""" +
+      s""""partitionColumns":[$parts]$consJson$genJson$mapJson$dropJson""" +
+      s"""$rowWmJson},""" +
       s""""dir":${jstr(dir)},""" +
       (if (restoreDirs.isEmpty) ""
        else s""""restoreDirs":[${restoreDirs.map(jstr).mkString(",")}],""") +
@@ -480,7 +529,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       cursors: Map[String, Long],
       generated: Map[String, String] = Map.empty,
       columnMapping: Map[String, String] = Map.empty,
-      droppedCols: Seq[String] = Nil)
+      droppedCols: Seq[String] = Nil,
+      rowIdWatermark: Option[Long] = None)
 
   private def foldAux(seed: CkptAux, entries: Seq[Commit]): CkptAux =
     entries.sortBy(_.version).foldLeft(seed) { (acc, c) =>
@@ -491,7 +541,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         },
         c.generated.getOrElse(acc.generated),
         c.columnMapping.getOrElse(acc.columnMapping),
-        c.droppedCols.getOrElse(acc.droppedCols))
+        c.droppedCols.getOrElse(acc.droppedCols),
+        c.rowIdWatermark.orElse(acc.rowIdWatermark))
     }
 
   private def auxHeader(version: Long, aux: CkptAux): String = {
@@ -504,9 +555,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val cmap = aux.columnMapping.toSeq.sortBy(_._1)
       .map { case (l, ph) => s"${jstr(l)}:${jstr(ph)}" }.mkString(",")
     val dcols = aux.droppedCols.sorted.map(jstr).mkString(",")
+    val rwm = aux.rowIdWatermark
+      .map(w => s""","rowIdWatermark":$w""").getOrElse("")
     s"""{"checkpointAux":{"version":$version,"constraints":{$cons},""" +
       s""""generated":{$gen},"columnMapping":{$cmap},""" +
-      s""""droppedColumns":[$dcols],"streamTxn":{$cur}}}"""
+      s""""droppedColumns":[$dcols],"streamTxn":{$cur}$rwm}}"""
   }
 
   private def parseAuxHeader(line: String): Option[(Long, CkptAux)] = {
@@ -536,7 +589,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           case JArray(items) => items.collect { case JString(s) => s }
           case _ => Nil
         }
-        Some(v.toLong -> CkptAux(cons, cur, gen, cmap, dcols))
+        // absent in pre-round-15 checkpoints -> None (backward parse)
+        val rwm = (a \ "rowIdWatermark") match {
+          case JInt(w) => Some(w.toLong)
+          case _ => None
+        }
+        Some(v.toLong -> CkptAux(cons, cur, gen, cmap, dcols, rwm))
       case _ => None
     }
   }
@@ -698,7 +756,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       verb: String): Unit = enforceSchemaOf(df.schema, mergeSchema, verb)
 
   private def enforceSchemaOf(fs: org.apache.spark.sql.types.StructType,
-      mergeSchema: Boolean, verb: String): Unit =
+      mergeSchema: Boolean, verb: String): Unit = {
+    // the row-tracking materialization namespace is writer-internal: a
+    // user frame carrying it would collide with (or spoof) pinned ids
+    val matClash = fs.fieldNames.filter(_.startsWith(MatPrefix))
+    require(matClash.isEmpty,
+      s"$verb: columns ${matClash.mkString(", ")} use the reserved " +
+        s"row-tracking prefix '$MatPrefix'; choose different names")
     // a metadata-only commit on an EMPTY table records an empty struct —
     // that is "no schema yet", not "every column is new"
     latestSchema().filter(_.fields.nonEmpty).foreach { cur =>
@@ -737,6 +801,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           "by column mapping (physical name of a renamed or dropped " +
           "column); choose a different name")
     }
+  }
 
   /** The TABLE schema this write's metaData action must record: the
     * committed schema plus (post-[[enforceSchema]]) any evolved-in new
@@ -1279,7 +1344,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     var attempt = 0
     while (true) {
       val expected = nextVersion()
-      val (out0, changes) = f(liveData(spark))
+      // under row tracking the transform sees the live state with every
+      // row's id RESOLVED into the materialization columns: surviving
+      // rows carry them into the rewritten files (id stability through
+      // copy-on-write), rows the transform introduces lack them and
+      // read back fresh virtual ids — the Delta rewrite rule
+      val (out0, changes0) = f(liveDataMat(spark))
+      // the CDC change rows are a LOGICAL feed — the physical
+      // materialization columns never leak into it
+      val changes = changes0.map(dropMat)
       // re-derive generated columns the transform may have dropped (a
       // narrower merge frame) and validate the ones it carried
       val out = applyGenerated(out0)
@@ -1303,7 +1376,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         rel
       }
       if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
-          adds, stats, op, changeDir, streamTxn = streamTxn, rows = rowsM)))
+          adds, stats, op, changeDir, streamTxn = streamTxn, rows = rowsM,
+          matFiles = out.columns.contains(MatIdCol))))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
       // computed on stale state. Abandon the staged dirs (never visible —
@@ -1322,7 +1396,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private case class AddFile(path: String,
       stats: Map[String, (Option[String], Option[String])],
       bloom: Map[String, Array[Long]] = Map.empty,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      baseRowId: Option[Long] = None,
+      rcv: Option[Long] = None)
 
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
       adds: Seq[AddFile],
@@ -1336,7 +1412,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       columnMapping: Option[Map[String, String]] = None,
       droppedCols: Option[Seq[String]] = None,
       ict: Option[Long] = None,
-      txnAppId: Option[String] = None) {
+      txnAppId: Option[String] = None,
+      rowIdWatermark: Option[Long] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -1382,7 +1459,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * instead of being silently misread — the Delta protocol-versioning
     * contract. */
   private val SupportedReaderFeatures =
-    Set("dv", "columnMapping", "restore", "absolutePaths", "typeWidening")
+    Set("dv", "columnMapping", "restore", "absolutePaths", "typeWidening",
+      "rowTracking")
 
   /** Parse one commit-entry JSON. The version comes from the entry's own
     * txn action (every entry this sink writes records it); `vHint` — the
@@ -1466,7 +1544,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             case JInt(n) => Some(n.toLong)
             case _ => None
           }
-          AddFile(path, stats, bloom, rows)
+          val base = (o \ "baseRowId") match {
+            case JInt(n) => Some(n.toLong)
+            case _ => None
+          }
+          val rcv = (o \ "rcv") match {
+            case JInt(n) => Some(n.toLong)
+            case _ => None
+          }
+          AddFile(path, stats, bloom, rows, base, rcv)
         case _ => AddFile("", Map.empty)
       }
       case _ => Nil
@@ -1497,8 +1583,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case JString(a) => Some(a)
       case _ => None
     }
+    val rowWm = (j \ "metaData" \ "rowIdWatermark") match {
+      case JInt(w) => Some(w.toLong)
+      case _ => None
+    }
     Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
-      removes, dvs, gen, cmap, dcols, ict, txnApp)
+      removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -1552,7 +1642,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     if (ts.isEmpty)
       // fast path — a table never touched by merge-on-read keeps its
       // plain per-dir scans (no metadata columns, no anti-joins)
-      toLogical(commits.map { c =>
+      dropMat(toLogical(commits.map { c =>
         // a RESTORE commit re-points at its source commits' dirs (one
         // read per source dir keeps hive partition-column discovery
         // working exactly as it did for the original commit)
@@ -1561,11 +1651,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             .parquet(dataDir.resolve(d).toString))
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
           .withColumn("batch", lit(c.version).cast("int"))
-      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+      }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))))
     else {
       val scanned = scanWithPos(spark, commits, ts, mergeSchema)
       if (scanned.columns.isEmpty) scanned // every file removed
-      else applyTombstones(scanned, ts).drop(FileCol, RidxCol)
+      else dropMat(applyTombstones(scanned, ts).drop(FileCol, RidxCol))
     }
   }
 
@@ -1575,6 +1665,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
   private val FileCol = "__graft_file"
   private val RidxCol = "__graft_ridx"
+
+  /** Row-tracking MATERIALIZATION columns (reserved physical payload,
+    * the Delta materialized-row-id analog): a rewrite (OPTIMIZE /
+    * copy-on-write MERGE / DELETE / REPLACE WHERE) pins each surviving
+    * row's id — and, where preserved, its commit version — into these
+    * columns inside the rewritten files, so the id survives the row's
+    * (file, position) changing. Hidden from every logical read
+    * ([[dropMat]]); a fresh row reads its VIRTUAL id instead:
+    * baseRowId + row position ([[readWithRowIds]]). */
+  private val MatPrefix = "_graft_mat_"
+  private val MatIdCol = "_graft_mat_rowid"
+  private val MatRcvCol = "_graft_mat_rcv"
+
+  private def dropMat(df: DataFrame): DataFrame = {
+    val mat = df.columns.filter(_.startsWith(MatPrefix))
+    if (mat.isEmpty) df else df.drop(mat.toIndexedSeq: _*)
+  }
 
   /** The scan-side file identity matching [[addKey]]: `_metadata
     * .file_path` with everything through the table's `data/` root
@@ -1665,6 +1772,125 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
     out
   }
+
+  // ---------------------------------------------------------------------
+  // row tracking (the Delta row-tracking / stable-row-id analog)
+  // ---------------------------------------------------------------------
+
+  /** Enable ROW TRACKING: every row gets a STABLE unique id and a
+    * row-commit-version, surfaced by [[readWithRowIds]]. Fresh rows cost
+    * nothing at write time — a file's ids are VIRTUAL (the add action's
+    * `baseRowId` + the row's position, allocated from a high watermark
+    * riding each commit's metaData, the Delta domain-metadata analog);
+    * rewrites (OPTIMIZE / copy-on-write MERGE / DELETE / REPLACE WHERE)
+    * MATERIALIZE surviving rows' ids into reserved physical columns so
+    * they survive the (file, position) changing. MERGE-updated rows
+    * KEEP their id and take the updating commit as their new
+    * row-commit-version — Delta's row-lineage semantics. Must be
+    * enabled before data lands (backfill of pre-existing files is not
+    * implemented — the early-Delta restriction). Idempotent: returns
+    * -1 if already enabled. */
+  def enableRowTracking(spark: SparkSession): Long = {
+    if (logTail.rowIdState().isDefined) return -1L
+    require(liveData(spark).isEmpty,
+      "enableRowTracking: enable before data lands (pre-existing files " +
+        "have no baseRowId and backfill is not implemented)")
+    Files.createDirectories(logDir)
+    val schemaJson = latestSchema().map(_.json)
+      .getOrElse("""{"type":"struct","fields":[]}""")
+    var v = nextVersion()
+    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
+        Nil, Map.empty, "ENABLE ROW TRACKING", None, Map.empty,
+        rowWmForce = Some(0L)))) {
+      v = math.max(v + 1, nextVersion())
+    }
+    v
+  }
+
+  /** The row-id high watermark (next id to allocate), or None while row
+    * tracking is off. */
+  def rowIdWatermark(): Option[Long] = logTail.rowIdState()
+
+  /** (file key, baseRowId, default row-commit-version) for every add of
+    * the given commits. Fails loudly on a file that predates row
+    * tracking — a silent null id would defeat the stability contract. */
+  private def rowIdMetaOf(commits: Seq[Commit]): Seq[(String, Long, Long)] =
+    commits.flatMap { c =>
+      c.adds.map { a =>
+        val b = a.baseRowId.getOrElse(sys.error(
+          s"row tracking: file ${addKey(c, a)} predates enablement (no " +
+            "baseRowId recorded) — enable row tracking before data lands"))
+        (addKey(c, a), b, a.rcv.getOrElse(c.version))
+      }
+    }
+
+  /** Resolve every row's id/commit-version into the materialization
+    * columns: the pinned value where a prior rewrite materialized one,
+    * else the virtual value from the file's add action. `df` must carry
+    * the FileCol/RidxCol helpers (kept; only the lookup columns are
+    * consumed) and every scanned file must appear in `commits`. */
+  private def withResolvedMat(df: DataFrame, commits: Seq[Commit]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val sp = df.sparkSession
+    import sp.implicits._
+    val meta = rowIdMetaOf(commits).toDF(FileCol, "__rt_base", "__rt_rcv")
+    def matOr(c: String) =
+      if (df.columns.contains(c)) col(c) else lit(null).cast("long")
+    df.join(broadcast(meta), Seq(FileCol))
+      .withColumn(MatIdCol, coalesce(matOr(MatIdCol),
+        col("__rt_base") + col(RidxCol)))
+      .withColumn(MatRcvCol, coalesce(matOr(MatRcvCol), col("__rt_rcv")))
+      .drop("__rt_base", "__rt_rcv")
+  }
+
+  /** Read the table WITH row-tracking columns: `_row_id` (stable unique
+    * row id) and `_row_commit_version` (the commit that last wrote the
+    * row's content). Resolution per row: the MATERIALIZED value where a
+    * rewrite pinned one, else the VIRTUAL value (its file's baseRowId +
+    * row position / the file's default commit version) — exactly the
+    * Delta row-tracking read rule. Composes with time travel; deletion
+    * vectors and removes are subtracted as in [[read]]. */
+  def readWithRowIds(spark: SparkSession,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    require(logTail.rowIdState().isDefined,
+      "readWithRowIds: row tracking is not enabled on this table")
+    val withIds = scanWithRowMeta(spark, versionAsOf)
+    if (withIds.columns.isEmpty) return withIds
+    import org.apache.spark.sql.functions.col
+    withIds
+      .withColumn("_row_id", col(MatIdCol))
+      .withColumn("_row_commit_version", col(MatRcvCol))
+      .drop(MatIdCol, MatRcvCol)
+  }
+
+  /** The live (or as-of) state with FULLY-RESOLVED row ids sitting in
+    * the materialization columns — the input every id-preserving
+    * rewrite starts from ([[transactSnapshotChanges]]), and the
+    * resolver behind [[readWithRowIds]]. `batch` is retained; FileCol/
+    * RidxCol helpers are consumed here. Empty-schema frame when no data
+    * is visible. */
+  private def scanWithRowMeta(spark: SparkSession,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val all = visibleCommits(versionAsOf)
+    val commits = all.filter(_.adds.nonEmpty)
+    if (commits.isEmpty) return spark.emptyDataFrame
+    val ts = tombstones(all)
+    val scanned = scanWithPos(spark, commits, ts)
+    if (scanned.columns.isEmpty) return scanned
+    withResolvedMat(applyTombstones(scanned, ts), commits)
+      .drop(FileCol, RidxCol)
+  }
+
+  /** [[liveData]] with row ids materialized into the reserved columns
+    * when row tracking is on — what a copy-on-write rewrite must write
+    * back so surviving rows keep their ids. Identity to [[liveData]]
+    * when tracking is off. */
+  private def liveDataMat(spark: SparkSession): DataFrame =
+    if (logTail.rowIdState().isEmpty) liveData(spark)
+    else {
+      val df = scanWithRowMeta(spark, None)
+      if (df.columns.isEmpty) df else df.drop("batch")
+    }
 
   /** CDC read (the Delta Change Data Feed analog): the LOGICAL changes
     * committed in versions (fromVersion, toVersion], each row tagged
@@ -2024,13 +2250,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // schema so evolution across them cannot silently drop columns
       val base = flatReader(spark)
         .parquet(keys.map(k => dataDir.resolve(k).toString): _*)
-      toLogical(
+      dropMat(toLogical(
         if (!keys.exists(ts.dv.contains)) base
         else applyTombstones(
             base.withColumn(FileCol, relKeyCol)
               .withColumn(RidxCol, col("_metadata.row_index")),
             Tombstones(Set.empty, ts.dv))
-          .drop(FileCol, RidxCol))
+          .drop(FileCol, RidxCol)))
     }
   }
 
@@ -2103,7 +2329,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         // only keys whose committed row SURVIVED the matched-delete
         // clause take the update row; matched-delete keys drop both sides
         val replKeys = replaced.select(keys.map(col): _*).distinct()
-        val updReplace = updatesC.join(replKeys, keys, "left_semi")
+        val updReplace0 = updatesC.join(replKeys, keys, "left_semi")
+        // row tracking: the update row KEEPS the replaced target row's
+        // id (min() pins a deterministic survivor when several target
+        // rows shared the key — this merge collapses them to one row);
+        // the commit version is NOT carried, so the row's new rcv is
+        // this commit — exactly Delta's update semantics
+        val updReplace =
+          if (!current.columns.contains(MatIdCol)) updReplace0
+          else updReplace0.join(
+            replaced.groupBy(keys.map(col): _*)
+              .agg(org.apache.spark.sql.functions.min(col(MatIdCol))
+                .as(MatIdCol)),
+            keys, "left")
         val updInsert = updatesC
           .join(current.select(keys.map(col): _*), keys, "left_anti")
         val deletedBySource = bySource.filter(sdel)
@@ -2146,6 +2384,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     private var generated = Map.empty[String, String]
     private var columnMapping = Map.empty[String, String]
     private var droppedCols = Seq.empty[String]
+    private var rowWm: Option[Long] = None // None = row tracking off
     private val streamCursor =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -2162,6 +2401,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             generated = aux.generated
             columnMapping = aux.columnMapping
             droppedCols = aux.droppedCols
+            rowWm = aux.rowIdWatermark
             aux.cursors.foreach { case (a, b) => streamCursor.put(a, b) }
             seen = cv
           }
@@ -2173,6 +2413,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         c.generated.foreach(m => generated = m)
         c.columnMapping.foreach(m => columnMapping = m)
         c.droppedCols.foreach(s => droppedCols = s)
+        c.rowIdWatermark.foreach(w => rowWm = Some(w))
         c.streamTxn.foreach { case (a, b) =>
           streamCursor.merge(a, b, (x, y) => if (x >= y) x else y)
         }
@@ -2193,6 +2434,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       refreshed((generated, seen + 1))
     def activeMapping(): (Map[String, String], Set[String]) =
       refreshed((columnMapping, droppedCols.toSet))
+    /** Row-id high watermark, or None while row tracking is off — a
+      * live-log-tail read, so a per-claim-attempt caller always sees
+      * every allocation a prior commit made (dense-claim freshness). */
+    def rowIdState(): Option[Long] = refreshed(rowWm)
     def lastBatch(appId: String): Option[Long] =
       refreshed(Option(streamCursor.get(appId)).map(_.longValue))
   }
@@ -2313,7 +2558,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         .withColumn("_change_type", lit("update_preimage"))
       val post = updates.join(broadcast(doomedKeys), keys, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
-      (doomed, Some(updates),
+      // row tracking: an UPDATED row KEEPS its id — attach the matched
+      // target row's resolved id to the update row (min() pins a
+      // deterministic survivor when several target rows share a key,
+      // which this merge collapses to one update row anyway). Its
+      // commit version is deliberately NOT carried: the new file's
+      // default — this commit — is the row's new rcv, Delta's rule.
+      // Inserted rows take null and read back fresh virtual ids.
+      val appendRows =
+        if (!statePos.columns.contains(MatIdCol)) updates
+        else updates.join(
+          broadcast(doomed.groupBy(keys.map(col): _*)
+            .agg(org.apache.spark.sql.functions.min(col(MatIdCol))
+              .as(MatIdCol))),
+          keys, "left")
+      (doomed, Some(appendRows),
         inserted.unionByName(pre, allowMissingColumns = true)
           .unionByName(post, allowMissingColumns = true))
     }
@@ -2419,11 +2678,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           // inserts)
           val sch = latestSchema().getOrElse(
             org.apache.spark.sql.types.StructType(Nil))
-          spark.createDataFrame(
+          val base = spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
             .withColumn(FileCol, lit(""))
             .withColumn(RidxCol, lit(0L))
-        } else applyTombstones(probe, ts0)
+          if (logTail.rowIdState().isEmpty) base
+          else base.withColumn(MatIdCol, lit(null).cast("long"))
+            .withColumn(MatRcvCol, lit(null).cast("long"))
+        } else {
+          val t = applyTombstones(probe, ts0)
+          // row tracking: hand f the matched-row scan with ids RESOLVED
+          // so an update can carry its target row's id into the new
+          // file (mergeDV's preservation join)
+          if (logTail.rowIdState().isEmpty) t
+          else withResolvedMat(t, commits)
+        }
       val (doomed0, appended, changes) = f(statePos)
       val doomed = doomed0.persist()
       try {
@@ -2459,10 +2728,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             .parquet(rewriteKeys.map(k => dataDir.resolve(k).toString): _*)
             .withColumn(FileCol, relKeyCol)
             .withColumn(RidxCol, col("_metadata.row_index")))
-          applyTombstones(scan, Tombstones(Set.empty,
+          val live = applyTombstones(scan, Tombstones(Set.empty,
               ts0.dv.filter(kv => rewriteKeys.contains(kv._1))))
             .join(doomed.select(col(FileCol), col(RidxCol)),
               Seq(FileCol, RidxCol), "left_anti")
+          // row tracking: kept rows of a rewritten over-cap file change
+          // (file, position) — pin their ids before the drop
+          (if (logTail.rowIdState().isEmpty) live
+           else withResolvedMat(live, commits))
             .drop(FileCol, RidxCol)
         }
         val newRows = (kept, appended) match {
@@ -2485,18 +2758,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           touchNow(dataDir.resolve(dir))
         }
         val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
-        stage(changes, chStaging, Nil, check = false)
+        // the CDC feed is logical — strip helper/materialization columns
+        stage(dropMat(changes), chStaging, Nil, check = false)
         val changeRel = s"changes/$uuid"
         Files.createDirectories(dataDir.resolve("changes"))
         Files.move(chStaging, dataDir.resolve(changeRel),
           StandardCopyOption.ATOMIC_MOVE)
         touchNow(dataDir.resolve(changeRel))
-        val schemaJson = statePos.drop(FileCol, RidxCol).schema.json
+        val schemaJson = org.apache.spark.sql.types.StructType(
+          statePos.drop(FileCol, RidxCol).schema.fields
+            .filterNot(_.name.startsWith(MatPrefix))).json
         if (claim(expected, entryJsonS(schemaJson, expected,
             if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
             stats, op, Some(changeRel), streamTxn = streamTxn,
             removes = removeKeys ++ rewriteKeys, dvs = dvNew,
-            rows = rowsM)))
+            rows = rowsM,
+            matFiles = adds.nonEmpty && logTail.rowIdState().isDefined)))
           return expected
       } finally doomed.unpersist(blocking = false)
       attempt += 1
@@ -2642,7 +2919,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * schema when the table has one, mergeSchema fallback otherwise. */
   private def flatReader(spark: SparkSession): org.apache.spark.sql.DataFrameReader =
     physicalReadSchema() match {
-      case Some(s) => spark.read.schema(s)
+      case Some(s) =>
+        // row tracking: the explicit physical schema must ALSO list the
+        // materialization columns or the scan silently reads them as
+        // absent — files without them fill null (virtual ids apply),
+        // files with them surface the pinned ids
+        val s2 =
+          if (logTail.rowIdState().isEmpty) s
+          else org.apache.spark.sql.types.StructType(s.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(MatIdCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(MatRcvCol,
+              org.apache.spark.sql.types.LongType)))
+        spark.read.schema(s2)
       case None => spark.read.option("mergeSchema", "true")
     }
 
@@ -3119,14 +3408,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // resurrect the deleted rows
     val tsAt = tombstones(visibleCommits(Some(toVersion)))
     // re-pointed add actions: paths become data/-relative; stats and
-    // blooms carry over verbatim (restore cannot change them)
+    // blooms carry over verbatim (restore cannot change them); row
+    // tracking ids carry too, the default rcv pinned to the SOURCE
+    // commit (a restore re-points files, it does not rewrite rows)
     val adds = src.flatMap { c =>
       c.adds.collect {
         case a if !tsAt.removed.contains(addKey(c, a)) =>
-          if (c.restoreDirs.nonEmpty) a
-          else a.copy(path = s"${c.dir}/${a.path}")
+          val lifted =
+            if (c.restoreDirs.nonEmpty) a
+            else a.copy(path = s"${c.dir}/${a.path}")
+          if (lifted.baseRowId.isEmpty) lifted
+          else lifted.copy(rcv = lifted.rcv.orElse(Some(c.version)))
       }
     }
+    val rowCarry: Option[Map[String, (Long, Long)]] =
+      if (logTail.rowIdState().isEmpty) None
+      else Some(adds.flatMap(a =>
+        a.baseRowId.map(b => a.path -> (b, a.rcv.getOrElse(0L)))).toMap)
     val liftedKeys = adds.map(_.path).toSet
     val dvCarry = tsAt.dv.filter(kv => liftedKeys.contains(kv._1))
     val stats = adds.map(a => a.path ->
@@ -3168,7 +3466,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           // re-pointed DIRS still physically contain them — the restore
           // commit re-states the removes so the dir-granular scan keeps
           // subtracting them after the snapshot fold restarts
-          removes = tsAt.removed.toSeq.sorted, dvs = dvCarry)))
+          removes = tsAt.removed.toSeq.sorted, dvs = dvCarry,
+          rowIdsCarry = rowCarry,
+          // the lifted files may carry materialized ids from rewrites
+          // before the restore point
+          matFiles = rowCarry.isDefined)))
         return expected
       attempt += 1
       if (attempt > maxRetries)
@@ -3232,7 +3534,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         .parquet(cands.map(c => dataDir.resolve(c._1).toString): _*)
         .withColumn(FileCol, relKeyCol)
         .withColumn(RidxCol, col("_metadata.row_index"))
-      val live0 = applyTombstones(scan, Tombstones(Set.empty, ts.dv))
+      val tracked = logTail.rowIdState().isDefined
+      val live1 = applyTombstones(scan, Tombstones(Set.empty, ts.dv))
+      // row tracking: the packed rows change (file, position), so pin
+      // each one's id/commit-version into the materialization columns
+      // before the positions are lost — OPTIMIZE preserves row ids
+      val live0 = (if (tracked)
+          withResolvedMat(live1, all.filter(_.adds.nonEmpty))
+        else live1)
         .drop(FileCol, RidxCol)
       // OPTIMIZE ... ZORDER BY, incrementally: z-order just the packed
       // small files (the scan frame carries PHYSICAL names — translate
@@ -3258,7 +3567,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           latestSchema().map(_.json).getOrElse(packed.schema.json),
           expected, dir, Nil,
           snapshot = false, adds, stats, "COMPACT_INC", None,
-          removes = cands.map(_._1), rows = rowsM)))
+          removes = cands.map(_._1), rows = rowsM, matFiles = tracked)))
         return expected
       attempt += 1
       if (attempt > maxRetries)

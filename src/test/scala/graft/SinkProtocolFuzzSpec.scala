@@ -83,6 +83,17 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
       val interval = 3
       var sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
+      // ROW TRACKING rides most seeds (one stays untracked as the
+      // control): after EVERY verb the differential check asserts id
+      // uniqueness, id stability for every surviving business key
+      // (through CoW/MOR merges, DV tiers incl. cap-forced rewrites,
+      // compaction, restore, rename/drop, clone forks, cleanupLog),
+      // and watermark monotonicity — the interaction surface no
+      // hand-written scenario enumerates
+      val tracked = seed % 2 == 1
+      if (tracked) sink.enableRowTracking(spark)
+      var rowIds = Map.empty[Long, Long] // business key -> _row_id
+      var wmLast = 0L
       var curDir = dir // the table the verbs currently target
       // set once by the clone arm: (source dir, its frozen model state)
       var clonedFrom: Option[(String, Map[Long, String], Map[Long, String],
@@ -145,6 +156,27 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
             hi.toDouble.toLong == live.keys.max,
             s"metadata columnStats ($lo,$hi) diverged from model " +
               s"(${live.keys.min},${live.keys.max})")
+        }
+        if (tracked) {
+          val wi = sink.readWithRowIds(spark)
+          val idNow: Map[Long, Long] =
+            if (!wi.columns.contains("id")) Map.empty
+            else wi.select(col("id"), col("_row_id")).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(idNow.keySet === live.keySet,
+            s"row-id read's key set diverged after ${history.size} commits")
+          assert(idNow.values.toSeq.distinct.size == idNow.size,
+            s"duplicate row ids after ${history.size} commits: $idNow")
+          idNow.keySet.intersect(rowIds.keySet).foreach { k =>
+            assert(idNow(k) == rowIds(k),
+              s"row id of surviving key $k drifted " +
+                s"(${rowIds(k)} -> ${idNow(k)}) after ${history.size} commits")
+          }
+          rowIds = idNow
+          val w = sink.rowIdWatermark().getOrElse(0L)
+          assert(w >= wmLast,
+            s"row-id watermark regressed ($wmLast -> $w)")
+          wmLast = w
         }
       }
 
