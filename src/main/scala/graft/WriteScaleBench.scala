@@ -25,7 +25,10 @@ import graft.streaming.ExactlyOnceSink
   * batch), then append a fixed 24-commit small-file backlog and time
   * one compactSmall pass. Flat per-batch and per-pass times across the
   * scales = the cost model holds; growth tracking table size = a scan
-  * leak. Emits one JSON line and persists golden/scaling_w_r14.json
+  * leak. Since round 15 every scale also runs ROW-TRACKED, so the
+  * artifact prices the row-tracking feature per verb (tracked /
+  * untracked at the largest scale) and re-checks flatness under it.
+  * Emits one JSON line and persists golden/scaling_w_r15.json
   * (run on an idle box; the Bench sentinel travels in the artifact).
   */
 object WriteScaleBench {
@@ -34,11 +37,17 @@ object WriteScaleBench {
       smallFiles: Int, compactSec: Double)
 
   def run(spark: SparkSession, sfDir: String, scale: Int, batches: Int,
-      updatesPerBatch: Int, tableDir: String): M = {
+      updatesPerBatch: Int, tableDir: String,
+      tracked: Boolean = false): M = {
     val ev0 = Tables(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val maxId = ev0.agg(max("event_id")).head().getLong(0) + 1
     val sink = new ExactlyOnceSink(tableDir, appId = s"graft-wscale-$scale")
+    // row-tracking arm (round 15): same workload over a tracked table
+    // prices the feature's write cost — baseRowId allocation on every
+    // commit, the resolution + lineage joins inside mergeDV, and the
+    // two materialized long columns compactSmall's rewrite carries
+    if (tracked) sink.enableRowTracking(spark)
     // few large files per copy: the base table must NOT qualify as
     // compactable backlog (targetBytes below) or as mergeDV rewrite
     // fodder beyond the genuinely matched files
@@ -109,10 +118,15 @@ object WriteScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val calibBefore = Bench.calibrate()
-    val results = scales.map { s =>
-      val dir = Files.createTempDirectory(s"graft-wscale-$s").toString
-      try s -> run(spark, sfDir, s, batches, k, dir)
-      finally rmTree(dir)
+    // each scale runs untracked AND row-tracked back to back: the
+    // flat-vs-table claim is re-checked under tracking, and the
+    // tracked/untracked ratio prices the feature per verb
+    val results = scales.flatMap { s =>
+      Seq(false, true).map { rt =>
+        val dir = Files.createTempDirectory(s"graft-wscale-$s-$rt").toString
+        try (s, rt) -> run(spark, sfDir, s, batches, k, dir, tracked = rt)
+        finally rmTree(dir)
+      }
     }
     val calibAfter = Bench.calibrate()
     val contaminated =
@@ -120,25 +134,37 @@ object WriteScaleBench {
 
     def f3(v: Double): String = f"$v%.3f"
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val per = results.map { case (s, m) =>
-      s""""x$s":{"base_rows":${m.baseRows},""" +
+    val per = results.map { case ((s, rt), m) =>
+      s""""x$s${if (rt) "_rt" else ""}":{"base_rows":${m.baseRows},""" +
         s""""mergedv_per_batch_s":[${m.mergePerBatch.map(f3).mkString(",")}],""" +
         s""""mergedv_p50_s":${f3(med(m.mergePerBatch))},""" +
         s""""small_files":${m.smallFiles},""" +
         s""""compact_small_s":${f3(m.compactSec)}}"""
     }.mkString("{", ",", "}")
-    val md = results.map { case (_, m) => med(m.mergePerBatch) }
-    val cp = results.map(_._2.compactSec)
+    def leg(rt: Boolean) = results.collect { case ((_, r), m) if r == rt => m }
+    def ratios(ms: Seq[M]) = (
+      med(ms.last.mergePerBatch) / med(ms.head.mergePerBatch),
+      ms.last.compactSec / ms.head.compactSec)
+    val (mdR, cpR) = ratios(leg(false))
+    val (mdRt, cpRt) = ratios(leg(true))
+    // feature price at the LARGEST scale: tracked / untracked per verb
+    val rtCostMerge =
+      med(leg(true).last.mergePerBatch) / med(leg(false).last.mergePerBatch)
+    val rtCostCompact = leg(true).last.compactSec / leg(false).last.compactSec
     val line =
       s"""{"metric":"write_scale_canary","scales":[${scales.mkString(",")}],""" +
         s""""updates_per_batch":$k,"batches":$batches,""" +
-        s""""mergedv_p50_ratio":${f3(md.last / md.head)},""" +
-        s""""compact_small_ratio":${f3(cp.last / cp.head)},""" +
+        s""""mergedv_p50_ratio":${f3(mdR)},""" +
+        s""""compact_small_ratio":${f3(cpR)},""" +
+        s""""mergedv_p50_ratio_rowtracked":${f3(mdRt)},""" +
+        s""""compact_small_ratio_rowtracked":${f3(cpRt)},""" +
+        s""""rowtracking_cost_mergedv":${f3(rtCostMerge)},""" +
+        s""""rowtracking_cost_compact":${f3(rtCostCompact)},""" +
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
         s""""calib_nominal":${f3(Bench.CalibNominalSec)},""" +
         s""""contaminated":$contaminated,"sf":"$sfDir","tables":$per}"""
     Files.createDirectories(Paths.get("golden"))
-    Files.writeString(Paths.get("golden/scaling_w_r14.json"), line + "\n")
+    Files.writeString(Paths.get("golden/scaling_w_r15.json"), line + "\n")
     println(line)
     spark.stop()
   }
