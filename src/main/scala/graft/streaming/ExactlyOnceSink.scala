@@ -68,11 +68,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pointer file — readers already list the log directory, and deriving
   * the newest checkpoint from that same listing avoids a second
   * non-atomic pointer.
+  *
+  * **Multi-part checkpoints** (round 15, the Delta V2-checkpoint /
+  * sidecar analog): a checkpoint's body is O(live commit entries), and
+  * each entry carries its files' add actions — at 100 TB (millions of
+  * live files) a single checkpoint file is written and read serially
+  * by one thread and becomes the snapshot-seed bottleneck Delta's V2
+  * checkpoints exist to remove. When the body exceeds
+  * `checkpointPartBytes`, the writer splits it into size-bounded
+  * sidecar files (`<v>.<uid>.<i>.sidecar`, written IN PARALLEL, each
+  * tmp+atomic-move) and the `<v>.checkpoint` file itself shrinks to a
+  * manifest: the aux header plus a `sidecars` list recording each
+  * part's name, entry count, and last version. Readers fetch the
+  * sidecars in parallel and validate the manifest invariants (per-part
+  * counts and last-versions, body ends at the checkpoint's own
+  * version); a torn, missing, or impostor sidecar invalidates the
+  * whole checkpoint, which then degrades to the previous one or the
+  * raw log — exactly the single-file torn-checkpoint posture. Sidecar
+  * names never end in `.json`/`.checkpoint`, so version listings and
+  * the log-tailing stream never see them; [[cleanupLog]] reclaims the
+  * sidecars of superseded checkpoints plus any lost-race orphans below
+  * the retention anchor, and [[cloneTo]] preserves the multipart shape
+  * with entry paths rewritten inside the sidecars.
   */
 class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     checkpointInterval: Int = 10,
     autoCompactEvery: Int = 0,
-    autoCompactTargetBytes: Long = 128L << 20) {
+    autoCompactTargetBytes: Long = 128L << 20,
+    checkpointPartBytes: Long = 8L << 20) {
   private val logDir = Paths.get(tableDir, "_graft_log")
   private val dataDir = Paths.get(tableDir, "data")
 
@@ -519,6 +542,33 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .map(_.stripSuffix(".checkpoint").toLong)
       .toSeq).sorted
 
+  /** One sidecar part of a multi-part checkpoint: bare file name (the
+    * manifest and the sidecar always live in the same log dir), entry
+    * count, and the last entry's version — the two invariants a reader
+    * checks before trusting the part. */
+  private case class SidecarRef(name: String, entries: Int, lastVersion: Long)
+
+  /** Sidecar names carry the checkpoint version, a writer-unique uid
+    * (two writers racing the same cadence point can never collide on
+    * part names — the loser deletes its own parts), and the part index.
+    * The suffix is neither `.json` nor `.checkpoint`, so version
+    * listings and the log-tailing stream never see sidecars. */
+  private def sidecarName(version: Long, uid: String, i: Int): String =
+    f"$version%020d.$uid.$i%04d.sidecar"
+
+  /** All sidecar files currently in the log, with their version prefix
+    * (for [[cleanupLog]]'s orphan sweep). */
+  private def sidecarFiles(): Seq[(Long, Path)] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else withDirStream(Files.list(logDir))(_
+      .filter(p => p.getFileName.toString.endsWith(".sidecar") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq)
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        scala.util.Try(n.takeWhile(_ != '.').toLong).toOption.map(_ -> p)
+      }
+
   /** The latest-wins metadata state a checkpoint must carry so that raw
     * log entries below it can be reclaimed ([[cleanupLog]]): the active
     * CHECK-constraint set and the per-appId streamTxn high-water marks.
@@ -560,6 +610,39 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     s"""{"checkpointAux":{"version":$version,"constraints":{$cons},""" +
       s""""generated":{$gen},"columnMapping":{$cmap},""" +
       s""""droppedColumns":[$dcols],"streamTxn":{$cur}$rwm}}"""
+  }
+
+  /** The multipart manifest line: the aux header with a `sidecars`
+    * field spliced into the checkpointAux object. Single-file
+    * checkpoints omit the field entirely (backward shape). */
+  private def auxHeaderWithSidecars(version: Long, aux: CkptAux,
+      parts: Seq[SidecarRef]): String = {
+    val base = auxHeader(version, aux)
+    if (parts.isEmpty) base
+    else {
+      val m = parts.map(p => s"""{"name":${jstr(p.name)},""" +
+        s""""entries":${p.entries},"lastVersion":${p.lastVersion}}""")
+        .mkString(",")
+      // splice before the closing "}}" of {"checkpointAux":{...}}
+      base.dropRight(2) + s""","sidecars":[$m]}}"""
+    }
+  }
+
+  /** Sidecar manifest of a checkpoint head line; empty for single-file
+    * checkpoints (and for pre-round-15 heads — backward parse). */
+  private def parseManifest(line: String): Seq[SidecarRef] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(line) \ "checkpointAux" \ "sidecars") match {
+      case JArray(items) => items.map { o =>
+        ((o \ "name"), (o \ "entries"), (o \ "lastVersion")) match {
+          case (JString(n), JInt(e), JInt(lv)) =>
+            SidecarRef(n, e.toInt, lv.toLong)
+          case _ => sys.error(s"malformed sidecar manifest entry: $o")
+        }
+      }
+      case _ => Nil
+    }
   }
 
   private def parseAuxHeader(line: String): Option[(Long, CkptAux)] = {
@@ -619,14 +702,48 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         head <- lines.headOption
         (v, aux) <- parseAuxHeader(head)
         if v == cv
-        commits = lines.tail.map(parseCommitText(_))
+        body <- checkpointBody(cv, head, lines.tail)
+        commits = body.map(parseCommitText(_))
         // invariant of the writer: the triggering commit is the newest
         // visible entry, so a checkpoint not ending at its own version
         // (torn tail line lost, or garbage that happened to parse) is bad
         if commits.nonEmpty && commits.last.version == cv &&
           commits.forall(_.version <= cv)
-      } yield (aux, commits, lines.tail)
+      } yield (aux, commits, body)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The checkpoint's entry lines: the main file's own tail for a
+    * single-file checkpoint, or the manifest's sidecars concatenated in
+    * part order for a multipart one — fetched IN PARALLEL (each part is
+    * an independent file; at a checkpoint big enough to split, the
+    * serial read is the snapshot-seed bottleneck the format exists to
+    * remove). None if any part is missing, torn (entry count drifted
+    * from the manifest), or ends at the wrong version — the caller then
+    * falls back to an older checkpoint or the raw log. */
+  private def checkpointBody(cv: Long, head: String,
+      inlineTail: Seq[String]): Option[Seq[String]] = {
+    val parts = parseManifest(head)
+    if (parts.isEmpty) Some(inlineTail)
+    else if (inlineTail.nonEmpty) None // manifest AND body: not ours
+    else {
+      val out = new Array[Option[Seq[String]]](parts.size)
+      java.util.stream.IntStream.range(0, parts.size).parallel().forEach { i =>
+        out(i) =
+          try {
+            val p = parts(i)
+            val ls = Files.readAllLines(logDir.resolve(p.name)).asScala
+              .filter(_.nonEmpty).toSeq
+            if (ls.size == p.entries && ls.nonEmpty &&
+                parseCommitText(ls.last).version == p.lastVersion)
+              Some(ls)
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      val seqs = out.toSeq
+      if (seqs.exists(o => o == null || o.isEmpty)) None
+      else Some(seqs.flatMap(_.get))
+    }
+  }
 
   /** After winning version `v`: if `v` is on the checkpoint cadence,
     * write the aux header plus the post-compaction visible entries at
@@ -662,16 +779,76 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           if (Files.exists(logFile(c.version)))
             Files.readString(logFile(c.version)).trim
           else seedLines(c.version)
-        val text = (auxHeader(version, aux) +:
-          visibleCommits(Some(version)).map(entryLine))
-          .mkString("", "\n", "\n")
-        val tmp = logDir.resolve(
-          s".ckpt-$appId-${java.util.UUID.randomUUID()}.tmp")
-        Files.writeString(tmp, text)
-        try Files.move(tmp, checkpointFile(version),
-          StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: FileAlreadyExistsException => () }
-        finally { Files.deleteIfExists(tmp) }
+        val entries = visibleCommits(Some(version)).map(entryLine)
+        val bodyBytes = entries.iterator
+          .map(_.getBytes("UTF-8").length.toLong + 1).sum
+        // split into size-bounded sidecars only when the body outgrows
+        // one part — small tables keep the single-file shape (and its
+        // single read) for free
+        val parts: Seq[Seq[String]] =
+          if (checkpointPartBytes <= 0 || bodyBytes <= checkpointPartBytes ||
+              entries.size <= 1) Nil
+          else {
+            val bufs = scala.collection.mutable.ArrayBuffer(
+              scala.collection.mutable.ArrayBuffer.empty[String])
+            var fill = 0L
+            entries.foreach { e =>
+              val sz = e.getBytes("UTF-8").length.toLong + 1
+              if (fill + sz > checkpointPartBytes && bufs.last.nonEmpty) {
+                bufs += scala.collection.mutable.ArrayBuffer.empty[String]
+                fill = 0L
+              }
+              bufs.last += e; fill += sz
+            }
+            bufs.map(_.toSeq).toSeq
+          }
+        val uid = java.util.UUID.randomUUID().toString
+        val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+        try {
+          val refs: Seq[SidecarRef] =
+            if (parts.isEmpty) Nil
+            else {
+              val names = parts.indices.map(sidecarName(version, uid, _))
+              // parts are independent files — write them in parallel
+              // (each tmp + atomic move), the scale point of the format
+              java.util.stream.IntStream.range(0, parts.size).parallel()
+                .forEach { i =>
+                  val tmp = logDir.resolve(s".${names(i)}.tmp")
+                  Files.writeString(tmp,
+                    parts(i).mkString("", "\n", "\n"))
+                  Files.move(tmp, logDir.resolve(names(i)),
+                    StandardCopyOption.ATOMIC_MOVE)
+                  written.synchronized { written += logDir.resolve(names(i)) }
+                }
+              parts.indices.map { i =>
+                SidecarRef(names(i), parts(i).size,
+                  parseCommitText(parts(i).last).version)
+              }
+            }
+          val text =
+            if (refs.isEmpty) (auxHeader(version, aux) +: entries)
+              .mkString("", "\n", "\n")
+            else auxHeaderWithSidecars(version, aux, refs) + "\n"
+          val tmp = logDir.resolve(
+            s".ckpt-$appId-${java.util.UUID.randomUUID()}.tmp")
+          Files.writeString(tmp, text)
+          try Files.move(tmp, checkpointFile(version),
+            StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: FileAlreadyExistsException =>
+              // lost the cadence race: the winner's manifest references
+              // its OWN uid-named sidecars; ours are unreachable — drop
+              // them rather than leave orphans for cleanupLog
+              written.foreach(Files.deleteIfExists(_))
+          }
+          finally { Files.deleteIfExists(tmp) }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            written.foreach(p =>
+              try Files.deleteIfExists(p)
+              catch { case scala.util.control.NonFatal(_) => () })
+            throw e
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
@@ -3380,14 +3557,43 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
     // checkpoints: line 1 is the aux header (no data paths), the rest
     // are commit entries — rewritten like the raw log so a clone of a
-    // cleanupLog'd source still replays from its checkpoint
+    // cleanupLog'd source still replays from its checkpoint. A
+    // multipart checkpoint keeps its shape: the manifest head is copied
+    // verbatim (sidecar names, counts and last-versions are unchanged
+    // by a 1:1 entry rewrite) and each sidecar's entries are rewritten
+    // into a clone-local sidecar of the same name.
     checkpointVersions().foreach { cv =>
       val lines = Files.readAllLines(checkpointFile(cv)).asScala
         .filter(_.nonEmpty).toSeq
       if (lines.nonEmpty) {
-        val body = lines.head +: lines.tail.map(rewriteEntry(_))
-        Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
-          body.mkString("\n") + "\n")
+        val parts = try parseManifest(lines.head)
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        if (parts.isEmpty) {
+          val body = lines.head +: lines.tail.map(rewriteEntry(_))
+          Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
+            body.mkString("\n") + "\n")
+        } else try {
+          parts.foreach { p =>
+            val ls = Files.readAllLines(logDir.resolve(p.name)).asScala
+              .filter(_.nonEmpty).toSeq
+            Files.writeString(tgtLog.resolve(p.name),
+              ls.map(rewriteEntry(_)).mkString("", "\n", "\n"))
+          }
+          Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
+            lines.head + "\n")
+        } catch {
+          // a multipart checkpoint with a missing/torn sidecar is
+          // unusable on the source too — skip it (readers fall back),
+          // matching the torn single-file posture, UNLESS it carries a
+          // pre-dir refusal (rewriteEntry sys.errors), which must
+          // propagate: a clone silently missing that checkpoint would
+          // misread, not degrade
+          case e: RuntimeException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("cloneTo:") => throw e
+          case scala.util.control.NonFatal(_) =>
+            Files.deleteIfExists(tgtLog.resolve(f"$cv%020d.checkpoint"))
+        }
       }
     }
     if (Files.exists(truncMarker))
@@ -3668,6 +3874,24 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       checkpointVersions().filter(_ < a).foreach { cv =>
         if (oldEnough(checkpointFile(cv))) {
           Files.deleteIfExists(checkpointFile(cv)); removed += 1
+        }
+      }
+      // sidecars: a part is live only while a surviving checkpoint's
+      // manifest references it — parts of just-deleted checkpoints and
+      // lost-race orphans (a rival moved its sidecars, then lost the
+      // manifest claim and crashed before self-cleanup) are reclaimed
+      // once old enough. Parts above the anchor stay untouched: a
+      // writer may be mid-assembly there.
+      val referenced: Set[String] = checkpointVersions().flatMap { cv =>
+        try {
+          Files.readAllLines(checkpointFile(cv)).asScala
+            .find(_.nonEmpty).toSeq.flatMap(parseManifest(_).map(_.name))
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }.toSet
+      sidecarFiles().foreach { case (v, p) =>
+        if (v <= a && !referenced.contains(p.getFileName.toString) &&
+            oldEnough(p)) {
+          Files.deleteIfExists(p); removed += 1
         }
       }
       removed

@@ -340,4 +340,112 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(reader.logFileParses.get() <= 9,
       "a checkpoint near the tip must have been written despite the races")
   }
+
+  // -------------------------------------------------------------------
+  // multi-part checkpoints (the Delta V2-checkpoint / sidecar analog):
+  // a checkpoint's body is O(live entries) and each entry carries its
+  // add actions — at millions of live files one file written and read
+  // by one thread is the snapshot-seed bottleneck. partBytes = 1 forces
+  // one sidecar per entry, the maximal split.
+  // -------------------------------------------------------------------
+
+  private def sidecarsOf(dir: String): Seq[String] =
+    withDirStream(Files.list(Paths.get(dir, "_graft_log")))(
+      _.map(_.getFileName.toString).filter(_.endsWith(".sidecar")).toSeq)
+
+  test("multipart: an oversized body splits into sidecars and reads back exactly") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5,
+      checkpointPartBytes = 1)
+    (0 until 23).foreach(append(sink, _))
+    val log = Paths.get(dir, "_graft_log")
+    // every cadence point wrote a manifest + its sidecars
+    Seq(5L, 10L, 15L, 20L).foreach { v =>
+      val ck = log.resolve(f"$v%020d.checkpoint")
+      assert(Files.exists(ck), s"missing checkpoint $v")
+      val lines = Files.readAllLines(ck)
+      assert(lines.size === 1,
+        s"a multipart checkpoint is a one-line manifest, got ${lines.size}")
+      assert(lines.get(0).contains("\"sidecars\":["))
+    }
+    // checkpoint 20 has 21 visible entries -> 21 one-entry sidecars
+    assert(sidecarsOf(dir).count(_.startsWith(f"${20L}%020d")) === 21)
+    // a fresh reader seeds from the multipart checkpoint with the same
+    // O(interval) per-version parse bound as the single-file shape
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 23L))
+    assert(reader.logFileParses.get() <= 4,
+      "multipart seeding must keep the O(interval) raw-parse bound")
+    // time travel through a multipart seed is exact
+    assert(ids(reader.read(spark, versionAsOf = Some(12))) === (0L to 12L))
+  }
+
+  test("multipart: a missing or torn sidecar degrades to an older seed, never misreads") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5,
+      checkpointPartBytes = 1)
+    (0 until 23).foreach(append(sink, _))
+    val log = Paths.get(dir, "_graft_log")
+    // delete one of checkpoint 20's sidecars -> 20 is unusable
+    val victim = sidecarsOf(dir).filter(_.startsWith(f"${20L}%020d")).head
+    Files.delete(log.resolve(victim))
+    val r1 = new ExactlyOnceSink(dir)
+    assert(ids(r1.read(spark)) === (0L until 23L),
+      "reader must fall back to checkpoint 15 + raw entries")
+    // tear (truncate mid-line) one of checkpoint 15's sidecars too:
+    // the manifest's per-part entry count catches the tear
+    val victim15 = sidecarsOf(dir).filter(_.startsWith(f"${15L}%020d")).head
+    val txt = Files.readString(log.resolve(victim15))
+    Files.writeString(log.resolve(victim15), txt.take(txt.length / 2))
+    val r2 = new ExactlyOnceSink(dir)
+    assert(ids(r2.read(spark)) === (0L until 23L),
+      "reader must fall back to checkpoint 10 + raw entries")
+  }
+
+  test("multipart: cleanupLog reclaims superseded sidecars and orphans, serves reads from the anchor's") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5,
+      checkpointPartBytes = 1)
+    (0 until 23).foreach(append(sink, _))
+    val log = Paths.get(dir, "_graft_log")
+    // a lost-race orphan below the anchor: moved sidecars whose writer
+    // crashed before winning (or cleaning up) its manifest claim
+    Files.writeString(log.resolve(f"${5L}%020d.deadbeef.0000.sidecar"),
+      Files.readString(log.resolve(f"${3L}%020d.json")))
+    sink.cleanupLog(minAgeMs = 0)
+    val left = sidecarsOf(dir)
+    assert(left.forall(_.startsWith(f"${20L}%020d")),
+      s"only the anchor checkpoint's sidecars may survive, got $left")
+    assert(left.size === 21, "the anchor's own sidecars must ALL survive")
+    // raw entries below 20 are gone, so this read is served END-TO-END
+    // through the multipart body — the strongest read-path assertion
+    assert(!Files.exists(log.resolve(f"${12L}%020d.json")))
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark)) === (0L until 23L))
+    val e = intercept[RuntimeException](reader.read(spark, versionAsOf = Some(12)))
+    assert(e.getMessage.contains("retained history"))
+  }
+
+  test("multipart: cloneTo preserves the shape and rewrites entries inside sidecars") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5,
+      checkpointPartBytes = 1)
+    (0 until 23).foreach(append(sink, _))
+    sink.cleanupLog(minAgeMs = 0) // early history survives ONLY in sidecars
+    val cloneDir = Files.createTempDirectory("graft-ckpt-mclone").toString
+    sink.cloneTo(cloneDir)
+    assert(sidecarsOf(cloneDir).sorted === sidecarsOf(dir).sorted,
+      "the clone must keep the multipart checkpoint shape, names included")
+    // the clone's sidecar entries were rewritten to absolute source
+    // paths: pre-fork data resolves even though the clone's data/ is empty
+    val clone = new ExactlyOnceSink(cloneDir, checkpointInterval = 5,
+      checkpointPartBytes = 1)
+    assert(ids(clone.read(spark)) === (0L until 23L))
+    assert(ids(clone.read(spark, versionAsOf = Some(21))) === (0L to 21L))
+    // divergence: a clone-local append lands in the clone only
+    clone.commitAppend(Seq((500L, "c")).toDF("id", "x"))
+    assert(ids(clone.read(spark)).contains(500L))
+    assert(!ids(new ExactlyOnceSink(dir).read(spark)).contains(500L),
+      "source must stay frozen after the clone diverges")
+  }
 }

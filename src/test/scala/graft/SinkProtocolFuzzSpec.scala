@@ -82,7 +82,15 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
       val interval = 3
-      var sink = new ExactlyOnceSink(dir, checkpointInterval = interval)
+      // MULTIPART CHECKPOINTS ride half the seeds (partBytes = 1 forces
+      // one sidecar per entry — the maximal split), so sidecar-served
+      // snapshot seeding runs under the full verb product: DV deletes,
+      // renames/drops, restore, retention truncation (91/67 clean the
+      // log BEFORE the clone forks, so the clone serves early history
+      // from rewritten sidecars alone), and the cold-reader replay
+      val partBytes = if (seed % 3 == 1) 1L else 8L << 20
+      var sink = new ExactlyOnceSink(dir, checkpointInterval = interval,
+        checkpointPartBytes = partBytes)
       // ROW TRACKING rides most seeds (one stays untracked as the
       // control): after EVERY verb the differential check asserts id
       // uniqueness, id stability for every surviving business key
@@ -409,7 +417,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               clonedFrom = Some((dir, live, ys, ns, nsType, xName))
               curDir = cloneDir
               sink = new ExactlyOnceSink(cloneDir,
-                checkpointInterval = interval)
+                checkpointInterval = interval,
+                checkpointPartBytes = partBytes)
             }
         }
         checkRead()
@@ -485,7 +494,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
 
       // a cold reader (fresh instance, checkpoint-seeded) sees the same
       // final state, and time travel below retention fails loudly
-      val cold = new ExactlyOnceSink(curDir)
+      val cold = new ExactlyOnceSink(curDir,
+        checkpointPartBytes = partBytes)
       assert(state(cold.read(spark), xName) === live,
         "cold replay diverged from the model")
       if (anchor > 0)
