@@ -3602,6 +3602,99 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     (vs ++ checkpointVersions()).max
   }
 
+  /** DEEP CLONE (the Delta `CREATE TABLE ... DEEP CLONE` analog, with a
+    * stronger contract): materialize an independently-writable PHYSICAL
+    * copy of this table at `targetDir` — the commit log (raw entries,
+    * checkpoints, sidecars, truncation marker) byte-identical and every
+    * referenced data dir copied — so the clone serves the source's FULL
+    * history (time travel, CDC, row ids, metadata folds) with zero live
+    * coupling: vacuum, cleanupLog, or outright deletion of the source
+    * cannot touch it. Delta's deep clone copies only the live snapshot
+    * and restarts history at version 0; keeping the log verbatim is
+    * strictly stronger and the byte cost is the same order (history
+    * shares files with the live set except rewritten ones).
+    *
+    * Cost is O(referenced data bytes), deliberately — physical
+    * independence is the verb's whole point; [[cloneTo]] is the
+    * zero-copy sibling. Data dirs a destructive
+    * `vacuum(retainHistory = false)` already reclaimed are skipped:
+    * the source cannot serve those reads either, and the clone fails
+    * them identically.
+    *
+    * REFUSED when any servable log entry references data by ABSOLUTE
+    * path — i.e. the source is itself a shallow clone. A byte copy of
+    * such a log would keep pointing into the foreign root, silently
+    * re-creating exactly the coupling this verb removes. To deep-clone
+    * a shallow clone, localize it first: [[compact]] (live set goes
+    * clone-local), then checkpoint past the snapshot and
+    * [[cleanupLog]] (absolute-path history entries leave the servable
+    * log) — after which deepCloneTo succeeds. */
+  def deepCloneTo(targetDir: String): Long = {
+    val tgtLog = Paths.get(targetDir, "_graft_log")
+    val tgtEmpty = !Files.isDirectory(tgtLog) || {
+      val s = Files.list(tgtLog)
+      try !s.iterator().hasNext finally s.close()
+    }
+    require(tgtEmpty, s"deepCloneTo: $targetDir already has a commit log")
+    val commits = allKnownCommits()
+    require(commits.nonEmpty, "deepCloneTo: source table has no commits")
+    commits.foreach { c =>
+      val refs = c.dataDirs ++ c.changeDir ++ c.removes ++ c.dvs.keys ++
+        (if (c.restoreDirs.nonEmpty || c.dir.isEmpty) c.adds.map(_.path)
+         else Nil)
+      refs.find(_.startsWith("/")).foreach { r =>
+        sys.error(s"deepCloneTo: version ${c.version} references data by " +
+          s"absolute path ($r) — the source is a shallow clone, and a " +
+          "byte copy would stay coupled to the foreign root. compact() " +
+          "it (localizes the live set), then checkpoint + cleanupLog " +
+          "(retires the absolute-path history), and deep-clone again.")
+      }
+    }
+    // every data dir any servable version references: re-pointed dirs
+    // for restores, the commit's own dir otherwise (root-keyed adds
+    // contribute their paths' parent dirs), plus CDC change dirs
+    val dirs: Seq[String] = commits.flatMap { c =>
+      val dataRefs =
+        if (c.restoreDirs.nonEmpty) c.restoreDirs
+        else if (c.dir.nonEmpty) Seq(c.dir)
+        else c.adds.map { a =>
+          a.path.lastIndexOf('/') match {
+            case -1 => ""
+            case i => a.path.substring(0, i)
+          }
+        }
+      dataRefs ++ c.changeDir
+    }.distinct.filter(_.nonEmpty)
+    def copyTree(src: Path, dst: Path): Unit =
+      withDirStream(Files.walk(src))(_.toSeq).foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    Files.createDirectories(tgtLog)
+    val tgtData = Paths.get(targetDir, "data")
+    Files.createDirectories(tgtData)
+    // the log, verbatim: raw entries, checkpoints (manifest heads AND
+    // sidecar bodies — all paths inside are relative, so a byte copy is
+    // already correct), and the truncation marker
+    withDirStream(Files.list(logDir))(_.toSeq).foreach { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith(".") && (n.endsWith(".json") ||
+          n.endsWith(".checkpoint") || n.endsWith(".sidecar") ||
+          n == truncMarker.getFileName.toString))
+        Files.copy(p, tgtLog.resolve(n),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    dirs.foreach { rel =>
+      val src = dataDir.resolve(rel)
+      if (Files.exists(src)) copyTree(src, tgtData.resolve(rel))
+    }
+    commits.map(_.version).max
+  }
+
   def restore(spark: SparkSession, toVersion: Long, maxRetries: Int = 20): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(isCommitted(toVersion), s"restore: version $toVersion is not committed")
@@ -3822,11 +3915,33 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * point at live data dirs. */
   private def allKnownCommits(): Seq[Commit] = {
     val raw = committedVersions().map(parseCommit)
-    val seed = checkpointVersions().reverseIterator
-      .map(cv => loadCheckpoint(cv))
-      .collectFirst { case Some((_, cs)) => cs }
-      .getOrElse(Nil)
     val rawVs = raw.map(_.version).toSet
+    val seed: Seq[Commit] =
+      if (truncatedBelow() == 0L)
+        // never cleaned: the raw log is complete, the newest checkpoint
+        // only short-cuts what raw already has
+        checkpointVersions().reverseIterator
+          .map(cv => loadCheckpoint(cv))
+          .collectFirst { case Some((_, cs)) => cs }
+          .getOrElse(Nil)
+      else {
+        // after a cleanup, entries below the truncation anchor survive
+        // ONLY in checkpoints — and a snapshot committed between two
+        // checkpoints compacts an entry out of every LATER checkpoint
+        // while it stays time-travel-servable through an earlier one
+        // (reads at pre-snapshot versions seed from the checkpoint at
+        // or below their target). So fold every surviving checkpoint,
+        // newest first, keeping the newest copy of each version — the
+        // newest-only seed here is how vacuum used to purge data still
+        // referenced by the anchor checkpoint's window. Surviving
+        // checkpoint count is bounded by the cleanup cadence (cleanup
+        // deletes checkpoints below its anchor).
+        val seen = scala.collection.mutable.Set.empty[Long]
+        checkpointVersions().reverse.iterator.flatMap(cv =>
+          loadCheckpoint(cv).map(_._2).getOrElse(Nil)
+            .sortBy(-_.version))
+          .filter(c => seen.add(c.version)).toSeq
+      }
     (seed.filterNot(c => rawVs(c.version)) ++ raw).sortBy(_.version)
   }
 

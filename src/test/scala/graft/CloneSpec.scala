@@ -275,4 +275,92 @@ class CloneSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
     assert(cloneTs == srcTs)
   }
+
+  // -------------------------------------------------------------------
+  // DEEP CLONE: physical independence with FULL history (time travel,
+  // CDC, row ids) — the source can be deleted outright afterwards
+  // -------------------------------------------------------------------
+
+  private def purgeDir(dir: String): Unit =
+    withDirStream(Files.walk(Paths.get(dir)))(_.toSeq)
+      .reverse.foreach(Files.delete)
+
+  test("deep clone: full history survives outright deletion of the source") {
+    val srcDir = tmp("graft-deep-src")
+    // multipart checkpoints on, so the byte-copied sidecars are part of
+    // what the post-deletion reads exercise
+    val src = new ExactlyOnceSink(srcDir, checkpointInterval = 3,
+      checkpointPartBytes = 1)
+    src.enableRowTracking(spark)
+    src.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "x")) // v0
+    src.commitAppend(Seq((3L, "c"), (4L, "d")).toDF("id", "x")) // v1
+    src.mergeDV(spark, Seq((2L, "B"), (5L, "e")).toDF("id", "x"),
+      Seq("id")) // v2: update 2, insert 5 (merge-on-read)
+    src.deleteDV(spark, col("id") === 1L) // v3 (DV tombstone)
+    src.restore(spark, 1L) // v4 -> back to {1,2,3,4}
+    src.commitAppend(Seq((9L, "z")).toDF("id", "x")) // v5
+
+    // capture the source's answers BEFORE it disappears
+    def snap(s: ExactlyOnceSink) = (
+      ids(s),
+      s.read(spark, versionAsOf = Some(2L)).select("id", "x")
+        .as[(Long, String)].collect().sorted.toSeq,
+      s.readChanges(spark, fromVersion = -1L)
+        .select("_change_type", "id").as[(String, Long)]
+        .collect().sorted.toSeq,
+      s.rowCount(spark),
+      s.readWithRowIds(spark).select("id", "_row_id", "_row_commit_version")
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    val expect = snap(src)
+
+    val deepDir = tmp("graft-deep-tgt")
+    src.deepCloneTo(deepDir)
+    assert(dataFilesUnder(deepDir).nonEmpty,
+      "a deep clone owns physical copies of the data")
+    assert(withDirStream(Files.list(Paths.get(deepDir, "_graft_log")))(
+      _.map(_.getFileName.toString).toSeq).exists(_.endsWith(".sidecar")),
+      "multipart checkpoint sidecars must be carried over")
+
+    purgeDir(srcDir) // the verb's whole point: zero live coupling
+
+    val deep = new ExactlyOnceSink(deepDir, checkpointInterval = 3,
+      checkpointPartBytes = 1)
+    assert(snap(deep) === expect,
+      "live read, time travel, CDC, rowCount and row ids must all " +
+        "survive source deletion")
+    // and the clone keeps being a writable table
+    deep.commitAppend(Seq((100L, "w")).toDF("id", "x"))
+    assert(ids(deep).contains(100L))
+  }
+
+  test("deepCloneTo refuses a shallow clone; compact + cleanupLog localizes it") {
+    val srcDir = tmp("graft-deep-src2")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 20).toDF("id"))
+    val shallowDir = tmp("graft-deep-shallow")
+    src.cloneTo(shallowDir)
+    val shallow = new ExactlyOnceSink(shallowDir, checkpointInterval = 2)
+
+    val e = intercept[RuntimeException] {
+      shallow.deepCloneTo(tmp("graft-deep-refused"))
+    }
+    assert(e.getMessage.contains("absolute path"),
+      s"refusal must name the coupling, got: ${e.getMessage}")
+
+    // the documented localize path: compact (live set goes clone-local),
+    // then cross a checkpoint cadence and retire the absolute-path
+    // history entries from the servable log
+    shallow.compact(spark)
+    shallow.commitAppend(spark.range(20, 25).toDF("id"))
+    shallow.commitAppend(spark.range(25, 30).toDF("id"))
+    shallow.cleanupLog(minAgeMs = 0)
+    val deepDir = tmp("graft-deep-localized")
+    shallow.deepCloneTo(deepDir)
+
+    purgeDir(srcDir)
+    purgeDir(shallowDir)
+    val deep = new ExactlyOnceSink(deepDir)
+    assert(ids(deep) === (0L until 30L).toSeq,
+      "the localized deep clone must survive deletion of BOTH ancestors")
+  }
 }

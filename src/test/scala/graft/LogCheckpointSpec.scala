@@ -426,6 +426,25 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(e.getMessage.contains("retained history"))
   }
 
+  test("vacuum between cleanups keeps data served only by the anchor checkpoint's window") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 10).foreach(append(sink, _)) // v0..9, checkpoint at 5
+    sink.cleanupLog(minAgeMs = 0) // anchor 5: raw 0-4 survive ONLY in ckpt 5
+    sink.delete(spark, col("id") >= 0) // v10: snapshot, empties the table
+    (10 until 15).foreach(append(sink, _)) // v11..15, ckpt 15 (post-snapshot set)
+    // v0-4's entries are compacted out of checkpoint 15 and their raw
+    // files are gone — but time travel to v5..9 (inside the retained
+    // window) still seeds from checkpoint 5 and scans their dirs, so
+    // vacuum must keep those dirs referenced
+    sink.vacuum(retainHistory = true, minAgeMs = 0)
+    val reader = new ExactlyOnceSink(dir)
+    assert(ids(reader.read(spark, versionAsOf = Some(7))) === (0L to 7L),
+      "vacuum purged data referenced only through the anchor checkpoint")
+    assert(ids(reader.read(spark)) === (10L until 15L),
+      "the live state is the post-snapshot set")
+  }
+
   test("multipart: cloneTo preserves the shape and rewrites entries inside sidecars") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5,
