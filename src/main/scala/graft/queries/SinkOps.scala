@@ -252,6 +252,38 @@ object SinkOps {
   private val CloneValCut = 280.0
   private val CloneUser = 5L
 
+  /** One DEEP clone per (JVM, sfDir): `events` in 2 appends to a SOURCE
+    * table, a DV delete on the source, [[ExactlyOnceSink.deepCloneTo]]
+    * into a sibling dir — then the SOURCE TABLE IS DELETED OUTRIGHT.
+    * The declared query reads the deep clone live AND at a pre-delete
+    * version, so physical independence, full-history carry (time
+    * travel over copied bytes), and DV subtraction all hash-check
+    * against DuckDB on the raw fixture with the source gone — the
+    * strongest end-to-end form of the verb's contract. Cache
+    * discipline identical to [[clusteredEvents]]. */
+  private val builtDeep = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deepCloneEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(builtDeep, s, d, "graft-deepclone",
+        s"proto=2xappend,dv(value>$CloneValCut),deepclone,src-deleted fmt=rows1",
+        alsoWipe = dir => Seq(dir.resolveSibling(dir.getFileName.toString + "-src"))) {
+      (ev, dir) =>
+        val srcDir = dir.resolveSibling(dir.getFileName.toString + "-src")
+        Files.createDirectories(srcDir)
+        val src = new ExactlyOnceSink(srcDir.toString)
+        (0 until 2).foreach { k =>
+          src.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === k))
+        }
+        src.deleteDV(s, col("value") > CloneValCut)
+        src.deepCloneTo(dir.toString)
+        // the verb's whole point: the source can vanish afterwards
+        val st = Files.walk(srcDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        } finally st.close()
+    }
+
   /** One (source, shallow clone) pair per (JVM, sfDir): `events` in 2
     * appends committed to a SOURCE table, [[ExactlyOnceSink.cloneTo]]
     * into a sibling dir, then two divergent writes ON THE CLONE — a
@@ -504,6 +536,21 @@ object SinkOps {
         .orderBy("event_type")
     }),
 
+    // Read the DEEP clone with its source deleted outright: the live
+    // state (post-DV-delete) and a pre-delete version are BOTH served
+    // entirely from the clone's copied bytes — physical independence
+    // and full-history carry, DuckDB-checked on the raw fixture.
+    "q_sink_deepclone_read" -> ((s, d) => {
+      val t = deepCloneEvents(s, d)
+      def agg(df: org.apache.spark.sql.DataFrame, at: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+          .withColumn("at", lit(at))
+      agg(t.read(s), "live")
+        .unionByName(agg(t.read(s, versionAsOf = Some(1L)), "v1"))
+        .orderBy("at", "event_type")
+    }),
+
     // Read the shallow clone after divergent writes: the result must
     // equal (source minus the clone's DV-deleted tail) plus the
     // clone-local append — with the deleted rows living in FOREIGN files
@@ -694,6 +741,17 @@ object SinkOps {
             SELECT event_type, value FROM events WHERE user_id = $CloneUser
           )
           GROUP BY event_type ORDER BY event_type""",
+    "q_sink_deepclone_read" ->
+      s"""SELECT 'live' AS at, event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events WHERE NOT (value > $CloneValCut)
+          GROUP BY event_type
+          UNION ALL
+          SELECT 'v1' AS at, event_type, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          GROUP BY event_type
+          ORDER BY at, event_type""",
     "q_sink_identity_read" ->
       s"""SELECT count(*) AS n,
                  count(*) AS rid_n,

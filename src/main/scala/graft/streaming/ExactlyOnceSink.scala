@@ -165,7 +165,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * stat) — both ride the same footers, so one open per file. */
   private case class StagedMeta(
       stats: Map[String, Map[String, (String, String)]],
-      rows: Map[String, Long])
+      rows: Map[String, Long],
+      bytes: Map[String, Long] = Map.empty)
 
   /** Per-file min/max column stats + row counts read from the PARQUET
     * FOOTERS of the staged files — metadata-only, no data pass (the
@@ -210,11 +211,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         } finally reader.close()
         (rel, stats.toMap.map { case (c, st) =>
           c -> (render(st.genericGetMin), render(st.genericGetMax))
-        }, rowCount)
+        }, rowCount, Files.size(file))
       }.toSeq)
     StagedMeta(
-      perFile.map { case (rel, st, _) => rel -> st }.toMap,
-      perFile.map { case (rel, _, n) => rel -> n }.toMap)
+      perFile.map { case (rel, st, _, _) => rel -> st }.toMap,
+      perFile.map { case (rel, _, n, _) => rel -> n }.toMap,
+      perFile.map { case (rel, _, _, b) => rel -> b }.toMap)
   }
 
   /** Per-file bloom filters for point-lookup file skipping (the Delta
@@ -281,6 +283,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       constraints: Option[Map[String, String]] = None,
       streamTxn: Option[(String, Long)] = None,
       rows: Map[String, Long] = Map.empty,
+      bytes: Map[String, Long] = Map.empty,
       matFiles: Boolean = false): String =
     // the recorded TABLE schema never includes the row-tracking
     // materialization columns — they are physical file payload, like
@@ -289,7 +292,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         df.schema.fields.filterNot(_.name.startsWith(MatPrefix))).json,
       version, dir, partitionBy, snapshot, adds,
       stats, op, changeDir, blooms, constraints, streamTxn, rows = rows,
-      matFiles = matFiles)
+      bytes = bytes, matFiles = matFiles)
 
   private def entryJsonS(schemaJson: String, version: Long, dir: String,
       partitionBy: Seq[String], snapshot: Boolean,
@@ -307,6 +310,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       columnMapping: Option[Map[String, String]] = None,
       droppedCols: Option[Seq[String]] = None,
       rows: Map[String, Long] = Map.empty,
+      bytes: Map[String, Long] = Map.empty,
       widened: Boolean = false,
       rowIdsCarry: Option[Map[String, (Long, Long)]] = None,
       rowWmForce: Option[Long] = None,
@@ -362,9 +366,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // per-file row count (the Delta numRecords stat): metadata-only
       // COUNT(*) and history metrics read it from the log
       val rw = rows.get(rel).map(n => s""","rows":$n""").getOrElse("")
+      // per-file byte size (the Delta `size` stat): the version
+      // checksum's tableSizeBytes folds these — additive-safe metadata
+      // an old reader ignores
+      val bw = bytes.get(rel).map(n => s""","bytes":$n""").getOrElse("")
       val rid = rowIdOf.get(rel).map { case (b, cv) =>
         s""","baseRowId":$b,"rcv":$cv""" }.getOrElse("")
-      s"""{"path":${jstr(rel)},"stats":{$st}$blJson$rw$rid}"""
+      s"""{"path":${jstr(rel)},"stats":{$st}$blJson$rw$bw$rid}"""
     }.mkString(",")
     val rowWmJson = rowWmOut.map(w => s""","rowIdWatermark":$w""").getOrElse("")
     val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
@@ -521,8 +529,123 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       try touchNow(logFile(version))
       catch { case scala.util.control.NonFatal(_) => () }
       maybeCheckpoint(version)
+      maybeWriteCrc(version)
     }
     won
+  }
+
+  // ---------------------------------------------------------------------
+  // version checksums (the Delta .crc / VersionChecksum analog)
+  // ---------------------------------------------------------------------
+
+  /** The table-state summary a version's checksum records. `numRows` /
+    * `tableSizeBytes` are None when any live add predates the recording
+    * of that stat (legacy entries — same degradation as [[rowCount]]'s
+    * scan fallback). */
+  case class VersionChecksum(version: Long, numFiles: Long,
+      numRows: Option[Long], numDeletedRows: Long, numDvFiles: Long,
+      tableSizeBytes: Option[Long])
+
+  private def crcFile(version: Long): Path =
+    logDir.resolve(f"$version%020d.crc")
+
+  /** Versions with a checksum file, ascending. */
+  private def crcVersions(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else withDirStream(Files.list(logDir))(_
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".crc") && !f.startsWith("."))
+      .map(_.stripSuffix(".crc").toLong)
+      .toSeq).sorted
+
+  /** The state summary at `version`, folded from the commit log alone
+    * (checkpoint-seeded — O(interval) parses, no data scan). */
+  def computeChecksum(version: Long): VersionChecksum = {
+    val all = visibleCommits(Some(version))
+    val ts = tombstones(all)
+    val live = all.filter(_.adds.nonEmpty)
+      .flatMap(c => c.adds.map(a => addKey(c, a) -> a))
+      .filterNot { case (k, _) => ts.removed.contains(k) }
+    val dvOf = live.map { case (k, _) =>
+      k -> ts.dv.get(k).map(_.length.toLong).getOrElse(0L) }.toMap
+    val deleted = dvOf.valuesIterator.sum
+    VersionChecksum(version,
+      numFiles = live.size.toLong,
+      numRows =
+        if (live.forall(_._2.rows.isDefined))
+          Some(live.map(_._2.rows.get).sum - deleted)
+        else None,
+      numDeletedRows = deleted,
+      numDvFiles = dvOf.count(_._2 > 0).toLong,
+      tableSizeBytes =
+        if (live.forall(_._2.bytes.isDefined))
+          Some(live.map(_._2.bytes.get).sum)
+        else None)
+  }
+
+  /** Best-effort post-commit `<v>.crc` write (tmp + atomic move, first
+    * writer wins — the Delta checksum-file protocol). The content is a
+    * pure function of the version-pinned log fold, so racing writers
+    * produce identical bytes and ingest never fails over a checksum. */
+  private def maybeWriteCrc(version: Long): Unit =
+    try {
+      if (!Files.exists(crcFile(version))) {
+        val c = computeChecksum(version)
+        val rows = c.numRows.map(n => s""","numRows":$n""").getOrElse("")
+        val sz = c.tableSizeBytes
+          .map(n => s""","tableSizeBytes":$n""").getOrElse("")
+        val text = s"""{"crc":{"version":${c.version},""" +
+          s""""numFiles":${c.numFiles}$rows,""" +
+          s""""numDeletedRows":${c.numDeletedRows},""" +
+          s""""numDvFiles":${c.numDvFiles}$sz}}""" + "\n"
+        val tmp = logDir.resolve(
+          s".crc-$appId-${java.util.UUID.randomUUID()}.tmp")
+        Files.writeString(tmp, text)
+        try Files.move(tmp, crcFile(version),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: FileAlreadyExistsException => () }
+        finally { Files.deleteIfExists(tmp) }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft-sink: checksum at version $version failed (non-fatal): $e")
+    }
+
+  /** Parse `<v>.crc`; None when absent or unreadable (a torn checksum
+    * degrades to recompute, never to a wrong answer). */
+  def storedChecksum(version: Long): Option[VersionChecksum] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val c = JsonMethods.parse(Files.readString(crcFile(version))) \ "crc"
+      def l(k: String): Option[Long] = (c \ k) match {
+        case JInt(n) => Some(n.toLong); case _ => None
+      }
+      for { v <- l("version"); if v == version; nf <- l("numFiles")
+            nd <- l("numDeletedRows"); dv <- l("numDvFiles") }
+        yield VersionChecksum(v, nf, l("numRows"), nd, dv,
+          l("tableSizeBytes"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Validate a stored checksum against a fresh log fold — the Delta
+    * checksum integrity check: a divergence means the log was corrupted
+    * or hand-edited after the commit, and reads can no longer be
+    * trusted, so it FAILS LOUDLY. Checks `version` (default: the newest
+    * version carrying a checksum); returns the verified summary, or
+    * None when no version in retained history has one. */
+  def verifyChecksum(version: Option[Long] = None): Option[VersionChecksum] = {
+    val target = version.orElse(crcVersions()
+      .filter(v => truncatedBelow() <= v).lastOption)
+    target.flatMap { v =>
+      storedChecksum(v).map { stored =>
+        val fresh = computeChecksum(v)
+        if (stored != fresh)
+          sys.error(s"checksum mismatch at version $v: the log diverged " +
+            s"from its commit-time state (stored $stored, computed $fresh)")
+        fresh
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -1158,7 +1281,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (!claim(batchId, entryJsonS(schemaJson, batchId,
           dir, partitionBy, snapshot, adds,
           meta.stats, generated = advancedGen, rows = meta.rows,
-          widened = widened))) {
+          bytes = meta.bytes, widened = widened))) {
         require(isOwnStreamBatch(parseCommit(batchId), batchId),
           s"process(batchId=$batchId): lost the version claim to a " +
             "non-streaming or foreign-stream commit — use appendBatch " +
@@ -1250,7 +1373,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       var (sj, wd) = evolvedSchema(gdf)
       while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
-          streamTxn = streamTxn, rows = st.rows, widened = wd))) {
+          streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
+          widened = wd))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
         validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
           "commitAppend")
@@ -1332,7 +1456,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           var (sj, wd) = evolvedSchema(adf)
           while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
               snapshot = false, st.adds, st.stats, blooms = st.blooms,
-              streamTxn = streamTxn, rows = st.rows, widened = wd))) {
+              streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
+              widened = wd))) {
             v = math.max(v + 1, nextVersion())
             validated = reEnforceOnRetry(adf.schema, mergeSchema,
               validated, "commitAppend")
@@ -1419,7 +1544,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       if (claim(expected, entryJsonS(sjI, expected, st.dir,
           partitionBy, snapshot = false, st.adds, st.stats,
           blooms = st.blooms, generated = Some(genOut),
-          streamTxn = streamTxn, rows = st.rows,
+          streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
           widened = wdI)))
         return expected
     }
@@ -1455,7 +1580,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       stats: Map[String, Map[String, (String, String)]],
       blooms: Map[String, Map[String, Array[Long]]],
       schemaJson: String, rows: Map[String, Long],
-      widened: Boolean = false)
+      widened: Boolean = false,
+      bytes: Map[String, Long] = Map.empty)
 
   /** Stage one optimistic append's data files under a writer-unique dir
     * and collect its per-file stats/blooms — everything a claim needs,
@@ -1489,7 +1615,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
     touchNow(target)
     val (schemaJson, widened) = evolvedSchema(gdf)
-    StagedAppend(dir, adds, stats, blooms, schemaJson, rowsM, widened)
+    StagedAppend(dir, adds, stats, blooms, schemaJson, rowsM, widened,
+      bytes = meta.bytes)
   }
 
   /** Optimistic read-modify-write transaction (Delta's OCC loop): reads
@@ -1539,6 +1666,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val meta = fileStats(spark, staging)
       val stats = meta.stats
       val rowsM = meta.rows
+      val bytesM = meta.bytes
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -1554,7 +1682,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }
       if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
           adds, stats, op, changeDir, streamTxn = streamTxn, rows = rowsM,
-          matFiles = out.columns.contains(MatIdCol))))
+          bytes = bytesM, matFiles = out.columns.contains(MatIdCol))))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
       // computed on stale state. Abandon the staged dirs (never visible —
@@ -1575,7 +1703,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       bloom: Map[String, Array[Long]] = Map.empty,
       rows: Option[Long] = None,
       baseRowId: Option[Long] = None,
-      rcv: Option[Long] = None)
+      rcv: Option[Long] = None,
+      bytes: Option[Long] = None)
 
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
       adds: Seq[AddFile],
@@ -1729,7 +1858,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             case JInt(n) => Some(n.toLong)
             case _ => None
           }
-          AddFile(path, stats, bloom, rows, base, rcv)
+          val fb = (o \ "bytes") match {
+            case JInt(n) => Some(n.toLong)
+            case _ => None
+          }
+          AddFile(path, stats, bloom, rows, base, rcv, bytes = fb)
         case _ => AddFile("", Map.empty)
       }
       case _ => Nil
@@ -2924,12 +3057,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         var adds: Seq[Path] = Nil
         var stats: Map[String, Map[String, (String, String)]] = Map.empty
         var rowsM: Map[String, Long] = Map.empty
+        var bytesM: Map[String, Long] = Map.empty
         newRows.foreach { nr =>
           val staging = Paths.get(tableDir, s".staging-$uuid")
           adds = stage(nr, staging, Nil)
           val meta = fileStats(spark, staging)
           stats = meta.stats
           rowsM = meta.rows
+          bytesM = meta.bytes
           Files.createDirectories(dataDir.resolve("files"))
           Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
           touchNow(dataDir.resolve(dir))
@@ -2949,7 +3084,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
             stats, op, Some(changeRel), streamTxn = streamTxn,
             removes = removeKeys ++ rewriteKeys, dvs = dvNew,
-            rows = rowsM,
+            rows = rowsM, bytes = bytesM,
             matFiles = adds.nonEmpty && logTail.rowIdState().isDefined)))
           return expected
       } finally doomed.unpersist(blocking = false)
@@ -3599,6 +3734,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     if (Files.exists(truncMarker))
       Files.copy(truncMarker, tgtLog.resolve(truncMarker.getFileName),
         StandardCopyOption.REPLACE_EXISTING)
+    // version checksums summarize the version-pinned log FOLD (counts,
+    // not paths), which the clone's rewritten entries preserve exactly —
+    // copy them verbatim so the clone's integrity checks keep working
+    crcVersions().foreach { v =>
+      Files.copy(crcFile(v), tgtLog.resolve(f"$v%020d.crc"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     (vs ++ checkpointVersions()).max
   }
 
@@ -3684,7 +3826,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val n = p.getFileName.toString
       if (!n.startsWith(".") && (n.endsWith(".json") ||
           n.endsWith(".checkpoint") || n.endsWith(".sidecar") ||
-          n == truncMarker.getFileName.toString))
+          n.endsWith(".crc") || n == truncMarker.getFileName.toString))
         Files.copy(p, tgtLog.resolve(n),
           StandardCopyOption.REPLACE_EXISTING)
     }
@@ -3761,6 +3903,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           // row counts carry over with the lifted adds (restore cannot
           // change them), keeping the metadata COUNT(*) path alive
           rows = adds.flatMap(a => a.rows.map(a.path -> _)).toMap,
+          bytes = adds.flatMap(a => a.bytes.map(a.path -> _)).toMap,
           // removed files are excluded from the lifted adds, but the
           // re-pointed DIRS still physically contain them — the restore
           // commit re-states the removes so the dir-granular scan keeps
@@ -3858,6 +4001,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val meta = fileStats(spark, staging)
       val stats = meta.stats
       val rowsM = meta.rows
+      val bytesM = meta.bytes
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -3866,7 +4010,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           latestSchema().map(_.json).getOrElse(packed.schema.json),
           expected, dir, Nil,
           snapshot = false, adds, stats, "COMPACT_INC", None,
-          removes = cands.map(_._1), rows = rowsM, matFiles = tracked)))
+          removes = cands.map(_._1), rows = rowsM, bytes = bytesM,
+          matFiles = tracked)))
         return expected
       attempt += 1
       if (attempt > maxRetries)
@@ -3989,6 +4134,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       checkpointVersions().filter(_ < a).foreach { cv =>
         if (oldEnough(checkpointFile(cv))) {
           Files.deleteIfExists(checkpointFile(cv)); removed += 1
+        }
+      }
+      // checksums of reclaimed versions: their log fold is no longer
+      // servable (reads below the anchor fail loudly), so the stored
+      // summary is unverifiable — reclaim it with the entries
+      crcVersions().filter(_ < a).foreach { v =>
+        if (oldEnough(crcFile(v))) {
+          Files.deleteIfExists(crcFile(v)); removed += 1
         }
       }
       // sidecars: a part is live only while a surviving checkpoint's

@@ -120,7 +120,8 @@ class LogCheckpointSpec extends SparkSpecBase {
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
     (0 until 23).foreach(append(sink, _))
     val removed = sink.cleanupLog(minAgeMs = 0)
-    assert(removed === 20 + 3, // raw entries 0..19 + checkpoints 5,10,15
+    // raw entries 0..19 + checkpoints 5,10,15 + their version checksums
+    assert(removed === 20 + 3 + 20,
       s"expected entries below checkpoint 20 reclaimed, removed=$removed")
     val log = Paths.get(dir, "_graft_log")
     assert(!Files.exists(log.resolve(f"${0L}%020d.json")))

@@ -156,6 +156,13 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         // over foreign files
         assert(sink.rowCount(spark) === live.size.toLong,
           s"metadata rowCount diverged after ${history.size} commits")
+        // the newest version checksum must verify against a fresh fold
+        // AND agree with the model — every verb writes one, so this
+        // pins the .crc protocol under the whole interaction product
+        sink.verifyChecksum().foreach { c =>
+          c.numRows.foreach(n => assert(n === live.size.toLong,
+            s"checksum numRows diverged after ${history.size} commits"))
+        }
         // metadata MIN/MAX: only served when no tombstones exist — when
         // it answers, it must be exact
         sink.columnStats("id").foreach { case (lo, hi) =>
