@@ -826,7 +826,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         (v, aux) <- parseAuxHeader(head)
         if v == cv
         body <- checkpointBody(cv, head, lines.tail)
-        commits = body.map(parseCommitText(_))
+        // parse IN PARALLEL, order-preserving: a checkpoint body is
+        // O(live entries) and entry parses are independent — on a
+        // many-core driver this is the snapshot-seed bottleneck once
+        // the files are local (reads parallelize via the sidecars; on
+        // an object store the reads dominate instead)
+        commits = {
+          val out = new Array[Commit](body.size)
+          java.util.stream.IntStream.range(0, body.size).parallel()
+            .forEach(i => out(i) = parseCommitText(body(i)))
+          out.toSeq
+        }
         // invariant of the writer: the triggering commit is the newest
         // visible entry, so a checkpoint not ending at its own version
         // (torn tail line lost, or garbage that happened to parse) is bad
