@@ -314,7 +314,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       widened: Boolean = false,
       rowIdsCarry: Option[Map[String, (Long, Long)]] = None,
       rowWmForce: Option[Long] = None,
-      matFiles: Boolean = false): String = {
+      matFiles: Boolean = false,
+      domains: Option[Map[String, Option[Map[String, String]]]] = None)
+      : String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
       if (op.nonEmpty) op
@@ -439,6 +441,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
          s"${jstr(k)}:${jstr(DeletionVectors.encode(idxs))}"
        }.mkString(",") + "},")) +
       changeJson +
+      // the Delta domainMetadata action: a per-domain metadata DELTA
+      // (null = removal), top-level like Delta's — additive-safe for
+      // old readers, latest-wins per domain in the fold
+      domains.map { m =>
+        "\"domainMetadata\":{" + m.toSeq.sortBy(_._1).map {
+          case (d, Some(cfg)) => s"${jstr(d)}:{" + cfg.toSeq.sortBy(_._1)
+            .map { case (k, x) => s"${jstr(k)}:${jstr(x)}" }
+            .mkString(",") + "}"
+          case (d, None) => s"${jstr(d)}:null"
+        }.mkString(",") + "},"
+      }.getOrElse("") +
       streamTxn.map { case (a, b) =>
         s""""streamTxn":{"appId":${jstr(a)},"batchId":$b},"""
       }.getOrElse("") +
@@ -703,7 +716,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       generated: Map[String, String] = Map.empty,
       columnMapping: Map[String, String] = Map.empty,
       droppedCols: Seq[String] = Nil,
-      rowIdWatermark: Option[Long] = None)
+      rowIdWatermark: Option[Long] = None,
+      domains: Map[String, Map[String, String]] = Map.empty)
 
   private def foldAux(seed: CkptAux, entries: Seq[Commit]): CkptAux =
     entries.sortBy(_.version).foldLeft(seed) { (acc, c) =>
@@ -715,7 +729,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         c.generated.getOrElse(acc.generated),
         c.columnMapping.getOrElse(acc.columnMapping),
         c.droppedCols.getOrElse(acc.droppedCols),
-        c.rowIdWatermark.orElse(acc.rowIdWatermark))
+        c.rowIdWatermark.orElse(acc.rowIdWatermark),
+        // domain metadata is a PER-DOMAIN delta, not a whole-set
+        // replacement like constraints: apply upserts and removals
+        c.domains.fold(acc.domains)(_.foldLeft(acc.domains) {
+          case (m, (d, Some(cfg))) => m.updated(d, cfg)
+          case (m, (d, None)) => m - d
+        }))
     }
 
   private def auxHeader(version: Long, aux: CkptAux): String = {
@@ -730,8 +750,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val dcols = aux.droppedCols.sorted.map(jstr).mkString(",")
     val rwm = aux.rowIdWatermark
       .map(w => s""","rowIdWatermark":$w""").getOrElse("")
+    val doms = aux.domains.toSeq.sortBy(_._1).map { case (d, cfg) =>
+      s"${jstr(d)}:{" + cfg.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"${jstr(k)}:${jstr(x)}" }.mkString(",") + "}"
+    }.mkString(",")
     s"""{"checkpointAux":{"version":$version,"constraints":{$cons},""" +
       s""""generated":{$gen},"columnMapping":{$cmap},""" +
+      s""""domains":{$doms},""" +
       s""""droppedColumns":[$dcols],"streamTxn":{$cur}$rwm}}"""
   }
 
@@ -800,7 +825,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           case JInt(w) => Some(w.toLong)
           case _ => None
         }
-        Some(v.toLong -> CkptAux(cons, cur, gen, cmap, dcols, rwm))
+        val doms = (a \ "domains") match {
+          case JObject(fs) => fs.collect { case (d, JObject(cfg)) =>
+            d -> cfg.collect { case (k, JString(x)) => k -> x }.toMap
+          }.toMap
+          case _ => Map.empty[String, Map[String, String]]
+        }
+        Some(v.toLong -> CkptAux(cons, cur, gen, cmap, dcols, rwm, doms))
       case _ => None
     }
   }
@@ -1384,7 +1415,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wd))) {
+          widened = wd, domains = clusterDomain(clusterBy)))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
         validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
           "commitAppend")
@@ -1467,7 +1498,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
               snapshot = false, st.adds, st.stats, blooms = st.blooms,
               streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-              widened = wd))) {
+              widened = wd, domains = clusterDomain(clusterBy)))) {
             v = math.max(v + 1, nextVersion())
             validated = reEnforceOnRetry(adf.schema, mergeSchema,
               validated, "commitAppend")
@@ -1555,7 +1586,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           partitionBy, snapshot = false, st.adds, st.stats,
           blooms = st.blooms, generated = Some(genOut),
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wdI)))
+          widened = wdI, domains = clusterDomain(clusterBy))))
         return expected
     }
     -1L // unreachable
@@ -1585,6 +1616,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     maybeAutoCompact(df.sparkSession)
     v
   }
+
+  /** The domain-metadata delta a clustered write records — the Delta
+    * pattern of building clustering state on domainMetadata: readers
+    * (and OPTIMIZE policy) can discover the table's clustered columns
+    * from the log instead of out-of-band configuration. */
+  private def clusterDomain(clusterBy: Seq[String])
+      : Option[Map[String, Option[Map[String, String]]]] =
+    if (clusterBy.isEmpty) None
+    else Some(Map("graft.clustering" ->
+      Some(Map("columns" -> clusterBy.mkString(",")))))
 
   private case class StagedAppend(dir: String, adds: Seq[Path],
       stats: Map[String, Map[String, (String, String)]],
@@ -1690,9 +1731,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         touchNow(dataDir.resolve(rel))
         rel
       }
-      if (claim(expected, entryJson(out, expected, dir, Nil, snapshot = true,
+      // record the EVOLVED table schema (latestSchema ∪ output frame),
+      // never the frame's alone: when no visible file carries a column
+      // (the table emptied, then narrow appends landed), the snapshot's
+      // read-derived frame lacks it, and recording that frame would
+      // SHRINK the table schema — breaking latestSchema monotonicity,
+      // after which a mergeSchema append re-adds the column at the
+      // NARROW width and readers coerce wide committed data down
+      // (caught by the protocol fuzz at the widen × empty ×
+      // narrow-append × merge product)
+      val (sjS, wdS) = evolvedSchemaOf(
+        org.apache.spark.sql.types.StructType(
+          out.schema.fields.filterNot(_.name.startsWith(MatPrefix))))
+      if (claim(expected, entryJsonS(sjS, expected, dir, Nil, snapshot = true,
           adds, stats, op, changeDir, streamTxn = streamTxn, rows = rowsM,
-          bytes = bytesM, matFiles = out.columns.contains(MatIdCol))))
+          bytes = bytesM, widened = wdS,
+          matFiles = out.columns.contains(MatIdCol))))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
       // computed on stale state. Abandon the staged dirs (never visible —
@@ -1729,7 +1783,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       droppedCols: Option[Seq[String]] = None,
       ict: Option[Long] = None,
       txnAppId: Option[String] = None,
-      rowIdWatermark: Option[Long] = None) {
+      rowIdWatermark: Option[Long] = None,
+      // per-domain DELTA this commit applies: Some(config) upserts the
+      // domain, None removes it (the Delta domainMetadata action shape)
+      domains: Option[Map[String, Option[Map[String, String]]]] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -1907,8 +1964,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case JInt(w) => Some(w.toLong)
       case _ => None
     }
+    val doms = (j \ "domainMetadata") match {
+      case JObject(fields) => Some(fields.map {
+        case (d, JObject(cfg)) =>
+          d -> Some(cfg.collect { case (k, JString(x)) => k -> x }.toMap)
+        case (d, _) => d -> None // null = removal
+      }.toMap)
+      case _ => None
+    }
     Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
-      removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm)
+      removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm, domains = doms)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -2705,6 +2770,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     private var columnMapping = Map.empty[String, String]
     private var droppedCols = Seq.empty[String]
     private var rowWm: Option[Long] = None // None = row tracking off
+    private var domains = Map.empty[String, Map[String, String]]
     private val streamCursor =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -2722,6 +2788,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             columnMapping = aux.columnMapping
             droppedCols = aux.droppedCols
             rowWm = aux.rowIdWatermark
+            domains = aux.domains
             aux.cursors.foreach { case (a, b) => streamCursor.put(a, b) }
             seen = cv
           }
@@ -2734,6 +2801,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         c.columnMapping.foreach(m => columnMapping = m)
         c.droppedCols.foreach(s => droppedCols = s)
         c.rowIdWatermark.foreach(w => rowWm = Some(w))
+        c.domains.foreach(_.foreach {
+          case (d, Some(cfg)) => domains = domains.updated(d, cfg)
+          case (d, None) => domains = domains - d
+        })
         c.streamTxn.foreach { case (a, b) =>
           streamCursor.merge(a, b, (x, y) => if (x >= y) x else y)
         }
@@ -2744,6 +2815,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
     def activeConstraints(): Map[String, String] = refreshed(constraints)
     def activeGenerated(): Map[String, String] = refreshed(generated)
+    def activeDomains(): Map[String, Map[String, String]] = refreshed(domains)
     /** The generated map TOGETHER with the next version at the moment
       * of the read — one atomic log view, so an identity writer can
       * claim exactly that version and know no commit it has not seen
@@ -3087,9 +3159,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         Files.move(chStaging, dataDir.resolve(changeRel),
           StandardCopyOption.ATOMIC_MOVE)
         touchNow(dataDir.resolve(changeRel))
-        val schemaJson = org.apache.spark.sql.types.StructType(
-          statePos.drop(FileCol, RidxCol).schema.fields
-            .filterNot(_.name.startsWith(MatPrefix))).json
+        // evolved union, same monotonicity argument as the snapshot
+        // claim above: the probe state's file-derived schema can lack
+        // columns the TABLE schema has
+        val (schemaJson, _) = evolvedSchemaOf(
+          org.apache.spark.sql.types.StructType(
+            statePos.drop(FileCol, RidxCol).schema.fields
+              .filterNot(_.name.startsWith(MatPrefix))))
         if (claim(expected, entryJsonS(schemaJson, expected,
             if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
             stats, op, Some(changeRel), streamTxn = streamTxn,
@@ -3169,6 +3245,54 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * IF EXISTS). */
   def dropConstraint(name: String): Long =
     constraintCommit(_ - name)
+
+  // ---------------------------------------------------------------------
+  // domain metadata (the Delta domainMetadata action analog)
+  // ---------------------------------------------------------------------
+
+  /** All live metadata domains: name → configuration. Latest-wins PER
+    * DOMAIN (a commit carries only the domains it touches — the Delta
+    * domainMetadata delta shape, unlike constraints' whole-set
+    * replacement), folded incrementally by [[logTail]] and surviving
+    * cleanupLog through the checkpoint aux header. */
+  def activeDomains(): Map[String, Map[String, String]] =
+    logTail.activeDomains()
+
+  /** The configuration of one domain, if set. */
+  def domainMetadata(domain: String): Option[Map[String, String]] =
+    activeDomains().get(domain)
+
+  /** SET a metadata domain (the Delta `domainMetadata` action): commits
+    * `domain → config` as a metadata-only entry through the OCC claim
+    * loop. Domains are the protocol's general named-metadata slot —
+    * Delta builds clustering state and similar features on it; this
+    * sink records `graft.clustering` through the same verb. Dense
+    * claims serialize concurrent writers; the last committed delta
+    * wins its domain and no other (per-domain fold). */
+  def setDomainMetadata(domain: String, config: Map[String, String]): Long = {
+    require(domain.nonEmpty, "setDomainMetadata: empty domain name")
+    domainCommit(Map(domain -> Some(config)))
+  }
+
+  /** REMOVE a metadata domain (a tombstone delta; unknown names are a
+    * no-op commit, like Delta's removed=true action). */
+  def removeDomainMetadata(domain: String): Long =
+    domainCommit(Map(domain -> None))
+
+  private def domainCommit(
+      delta: Map[String, Option[Map[String, String]]]): Long = {
+    Files.createDirectories(logDir)
+    val schemaJson = latestSchema().map(_.json)
+      .getOrElse("""{"type":"struct","fields":[]}""")
+    var v = nextVersion()
+    // metadata-only entry, same shape as constraintCommit's
+    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
+        Nil, Map.empty, "SET DOMAIN METADATA", None, Map.empty,
+        domains = Some(delta)))) {
+      v = math.max(v + 1, nextVersion())
+    }
+    v
+  }
 
   // ---------------------------------------------------------------------
   // generated columns (Delta GENERATED ALWAYS AS analog)
@@ -4021,7 +4145,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           expected, dir, Nil,
           snapshot = false, adds, stats, "COMPACT_INC", None,
           removes = cands.map(_._1), rows = rowsM, bytes = bytesM,
-          matFiles = tracked)))
+          matFiles = tracked, domains = clusterDomain(clusterBy))))
         return expected
       attempt += 1
       if (attempt > maxRetries)

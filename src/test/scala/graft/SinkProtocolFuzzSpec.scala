@@ -108,6 +108,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         Map[Long, Long], Option[Boolean], String)] = None
 
       var live = Map.empty[Long, String] // the model's committed state
+      var doms = Map.empty[String, Map[String, String]] // domain metadata
       var ys = Map.empty[Long, String] // evolved column (empty before arm 13)
       var ns = Map.empty[Long, Long] // widened column (empty before arm 19)
       // n's lifecycle: None = not in the schema; Some(false) = int;
@@ -163,6 +164,8 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           c.numRows.foreach(n => assert(n === live.size.toLong,
             s"checksum numRows diverged after ${history.size} commits"))
         }
+        assert(sink.activeDomains() === doms,
+          s"domain metadata diverged after ${history.size} commits")
         // metadata MIN/MAX: only served when no tombstones exist — when
         // it answers, it must be exact
         sink.columnStats("id").foreach { case (lo, hi) =>
@@ -196,7 +199,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 32).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(21)) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(23)) match {
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
@@ -398,6 +401,19 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 live = live ++ rows
                 ns = ns ++ rows.map { case (i, _) => i -> i }
                 history :+= ((v, live, ys, ns, nsType))
+            }
+          case 21 => // DOMAIN METADATA set/update (the round-15 action):
+            // per-domain latest-wins delta under the whole product —
+            // checkpoint aux survival, retention, clone carry
+            val d = s"dom${rnd.nextInt(3)}"
+            val cfg = Map("v" -> s"s$step")
+            sink.setDomainMetadata(d, cfg)
+            doms = doms.updated(d, cfg)
+          case 22 => // DOMAIN METADATA remove (tombstone delta)
+            if (doms.nonEmpty) {
+              val d = doms.keys.toSeq(rnd.nextInt(doms.size))
+              sink.removeDomainMetadata(d)
+              doms = doms - d
             }
           case 15 => // SHALLOW CLONE once, mid-history: fork the table
             // and run EVERY remaining verb against the clone — merges,

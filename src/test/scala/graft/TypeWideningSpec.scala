@@ -297,4 +297,32 @@ class TypeWideningSpec extends SparkSpecBase {
     assert(got.schema.fieldNames.contains("extra"))
     assert(got.filter(col("n") === 3).select("extra").head().isNullAt(0))
   }
+
+  test("a snapshot over files that lost the widened column cannot shrink the recorded schema") {
+    // the protocol-fuzz-found product: widen -> delete-everything ->
+    // narrow append (no visible file carries n any more, so the READ
+    // presents a frame without it) -> full-clause MERGE (a snapshot
+    // computed from that frame). Recording the frame's schema would
+    // SHRINK the table schema, and the next mergeSchema append would
+    // re-introduce n at the NARROW width — coercing committed long
+    // values down on read. Snapshot claims must record the evolved
+    // union (latestSchema ∪ frame) instead.
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((1L, "a", 10)).toDF("id", "x", "n")) // n: int
+    sink.commitAppend(Seq((2L, "b", 1L << 33)).toDF("id", "x", "n"),
+      mergeSchema = true) // widen to long
+    sink.delete(spark, col("id") >= 0L) // snapshot: the table empties
+    sink.commitAppend(Seq((3L, "c")).toDF("id", "x")) // narrow: no n file
+    sink.mergeFull(spark, Seq((3L, "u")).toDF("id", "x"), Seq("id"))
+    assert(sink.latestSchema().get.apply("n").dataType == LongType,
+      "the snapshot shrank the recorded table schema")
+    // re-introducing n under mergeSchema must stay long (upcast write)
+    sink.commitAppend(Seq((4L, "d", 7)).toDF("id", "x", "n"),
+      mergeSchema = true)
+    val got = sink.read(spark)
+    assert(got.schema("n").dataType == LongType,
+      "n re-entered at the narrow width — wide committed data would coerce down")
+    assert(got.filter(col("id") === 4L).select("n").as[Long].head() == 7L)
+  }
 }
