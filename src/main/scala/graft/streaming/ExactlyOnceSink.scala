@@ -2014,7 +2014,18 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * committed. The commit version surfaces as a `batch` column.
     * `mergeSchema` = Delta-style schema evolution on read: commits
     * written with widened schemas union into one (missing columns
-    * null), per the schemaString each commit's metaData records. */
+    * null), per the schemaString each commit's metaData records.
+    *
+    * Presentation semantics, disclosed divergence from Delta: the
+    * presented schema is the UNION OF THE VISIBLE FILES' schemas, so a
+    * column that no visible file carries (the table emptied, then only
+    * narrow appends landed) temporarily disappears from presentation —
+    * Delta would present it as all-null from the table schema. The
+    * RECORDED table schema stays monotone regardless (latestSchema —
+    * snapshot claims record the evolved union, TypeWideningSpec pins
+    * this), so the column and its widened type reappear intact with the
+    * next write that carries it; nothing is lost, only not shown while
+    * no file holds it. */
   def read(spark: SparkSession,
       versionAsOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
