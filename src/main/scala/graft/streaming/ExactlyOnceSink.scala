@@ -2192,12 +2192,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       "enableRowTracking: enable before data lands (pre-existing files " +
         "have no baseRowId and backfill is not implemented)")
     Files.createDirectories(logDir)
-    val schemaJson = latestSchema().map(_.json)
-      .getOrElse("""{"type":"struct","fields":[]}""")
     var v = nextVersion()
-    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
-        Nil, Map.empty, "ENABLE ROW TRACKING", None, Map.empty,
-        rowWmForce = Some(0L)))) {
+    while ({ metaClaimHook()
+        !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
+          Nil, Map.empty, "ENABLE ROW TRACKING", None, Map.empty,
+          rowWmForce = Some(0L))) }) {
       v = math.max(v + 1, nextVersion())
     }
     v
@@ -3293,13 +3292,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private def domainCommit(
       delta: Map[String, Option[Map[String, String]]]): Long = {
     Files.createDirectories(logDir)
-    val schemaJson = latestSchema().map(_.json)
-      .getOrElse("""{"type":"struct","fields":[]}""")
     var v = nextVersion()
     // metadata-only entry, same shape as constraintCommit's
-    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
-        Nil, Map.empty, "SET DOMAIN METADATA", None, Map.empty,
-        domains = Some(delta)))) {
+    while ({ metaClaimHook()
+        !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
+          Nil, Map.empty, "SET DOMAIN METADATA", None, Map.empty,
+          domains = Some(delta))) }) {
       v = math.max(v + 1, nextVersion())
     }
     v
@@ -3463,7 +3461,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val schema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     mappingCommit(schema.json, (m - oldName) + (newName -> ph), dropped.toSeq,
-      s"RENAME COLUMN")
+      s"RENAME COLUMN", derivedFrom = cur.json)
   }
 
   /** DROP COLUMN (metadata-only): removes the column from the logical
@@ -3481,16 +3479,31 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val ph = m.getOrElse(name, name)
     val schema = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name == name))
-    mappingCommit(schema.json, m - name, (dropped + ph).toSeq, "DROP COLUMN")
+    mappingCommit(schema.json, m - name, (dropped + ph).toSeq, "DROP COLUMN",
+      derivedFrom = cur.json)
   }
 
+  /** `derivedFrom` is the committed schema json the caller computed
+    * its rename/drop FROM: unlike the other metadata verbs (whose
+    * payloads are schema-independent and simply re-record the current
+    * schema per attempt), a mapping commit's recorded schema IS a
+    * transform of the schema it read — if a rival evolves the table
+    * mid-race, re-recording the stale transform would revert the
+    * rival's evolution, and silently re-deriving could rename a
+    * column the rival just dropped. Abort instead (Delta's
+    * MetadataChangedException posture); the caller re-runs. */
   private def mappingCommit(schemaJson: String, m: Map[String, String],
-      dropped: Seq[String], op: String): Long = {
+      dropped: Seq[String], op: String, derivedFrom: String): Long = {
     Files.createDirectories(logDir)
     var v = nextVersion()
-    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
-        Nil, Map.empty, op, None, Map.empty,
-        columnMapping = Some(m), droppedCols = Some(dropped)))) {
+    while ({ metaClaimHook()
+        !claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
+          Nil, Map.empty, op, None, Map.empty,
+          columnMapping = Some(m), droppedCols = Some(dropped))) }) {
+      if (latestSchema().map(_.json) != Some(derivedFrom))
+        sys.error(s"$op: a concurrent commit changed the table schema " +
+          "while this metadata commit raced — re-derive and retry " +
+          "(metadata conflict)")
       v = math.max(v + 1, nextVersion())
     }
     v
@@ -3660,28 +3673,43 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
   private def generatedCommit(f: Map[String, String] => Map[String, String]): Long = {
     Files.createDirectories(logDir)
-    val schemaJson = latestSchema().map(_.json)
-      .getOrElse("""{"type":"struct","fields":[]}""")
     var v = nextVersion()
-    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
-        Nil, Map.empty, "SET GENERATED", None, Map.empty,
-        generated = Some(f(activeGenerated()))))) {
+    while ({ metaClaimHook()
+        !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
+          Nil, Map.empty, "SET GENERATED", None, Map.empty,
+          generated = Some(f(activeGenerated())))) }) {
       v = math.max(v + 1, nextVersion())
     }
     v
   }
 
+  /** The CURRENT committed schema for a metadata-only entry —
+    * re-evaluated on EVERY claim attempt (it sits inside the loop
+    * condition): a metadata commit that loses a race to a
+    * schema-evolving rival (widening, added column) and then records
+    * the schema it read at entry would silently REVERT the rival's
+    * evolution in latestSchema — the same stale-schema-on-retry class
+    * the append paths fix via reEnforceOnRetry. */
+  private def metaSchemaJson(): String = latestSchema().map(_.json)
+    .getOrElse("""{"type":"struct","fields":[]}""")
+
+  /** Test seam (no-op in production): fires before each metadata-only
+    * claim attempt, so a spec can race a schema evolution into the
+    * window deterministically. */
+  private[graft] var metaClaimHook: () => Unit = () => ()
+
   private def constraintCommit(f: Map[String, String] => Map[String, String]): Long = {
     Files.createDirectories(logDir)
-    val schemaJson = latestSchema().map(_.json)
-      .getOrElse("""{"type":"struct","fields":[]}""")
     var v = nextVersion()
     // metadata-only entry: no data dir, no adds; snapshot=false so it
     // neither hides prior data (visibleCommits) nor trips the CDC
-    // feed's loud-failure path (readChanges: no adds → no rows)
-    while (!claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
-        Nil, Map.empty, "SET CONSTRAINT", None, Map.empty,
-        Some(f(activeConstraints()))))) {
+    // feed's loud-failure path (readChanges: no adds → no rows).
+    // Schema AND payload re-derive per attempt (metaSchemaJson /
+    // activeConstraints both sit inside the loop condition).
+    while ({ metaClaimHook()
+        !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
+          Nil, Map.empty, "SET CONSTRAINT", None, Map.empty,
+          Some(f(activeConstraints())))) }) {
       v = math.max(v + 1, nextVersion())
     }
     v

@@ -298,6 +298,64 @@ class TypeWideningSpec extends SparkSpecBase {
     assert(got.filter(col("n") === 3).select("extra").head().isNullAt(0))
   }
 
+  test("a metadata-only commit losing a race to a widening rival records the EVOLVED schema") {
+    // constraint/generated/domain/row-tracking commits re-derive the
+    // recorded schemaString on EVERY claim attempt: a stale at-entry
+    // schema recorded after losing to a widening rival would silently
+    // revert the rival's evolution in latestSchema
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.commitAppend(Seq((1, "p")).toDF("v", "x")) // v: int
+    val b = new ExactlyOnceSink(dir)
+    a.metaClaimHook = () => {
+      a.metaClaimHook = () => ()
+      b.commitAppend(Seq((3000000000L, "w")).toDF("v", "x"),
+        mergeSchema = true) // rival widens v mid-race
+    }
+    a.setConstraint(spark, "pos", "v > 0")
+    assert(new ExactlyOnceSink(dir).latestSchema().get.apply("v")
+      .dataType == LongType,
+      "the constraint commit reverted the rival's widening")
+    // same guarantee when the rival ADDS a column and a domain commit races
+    a.metaClaimHook = () => {
+      a.metaClaimHook = () => ()
+      b.commitAppend(Seq((5L, "z", 9L)).toDF("v", "x", "extra"),
+        mergeSchema = true)
+    }
+    a.setDomainMetadata("d", Map("k" -> "1"))
+    assert(new ExactlyOnceSink(dir).latestSchema().get
+      .fieldNames.contains("extra"),
+      "the domain commit reverted the rival's added column")
+  }
+
+  test("rename racing a schema evolution aborts with a metadata conflict, never reverts it") {
+    // a mapping commit's recorded schema is a TRANSFORM of the schema
+    // it read — re-recording the stale transform would revert a rival
+    // evolution, silently re-deriving could rename a column the rival
+    // dropped. It aborts instead (Delta's MetadataChangedException
+    // posture) and the re-run, deriving fresh, succeeds.
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.commitAppend(Seq((1, "p")).toDF("v", "x"))
+    val b = new ExactlyOnceSink(dir)
+    a.metaClaimHook = () => {
+      a.metaClaimHook = () => ()
+      b.commitAppend(Seq((2, "q", 7L)).toDF("v", "x", "extra"),
+        mergeSchema = true)
+    }
+    val e = intercept[RuntimeException](a.renameColumn("x", "x2"))
+    assert(e.getMessage.contains("metadata conflict"),
+      s"expected a metadata-conflict abort, got: ${e.getMessage}")
+    val after = new ExactlyOnceSink(dir).latestSchema().get
+    assert(after.fieldNames.contains("extra"),
+      "the aborted rename leaked its stale schema")
+    assert(after.fieldNames.contains("x") && !after.fieldNames.contains("x2"))
+    // the caller's re-run derives from the fresh schema and commits
+    a.renameColumn("x", "x2")
+    val done = new ExactlyOnceSink(dir).latestSchema().get
+    assert(done.fieldNames.contains("x2") && done.fieldNames.contains("extra"))
+  }
+
   test("a snapshot over files that lost the widened column cannot shrink the recorded schema") {
     // the protocol-fuzz-found product: widen -> delete-everything ->
     // narrow append (no visible file carries n any more, so the READ
