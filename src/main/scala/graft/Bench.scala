@@ -78,6 +78,28 @@ object Bench {
     if (sink == 42) print("")
     timed(CalibIters)
   }
+
+  /** ALL-CORE sentinel (round 15): the same xorshift loop on one thread
+    * per core, wall-clocked to completion. On an uncontended host this
+    * lands within a few % of `CalibIters/4` single-thread time (the
+    * loops are independent — no sharing, no memory traffic); external
+    * neighbor load or reduced all-core turbo inflates it while leaving
+    * the SINGLE-thread sentinel clean — exactly the contamination class
+    * four same-day round-15 runs hit (serial 68.6-78.3 s at calib
+    * 0.93-0.99, host load avg up to 6.7 with zero local processes,
+    * while an r14-vs-r15 code A/B profile on the same box showed
+    * per-query parity). Recorded as DISCLOSURE (calib_mt_*) so a
+    * reader can normalize cross-run; not yet a contamination gate —
+    * pinning a nominal needs a cross-day spread first. */
+  def calibrateMt(): (Double, Int) = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    val per = CalibIters / 4
+    val ts = (0 until threads).map(_ =>
+      new Thread(() => { if (work(per) == 42) print("") }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    ((System.nanoTime() - t0) / 1e9, threads)
+  }
   /** ~0.2 s on an idle host; run between query groups in the serial pass.
     * The loop is already JIT-hot after calibrate(). MIN of two samples:
     * a ~20 ms GC pause in a 0.1 s sample reads as a 20% deviation and
@@ -111,6 +133,7 @@ object Bench {
     // paying for the whole suite — local tuning loop only, the driver
     // never sets it.
     val calibBefore = calibrate()
+    val (calibMtBefore, mtThreads) = calibrateMt()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -218,6 +241,7 @@ object Bench {
     }
     pool.shutdown()
     val calibAfter = calibrate()
+    val (calibMtAfter, _) = calibrateMt()
     // Contaminated = an endpoint sentinel deviates >10% from its committed
     // idle nominal, OR a mid-pass probe bracket flagged queries that could
     // not be cleanly re-timed. Such a run's absolute numbers are not
@@ -256,6 +280,8 @@ object Bench {
         s""""serial_value":${f3(serialTotal)},"serial_first":${f3(serialFirst)},""" +
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
         s""""calib_nominal":${f3(CalibNominalSec)},"contaminated":$contaminated,""" +
+        s""""calib_mt_before":${f3(calibMtBefore)},""" +
+        s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
         s""""probe_nominal":${f3(ProbeNominalSec)},""" +
         s""""requeried_n":${requeried.size},""" +
         s""""contaminated_n":${contaminatedQueries.size},""" +
