@@ -78,6 +78,7 @@ object CheckpointBench {
     import spark.implicits._
 
     val calibBefore = Bench.calibrate()
+    val (calibMtBefore, mtThreads) = Bench.calibrateMt()
 
     // one REAL commit (stats + a ~1 KB bloom — a representative entry
     // body), template-replicated to n entries
@@ -130,6 +131,7 @@ object CheckpointBench {
     require(p1 == 0 && pM > 4, s"expected shapes single/multi, got $p1/$pM parts")
 
     val calibAfter = Bench.calibrate()
+    val (calibMtAfter, _) = Bench.calibrateMt()
     val contaminated =
       math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
     def f3(v: Double): String = f"$v%.3f"
@@ -143,6 +145,8 @@ object CheckpointBench {
         s""""ckpt_write_single_s":${f3(singleWrite)},""" +
         s""""ckpt_write_multi_s":${f3(multiWrite)},""" +
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
+        s""""calib_mt_before":${f3(calibMtBefore)},""" +
+        s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
         s""""calib_nominal":${f3(Bench.CalibNominalSec)},""" +
         s""""contaminated":$contaminated}"""
     Seq(rawDir, d1, dM).foreach(rmTree)

@@ -217,6 +217,7 @@ object ScaleBench {
       Bench.sweep(spark)
 
       val calibBefore = Bench.calibrate()
+      val (calibMtBefore, mtThreads) = Bench.calibrateMt()
       // (query -> (seconds, output rows)) per scale; min-of-runs — the
       // ratio of two mins is the cleanest signal for a monotone
       // noise-inflation model, and both scales use the same protocol
@@ -234,6 +235,7 @@ object ScaleBench {
       val base = pass(baseDir)
       val big = pass(scaledDir)
       val calibAfter = Bench.calibrate()
+      val (calibMtAfter, _) = Bench.calibrateMt()
       val contaminated =
         math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
 
@@ -249,6 +251,8 @@ object ScaleBench {
           s""""base_sf":"$baseDir","base_total_s":${f3(base.values.map(_._1).sum)},""" +
           s""""scaled_total_s":${f3(big.values.map(_._1).sum)},""" +
           s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
+          s""""calib_mt_before":${f3(calibMtBefore)},""" +
+          s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
           s""""calib_nominal":${f3(Bench.CalibNominalSec)},"contaminated":$contaminated,""" +
           s""""queries":$perQuery}"""
       Files.writeString(Paths.get(

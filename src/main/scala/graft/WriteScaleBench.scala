@@ -118,6 +118,7 @@ object WriteScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val calibBefore = Bench.calibrate()
+    val (calibMtBefore, mtThreads) = Bench.calibrateMt()
     // each scale runs untracked AND row-tracked back to back: the
     // flat-vs-table claim is re-checked under tracking, and the
     // tracked/untracked ratio prices the feature per verb
@@ -129,6 +130,7 @@ object WriteScaleBench {
       }
     }
     val calibAfter = Bench.calibrate()
+    val (calibMtAfter, _) = Bench.calibrateMt()
     val contaminated =
       math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
 
@@ -161,6 +163,8 @@ object WriteScaleBench {
         s""""rowtracking_cost_mergedv":${f3(rtCostMerge)},""" +
         s""""rowtracking_cost_compact":${f3(rtCostCompact)},""" +
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
+        s""""calib_mt_before":${f3(calibMtBefore)},""" +
+        s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
         s""""calib_nominal":${f3(Bench.CalibNominalSec)},""" +
         s""""contaminated":$contaminated,"sf":"$sfDir","tables":$per}"""
     Files.createDirectories(Paths.get("golden"))
