@@ -2315,8 +2315,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       sys.error(s"readChanges: fromVersion=$fromVersion predates retained " +
         s"history (entries below $tb were reclaimed by cleanupLog); " +
         "re-seed the consumer from a full read() instead")
-    val commits = committedVersions().map(parseCommit)
-      .filter(c => c.version > fromVersion && c.version <= toVersion)
+    // O(range), not O(history): the log file name IS the version, so
+    // the range filter runs on the version list and only in-range
+    // entries are ever parsed — a tailing consumer's per-batch cost is
+    // the batch's own commits, not the table's lifetime.
+    val commits = committedVersions()
+      .filter(v => v > fromVersion && v <= toVersion).map(parseCommit)
     commits.find(c => c.snapshot && c.changeDir.isEmpty && c.op != "COMPACT")
       .foreach { c =>
         sys.error(s"readChanges: version ${c.version} is a ${c.op} snapshot " +
@@ -2980,12 +2984,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }
   }
 
+  /** Parquet-footer opens by [[fileRowCount]] — zero when every add
+    * action carries `rows` (all writers have recorded it since the
+    * field shipped); exposed so tests pin the classify step's
+    * no-footer-I/O claim instead of trusting it. */
+  private[graft] val footerRowCountReads =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Total physical rows of a committed file, from its parquet footer —
-    * metadata-only, needed to classify a matched file as fully vs
-    * partially deleted. */
+    * metadata-only, the LEGACY fallback for adds that predate the
+    * recorded `rows` field (morCommit classifies from the log's own
+    * counts first: a serial driver-side footer loop over thousands of
+    * matched files is real I/O for data the commits already carry). */
   private def fileRowCount(spark: SparkSession, key: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    footerRowCountReads.incrementAndGet()
     val conf = spark.sessionState.newHadoopConf()
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(dataDir.resolve(key).toUri), conf))
@@ -3100,10 +3114,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       try {
         val counts = doomed.groupBy(col(FileCol)).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // physical row counts from the add actions already in hand —
+        // footer I/O only for legacy adds that never recorded `rows`
+        val rowsByKey: Map[String, Long] = commits.flatMap(c =>
+          c.adds.flatMap(a => a.rows.map(addKey(c, a) -> _))).toMap
         val actions = counts.map { case (k, n) =>
           k -> DeletionVectors.classify(n,
             ts0.dv.get(k).map(_.length.toLong).getOrElse(0L),
-            fileRowCount(spark, k), dvMaxRows)
+            rowsByKey.getOrElse(k, fileRowCount(spark, k)), dvMaxRows)
         }
         val removeKeys = actions.collect {
           case (k, DeletionVectors.Remove) => k }.toSeq.sorted
@@ -3491,21 +3509,28 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * mid-race, re-recording the stale transform would revert the
     * rival's evolution, and silently re-deriving could rename a
     * column the rival just dropped. Abort instead (Delta's
-    * MetadataChangedException posture); the caller re-runs. */
+    * MetadataChangedException posture); the caller re-runs.
+    *
+    * The freshness check runs BEFORE every claim attempt (after the
+    * version read): version claims are dense, so a claim win at `v`
+    * proves no rival committed between the check and the claim —
+    * checking only after a FAILED claim would let a rival landing
+    * between the caller's schema read and our first claim win the
+    * race and have its evolution silently reverted. */
   private def mappingCommit(schemaJson: String, m: Map[String, String],
       dropped: Seq[String], op: String, derivedFrom: String): Long = {
     Files.createDirectories(logDir)
-    var v = nextVersion()
-    while ({ metaClaimHook()
+    var v = -1L
+    while ({
+        metaClaimHook()
+        v = if (v < 0) nextVersion() else math.max(v + 1, nextVersion())
+        if (latestSchema().map(_.json) != Some(derivedFrom))
+          sys.error(s"$op: a concurrent commit changed the table schema " +
+            "while this metadata commit raced — re-derive and retry " +
+            "(metadata conflict)")
         !claim(v, entryJsonS(schemaJson, v, "", Nil, snapshot = false,
           Nil, Map.empty, op, None, Map.empty,
-          columnMapping = Some(m), droppedCols = Some(dropped))) }) {
-      if (latestSchema().map(_.json) != Some(derivedFrom))
-        sys.error(s"$op: a concurrent commit changed the table schema " +
-          "while this metadata commit raced — re-derive and retry " +
-          "(metadata conflict)")
-      v = math.max(v + 1, nextVersion())
-    }
+          columnMapping = Some(m), droppedCols = Some(dropped))) }) ()
     v
   }
 
@@ -3945,12 +3970,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * [[cleanupLog]] (absolute-path history entries leave the servable
     * log) — after which deepCloneTo succeeds. */
   def deepCloneTo(targetDir: String): Long = {
-    val tgtLog = Paths.get(targetDir, "_graft_log")
-    val tgtEmpty = !Files.isDirectory(tgtLog) || {
-      val s = Files.list(tgtLog)
+    def emptyOrAbsent(p: Path): Boolean = !Files.isDirectory(p) || {
+      val s = Files.list(p)
       try !s.iterator().hasNext finally s.close()
     }
-    require(tgtEmpty, s"deepCloneTo: $targetDir already has a commit log")
+    val tgtLog = Paths.get(targetDir, "_graft_log")
+    require(emptyOrAbsent(tgtLog),
+      s"deepCloneTo: $targetDir already has a commit log")
+    // a pre-existing data tree would be silently MERGED with the clone
+    // (copies replace name-collisions but leave strangers in place) —
+    // stale files the cloned log never references would survive in the
+    // target, defeating the byte-identical contract
+    require(emptyOrAbsent(Paths.get(targetDir, "data")),
+      s"deepCloneTo: $targetDir already has a data tree — clone into an " +
+        "empty target (stale unreferenced files would otherwise survive)")
     val commits = allKnownCommits()
     require(commits.nonEmpty, "deepCloneTo: source table has no commits")
     commits.foreach { c =>
@@ -4378,17 +4411,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     removed
   }
 
-  /** Table schema as recorded by the latest commit's metaData action. */
-  def latestSchema(): Option[org.apache.spark.sql.types.StructType] =
+  /** Table schema as recorded by the latest commit's metaData action.
+    * Parsed with the same JSON parser as every other entry read — a
+    * substring scan for the next key is spoofable by field METADATA
+    * (which flows into schema.json uncut): a column whose metadata
+    * contains a key named `partitionColumns` would truncate the parse
+    * and brick every subsequent verb. */
+  def latestSchema(): Option[org.apache.spark.sql.types.StructType] = {
+    import org.json4s.jackson.JsonMethods
     committedVersions().lastOption.map { v =>
-      val raw = Files.readString(logFile(v))
-      val marker = "\"schemaString\":"
-      val from = raw.indexOf(marker) + marker.length
-      // schemaString is a nested JSON object ending before ,"partitionColumns"
-      val to = raw.indexOf(",\"partitionColumns\"", from)
-      org.apache.spark.sql.types.DataType.fromJson(raw.substring(from, to))
+      val j = JsonMethods.parse(Files.readString(logFile(v)))
+      org.apache.spark.sql.types.DataType.fromJson(
+          JsonMethods.compact(JsonMethods.render(j \ "metaData" \ "schemaString")))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+  }
 }
 
 object ExactlyOnceSink {

@@ -363,4 +363,25 @@ class CloneSpec extends SparkSpecBase {
     assert(ids(deep) === (0L until 30L).toSeq,
       "the localized deep clone must survive deletion of BOTH ancestors")
   }
+
+  test("deepCloneTo refuses a target with a pre-existing data tree") {
+    // copies replace name-collisions but leave strangers in place: a
+    // stale target data/ tree would be silently MERGED with the clone,
+    // keeping files the cloned log never references — the target must
+    // be empty, not merely log-less
+    val srcDir = tmp("graft-deep-src3")
+    val src = new ExactlyOnceSink(srcDir)
+    src.commitAppend(spark.range(0, 5).toDF("id"))
+    val tgtDir = tmp("graft-deep-stale")
+    val stale = Paths.get(tgtDir, "data", "old")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("stray.parquet"), "not a clone file")
+    val e = intercept[IllegalArgumentException](src.deepCloneTo(tgtDir))
+    assert(e.getMessage.contains("data tree"),
+      s"refusal must name the stale data tree, got: ${e.getMessage}")
+    // an empty (or absent) target still works
+    val okDir = tmp("graft-deep-ok")
+    src.deepCloneTo(okDir)
+    assert(ids(new ExactlyOnceSink(okDir)) === (0L until 5L).toSeq)
+  }
 }

@@ -124,4 +124,27 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(ops.contains("RENAME COLUMN") && ops.contains("SET CONSTRAINT"),
       s"metadata ops missing from history: $ops")
   }
+
+  test("field metadata containing the key 'partitionColumns' cannot spoof latestSchema") {
+    // field metadata flows into schema.json uncut, so a substring scan
+    // for the NEXT entry key would truncate mid-schema and brick every
+    // subsequent verb — latestSchema must parse the entry as JSON
+    import org.apache.spark.sql.types._
+    val (sink, dir) = newSink("spoof")
+    val md = new MetadataBuilder()
+      .putString("partitionColumns", "\":[],\"evil\":{").build()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+    val spoofed = spark.createDataFrame(base.rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false, md),
+      StructField("x", StringType))))
+    sink.commitAppend(spoofed)
+    val sch = new ExactlyOnceSink(dir).latestSchema().get
+    assert(sch.fieldNames.toSeq === Seq("id", "x"))
+    assert(sch("id").metadata.getString("partitionColumns").nonEmpty)
+    // every latestSchema-reading verb still works over the spoofed entry
+    sink.setConstraint(spark, "pos", "id > 0")
+    sink.renameColumn("x", "x2")
+    sink.commitAppend(Seq((3L, "c")).toDF("id", "x2"))
+    assert(sink.read(spark).count() === 3)
+  }
 }

@@ -233,4 +233,21 @@ class DeletionVectorSpec extends SparkSpecBase {
     sink.vacuum(minAgeMs = 0)
     assert(ids(sink.read(spark)) === (1L until 10L).toSet)
   }
+
+  test("merge-on-read classifies files from recorded row counts — zero footer I/O") {
+    // every add action carries `rows`, so the delete/vector/rewrite
+    // classify step must never open a parquet footer: at a merge
+    // touching thousands of files a serial driver-side footer loop is
+    // real I/O for counts the commits already hold in memory
+    val (sink, _) = newSink("norows")
+    sink.commitAppend(spark.range(0, 100).toDF("id").coalesce(1))
+    sink.commitAppend(spark.range(100, 200).toDF("id").coalesce(1))
+    val before = sink.footerRowCountReads.get()
+    sink.deleteDV(spark, col("id") === 5L)    // partial file → vector tier
+    sink.deleteDV(spark, col("id") >= 100L)   // whole file → remove tier
+    sink.mergeDV(spark, Seq(7L).toDF("id"), Seq("id"))
+    assert(sink.footerRowCountReads.get() === before,
+      "classify opened parquet footers for row counts the log already records")
+    assert(sink.read(spark).count() === 99)
+  }
 }

@@ -1277,6 +1277,18 @@ class StreamingSpec extends SparkSpecBase {
     src.merge(spark, Seq((7L, "u7")).toDF("id", "x"), Seq("id")) // CoW merge too
     drain()
     assert(state(dst) === state(src), "replica diverged after second drain")
+
+    // O(range) tail cost: a drain carrying ONE new source version may
+    // parse only that version's entry (+1 slack), never the table's
+    // whole history — otherwise every micro-batch pays O(lifetime)
+    // JSON parses and a long-lived tail degrades quadratically
+    src.commitAppend(Seq((100L, "tail")).toDF("id", "x"))
+    val parsesBefore = src.logFileParses.get()
+    drain()
+    val parsed = src.logFileParses.get() - parsesBefore
+    assert(parsed <= 2,
+      s"tailChanges parsed $parsed log entries for a 1-version batch — O(history) leak")
+    assert(state(dst) === state(src), "replica diverged after third drain")
   }
 
   test("streaming cluster tagging matches the batch k-means assignment") {
