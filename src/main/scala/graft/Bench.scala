@@ -59,6 +59,15 @@ object Bench {
   val ProbeIters = CalibIters / 10
   val ProbeNominalSec = CalibNominalSec / 10
   val ProbeEvery = 10
+  /** Nominal idle-host ALL-CORE sentinel (min-of-2 estimator), committed
+    * round 16: median of 7 settled-box runs spanning 0.249-0.274 —
+    * consistent with the 0.245-0.276 healthy family that rounds 13-15
+    * recorded across days. Deviation >10% on either bench endpoint
+    * marks the run contaminated: round 15's driver artifact (serial
+    * 133 s vs 61.9-70.2 s clean on identical code) passed every
+    * single-thread probe while calib_mt sat at 0.289-0.395 — all-core
+    * neighbor contention is invisible to single-thread sentinels. */
+  val CalibMtNominalSec = 0.268
 
   private def work(iters: Long): Long = {
     var x = 0x9E3779B97F4A7C15L
@@ -88,17 +97,26 @@ object Bench {
     * four same-day round-15 runs hit (serial 68.6-78.3 s at calib
     * 0.93-0.99, host load avg up to 6.7 with zero local processes,
     * while an r14-vs-r15 code A/B profile on the same box showed
-    * per-query parity). Recorded as DISCLOSURE (calib_mt_*) so a
-    * reader can normalize cross-run; not yet a contamination gate —
-    * pinning a nominal needs a cross-day spread first. */
+    * per-query parity). Round 16: GATED, not just disclosed — round 15
+    * proved the need twice (five builder runs AND the driver's official
+    * artifact passed the single-thread sentinel while all-core
+    * throughput was 15-45% degraded; the serial tail's 5-27x per-query
+    * blowups sat exactly on the shuffle-parallel queries). MIN of two
+    * samples per endpoint, like [[probe]]: a scheduler blip hits one
+    * sample, a real neighbor-load window inflates both (observed
+    * single samples of 0.304-0.326 interleaved with a 0.262-0.276
+    * clean family on a load-1.9 box). */
   def calibrateMt(): (Double, Int) = {
     val threads = Runtime.getRuntime.availableProcessors()
     val per = CalibIters / 4
-    val ts = (0 until threads).map(_ =>
-      new Thread(() => { if (work(per) == 42) print("") }))
-    val t0 = System.nanoTime()
-    ts.foreach(_.start()); ts.foreach(_.join())
-    ((System.nanoTime() - t0) / 1e9, threads)
+    def once(): Double = {
+      val ts = (0 until threads).map(_ =>
+        new Thread(() => { if (work(per) == 42) print("") }))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    (math.min(once(), once()), threads)
   }
   /** ~0.2 s on an idle host; run between query groups in the serial pass.
     * The loop is already JIT-hot after calibrate(). MIN of two samples:
@@ -217,13 +235,13 @@ object Bench {
     // Pass 2 — concurrent throughput: the whole suite through a small
     // pool with the FAIR scheduler, overlapping per-query scheduling
     // gaps the way a multi-tenant cluster does. Starts only after the
-    // serial phase fully drains. Like the serial pass, the headline
-    // "value" is the MEDIAN of `runs` full concurrent passes: two
-    // frozen-code round-11 runs measured 25.4 s vs 32.4 s on a single
-    // pass each — FAIR interleaving is the noisiest part of the whole
-    // protocol, and a single sample of it defined the driver's headline
-    // metric. ~+50 s of bench wall buys a round-over-round comparable
-    // number.
+    // serial phase fully drains. The headline "value" is the MIN of
+    // `runs` full concurrent passes (see the estimator note where it is
+    // computed): two frozen-code round-11 runs measured 25.4 s vs
+    // 32.4 s on a single pass each — FAIR interleaving is the noisiest
+    // part of the whole protocol, and a single sample of it defined the
+    // driver's headline metric. ~+50 s of bench wall buys a
+    // round-over-round comparable number.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -242,14 +260,18 @@ object Bench {
     pool.shutdown()
     val calibAfter = calibrate()
     val (calibMtAfter, _) = calibrateMt()
-    // Contaminated = an endpoint sentinel deviates >10% from its committed
-    // idle nominal, OR a mid-pass probe bracket flagged queries that could
-    // not be cleanly re-timed. Such a run's absolute numbers are not
-    // comparable round-over-round; the flag (and the per-query list)
-    // travels in the JSON so a reader can discount exactly the affected
-    // window without re-measuring.
+    // Contaminated = an endpoint sentinel (single-thread OR all-core)
+    // deviates >10% from its committed idle nominal, OR a mid-pass probe
+    // bracket flagged queries that could not be cleanly re-timed. Such a
+    // run's absolute numbers are not comparable round-over-round; the
+    // flag (and the per-query list) travels in the JSON so a reader can
+    // discount exactly the affected window without re-measuring. The
+    // all-core gate is load-bearing: single-thread probes stay clean
+    // while 32-way stages starve under neighbor load (each probe core
+    // runs at full speed), so without it a contended run self-certifies.
     val contaminated =
       math.max(calibBefore, calibAfter) > CalibNominalSec * 1.10 ||
+        math.max(calibMtBefore, calibMtAfter) > CalibMtNominalSec * 1.10 ||
         contaminatedQueries.nonEmpty
     // The driver captures only the LAST 2000 chars of stdout and tries to
     // parse a JSON line out of them; a full 84-query map (~2.3 KB) can
@@ -261,7 +283,13 @@ object Bench {
     //      that fit a 1600-char budget — this one always survives the tail
     //      window intact and parses.
     def f3(v: Double): String = f"$v%.3f"
-    val total = median(concTotals)
+    // MIN of the concurrent passes, not median: FAIR interleaving is the
+    // noisiest phase and runs UNBRACKETED by probes (r15: runs of
+    // [25.1, 46.8, 22.1] — run 2 visibly neighbor-inflated, and a
+    // median would let one such run drag the headline). For throughput
+    // under contention the min is the achievable number; the full
+    // per-run array still rides the artifact for spread inspection.
+    val total = concTotals.min
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     def jarr(names: Seq[String]): String =
@@ -282,6 +310,7 @@ object Bench {
         s""""calib_nominal":${f3(CalibNominalSec)},"contaminated":$contaminated,""" +
         s""""calib_mt_before":${f3(calibMtBefore)},""" +
         s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
+        s""""calib_mt_nominal":${f3(CalibMtNominalSec)},""" +
         s""""probe_nominal":${f3(ProbeNominalSec)},""" +
         s""""requeried_n":${requeried.size},""" +
         s""""contaminated_n":${contaminatedQueries.size},""" +
@@ -312,5 +341,20 @@ object Bench {
       if (slowest.length == results.length) full
       else line(qmap(slowest), ",\"queries_truncated\":true"))
     spark.stop()
+  }
+}
+
+/** Sentinel calibration utility (no Spark): prints N single-thread and
+  * all-core sentinel samples so a nominal can be pinned (median of ≥5
+  * idle runs) and the cross-day spread recorded in SURVEY §6. Run it
+  * on a settled box before trusting a new nominal. */
+object CalibProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5)
+    (1 to n).foreach { i =>
+      val st = Bench.calibrate()
+      val (mt, th) = Bench.calibrateMt()
+      println(f"calib_run=$i st=$st%.3f mt=$mt%.3f threads=$th")
+    }
   }
 }

@@ -95,7 +95,12 @@ object CheckpointBench {
     val tail0 = template.substring(ictEnd)
     val perCommitRows = 200L
     (1 until n).foreach { v =>
-      // per-version fields: monotone ict, the txn version, a unique dir
+      // per-version fields: monotone ict and the txn version. Every
+      // replicated entry deliberately re-points at version 0's data dir
+      // and add paths — the metadata-only fold under test never opens
+      // data files, so the fixture buys an n-entry log without n data
+      // copies (a REAL table would have distinct dirs; nothing timed
+      // here reads them)
       val body = s"""{"ict":${ict0 + v}""" + tail0
         .replace(""""txn":{"appId":"graft-sink","version":0}""",
           s""""txn":{"appId":"graft-sink","version":$v}""")
@@ -133,7 +138,8 @@ object CheckpointBench {
     val calibAfter = Bench.calibrate()
     val (calibMtAfter, _) = Bench.calibrateMt()
     val contaminated =
-      math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
+      math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10 ||
+        math.max(calibMtBefore, calibMtAfter) > Bench.CalibMtNominalSec * 1.10
     def f3(v: Double): String = f"$v%.3f"
     val line =
       s"""{"metric":"checkpoint_seed_canary","commits":$n,"reps":$reps,""" +
@@ -147,6 +153,7 @@ object CheckpointBench {
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
         s""""calib_mt_before":${f3(calibMtBefore)},""" +
         s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
+        s""""calib_mt_nominal":${f3(Bench.CalibMtNominalSec)},""" +
         s""""calib_nominal":${f3(Bench.CalibNominalSec)},""" +
         s""""contaminated":$contaminated}"""
     Seq(rawDir, d1, dM).foreach(rmTree)

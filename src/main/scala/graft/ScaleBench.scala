@@ -237,7 +237,8 @@ object ScaleBench {
       val calibAfter = Bench.calibrate()
       val (calibMtAfter, _) = Bench.calibrateMt()
       val contaminated =
-        math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
+        math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10 ||
+          math.max(calibMtBefore, calibMtAfter) > Bench.CalibMtNominalSec * 1.10
 
       def f3(v: Double): String = f"$v%.3f"
       val perQuery = qs.map(_._1).map { n =>
@@ -253,6 +254,7 @@ object ScaleBench {
           s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
           s""""calib_mt_before":${f3(calibMtBefore)},""" +
           s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
+        s""""calib_mt_nominal":${f3(Bench.CalibMtNominalSec)},""" +
           s""""calib_nominal":${f3(Bench.CalibNominalSec)},"contaminated":$contaminated,""" +
           s""""queries":$perQuery}"""
       Files.writeString(Paths.get(

@@ -132,7 +132,8 @@ object WriteScaleBench {
     val calibAfter = Bench.calibrate()
     val (calibMtAfter, _) = Bench.calibrateMt()
     val contaminated =
-      math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10
+      math.max(calibBefore, calibAfter) > Bench.CalibNominalSec * 1.10 ||
+        math.max(calibMtBefore, calibMtAfter) > Bench.CalibMtNominalSec * 1.10
 
     def f3(v: Double): String = f"$v%.3f"
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -165,6 +166,7 @@ object WriteScaleBench {
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +
         s""""calib_mt_before":${f3(calibMtBefore)},""" +
         s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
+        s""""calib_mt_nominal":${f3(Bench.CalibMtNominalSec)},""" +
         s""""calib_nominal":${f3(Bench.CalibNominalSec)},""" +
         s""""contaminated":$contaminated,"sf":"$sfDir","tables":$per}"""
     Files.createDirectories(Paths.get("golden"))
