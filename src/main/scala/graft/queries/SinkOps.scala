@@ -204,20 +204,30 @@ object SinkOps {
     * user-striped appends (`user_id % 16` — every file's [min,max] user
     * range spans nearly the whole domain, so RANGE stats cannot prune
     * a user probe) with `bloomBy=user_id` recording a ~1 KB per-file
-    * bloom in the log. The probe then prunes ~15/16 of the files where
-    * stats prune none — the equality-lookup case blooms exist for.
-    * Cache discipline identical to [[clusteredEvents]]. */
+    * bloom in the log, THEN a ~4:1 incremental OPTIMIZE pass — the
+    * served table is post-compaction, so the per-round oracle gate
+    * also proves blooms survive packing (round 16: compactSmall
+    * recomputes blooms for its output from the recorded `graft.bloom`
+    * policy; before that, an auto-compacting streaming table silently
+    * lost its point-probe pruning). The probe still prunes ~3/4 of the
+    * packed files where stats prune none. Cache discipline identical
+    * to [[clusteredEvents]]. */
   private val builtBloom = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def bloomEvents(s: SparkSession, d: String): ExactlyOnceSink =
     buildOnce(builtBloom, s, d, "graft-bloom",
-        "proto=16xuserstripe,bloom(user_id)") { (ev, dir) =>
+        "proto=16xuserstripe,bloom(user_id),compact4") { (ev, dir) =>
       val sink = new ExactlyOnceSink(dir.toString)
       (0 until 16).foreach { k =>
         sink.commitAppend(
           ev.filter(pmod(col("user_id"), lit(16)) === k).coalesce(1),
           bloomBy = Seq("user_id"))
       }
+      // pack ~4 stripes per output file (target = 4x the largest stripe,
+      // SF-relative so every fixture scale packs the same 16 -> ~4 shape)
+      val maxStripe = sink.read(s).inputFiles
+        .map(f => Files.size(Paths.get(java.net.URI.create(f)))).max
+      sink.compactSmall(s, targetBytes = 4L * maxStripe + 1)
     }
 
   /** Generated-column partition probe (mirrored in the oracle):
@@ -521,11 +531,12 @@ object SinkOps {
         .orderBy("batch", "event_type")
     }),
 
-    // Bloom point probe on the user-striped table: every file's user
-    // RANGE spans the domain (stats prune nothing) but its bloom holds
-    // only its stripe's users, so ~15/16 of the files drop at the
-    // metadata layer. Pruning is conservative and the exact predicate
-    // re-applies, so the result equals the full scan — DuckDB-checked.
+    // Bloom point probe on the user-striped, then OPTIMIZE-packed
+    // table: every packed file's user RANGE spans the domain (stats
+    // prune nothing) but its recomputed bloom holds only its stripes'
+    // users, so ~3/4 of the packed files drop at the metadata layer.
+    // Pruning is conservative and the exact predicate re-applies, so
+    // the result equals the full scan — DuckDB-checked.
     "q_sink_bloom_lookup" -> ((s, d) => {
       val pruned = bloomEvents(s, d).readLookup(s, "user_id", BloomUser.toString)
       val src = if (pruned.columns.isEmpty)

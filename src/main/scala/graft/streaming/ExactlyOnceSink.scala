@@ -232,11 +232,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * writer knob; a real deployment sizes it from expected distinct
     * count and target FPP exactly as Delta's index does. */
   private def fileBlooms(spark: SparkSession, staging: Path,
-      cols: Seq[String], bits: Int): Map[String, Map[String, Array[Long]]] = {
-    if (cols.isEmpty) return Map.empty
+      cols0: Seq[String], bits: Int): Map[String, Map[String, Array[Long]]] = {
+    if (cols0.isEmpty) return Map.empty
     import org.apache.spark.sql.functions._
     val words = bits / 64
     val df = spark.read.parquet(staging.toString)
+    // columns absent from the staged frame (e.g. DROPped since the
+    // policy was recorded) simply get no bloom — readers keep a
+    // bloom-less file conservatively, same contract as stats
+    val cols = cols0.filter(df.columns.contains)
+    if (cols.isEmpty) return Map.empty
     val aggs = for { c <- cols; w <- 0 until words } yield {
       val contrib = (0 until 3).map { j =>
         val p = pmod(xxhash64(lit(j), col(c).cast("string")), lit(bits))
@@ -1415,7 +1420,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wd, domains = clusterDomain(clusterBy)))) {
+          widened = wd, domains = writeDomains(clusterBy, bloomBy, bloomBits)))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
         validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
           "commitAppend")
@@ -1498,7 +1503,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
               snapshot = false, st.adds, st.stats, blooms = st.blooms,
               streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-              widened = wd, domains = clusterDomain(clusterBy)))) {
+              widened = wd, domains = writeDomains(clusterBy, bloomBy, bloomBits)))) {
             v = math.max(v + 1, nextVersion())
             validated = reEnforceOnRetry(adf.schema, mergeSchema,
               validated, "commitAppend")
@@ -1586,7 +1591,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           partitionBy, snapshot = false, st.adds, st.stats,
           blooms = st.blooms, generated = Some(genOut),
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wdI, domains = clusterDomain(clusterBy))))
+          widened = wdI, domains = writeDomains(clusterBy, bloomBy, bloomBits))))
         return expected
     }
     -1L // unreachable
@@ -1626,6 +1631,34 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     if (clusterBy.isEmpty) None
     else Some(Map("graft.clustering" ->
       Some(Map("columns" -> clusterBy.mkString(",")))))
+
+  /** Every domain delta a WRITE records: `graft.clustering` (logical
+    * columns, the user-facing layout declaration) plus `graft.bloom` —
+    * PHYSICAL column names + bitmap width, matching the per-file bloom
+    * keys so the policy survives renames. The bloom domain exists so
+    * OPTIMIZE (and every copy-on-write rewrite) can recompute blooms
+    * for its packed output instead of silently retiring the table's
+    * point-probe pruning along with the original files. */
+  private def writeDomains(clusterBy: Seq[String], bloomBy: Seq[String],
+      bloomBits: Int): Option[Map[String, Option[Map[String, String]]]] = {
+    val bl: Map[String, Option[Map[String, String]]] =
+      if (bloomBy.isEmpty) Map.empty
+      else Map("graft.bloom" -> Some(Map(
+        "columns" -> bloomBy.map(physicalOf).mkString(","),
+        "bits" -> bloomBits.toString)))
+    val m = clusterDomain(clusterBy).getOrElse(Map.empty) ++ bl
+    if (m.isEmpty) None else Some(m)
+  }
+
+  /** The table's recorded bloom policy: (physical columns, bitmap
+    * bits) from the `graft.bloom` domain, or (Nil, default). */
+  private def bloomPolicy(): (Seq[String], Int) =
+    domainMetadata("graft.bloom") match {
+      case Some(cfg) => (
+        cfg.get("columns").toSeq.flatMap(_.split(',')).filter(_.nonEmpty),
+        cfg.get("bits").map(_.toInt).getOrElse(4096))
+      case None => (Nil, 4096)
+    }
 
   private case class StagedAppend(dir: String, adds: Seq[Path],
       stats: Map[String, Map[String, (String, String)]],
@@ -1718,6 +1751,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val stats = meta.stats
       val rowsM = meta.rows
       val bytesM = meta.bytes
+      // a declared bloom policy survives EVERY copy-on-write rewrite
+      // (compact, CoW merge/delete, arbitrary snapshot transforms):
+      // recompute blooms for the rewritten files — a maintenance pass
+      // must not retire the table's point-probe pruning
+      val (polColsS, polBitsS) = bloomPolicy()
+      val bloomsS = fileBlooms(spark, staging, polColsS, polBitsS)
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -1744,7 +1783,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         org.apache.spark.sql.types.StructType(
           out.schema.fields.filterNot(_.name.startsWith(MatPrefix))))
       if (claim(expected, entryJsonS(sjS, expected, dir, Nil, snapshot = true,
-          adds, stats, op, changeDir, streamTxn = streamTxn, rows = rowsM,
+          adds, stats, op, changeDir, blooms = bloomsS,
+          streamTxn = streamTxn, rows = rowsM,
           bytes = bytesM, widened = wdS,
           matFiles = out.columns.contains(MatIdCol))))
         return expected
@@ -3168,6 +3208,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         var stats: Map[String, Map[String, (String, String)]] = Map.empty
         var rowsM: Map[String, Long] = Map.empty
         var bytesM: Map[String, Long] = Map.empty
+        var bloomsM: Map[String, Map[String, Array[Long]]] = Map.empty
         newRows.foreach { nr =>
           val staging = Paths.get(tableDir, s".staging-$uuid")
           adds = stage(nr, staging, Nil)
@@ -3175,6 +3216,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           stats = meta.stats
           rowsM = meta.rows
           bytesM = meta.bytes
+          // declared bloom policy rides merge-on-read rewrites too:
+          // over-cap rewrites and merge's inserted rows get fresh
+          // blooms so point-probe pruning survives table maintenance
+          val (polCols, polBits) = bloomPolicy()
+          bloomsM = fileBlooms(spark, staging, polCols, polBits)
           Files.createDirectories(dataDir.resolve("files"))
           Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
           touchNow(dataDir.resolve(dir))
@@ -3196,7 +3242,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
               .filterNot(_.name.startsWith(MatPrefix))))
         if (claim(expected, entryJsonS(schemaJson, expected,
             if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
-            stats, op, Some(changeRel), streamTxn = streamTxn,
+            stats, op, Some(changeRel), blooms = bloomsM,
+            streamTxn = streamTxn,
             removes = removeKeys ++ rewriteKeys, dvs = dvNew,
             rows = rowsM, bytes = bytesM,
             matFiles = adds.nonEmpty && logTail.rowIdState().isDefined)))
@@ -4161,17 +4208,32 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       minFiles: Int = 2, maxRetries: Int = 20,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Long = {
     import org.apache.spark.sql.functions.col
+    // OPTIMIZE discovers the table's layout from the log when the caller
+    // passes none: clustered writes record their columns in the
+    // `graft.clustering` domain, so an auto-compact (streaming-ingest
+    // maintenance) preserves the declared clustering instead of
+    // silently packing in arrival order — the Delta liquid-clustering
+    // discovery loop, closed on both ends
+    val clusterCols =
+      if (clusterBy.nonEmpty) clusterBy
+      else domainMetadata("graft.clustering")
+        .flatMap(_.get("columns")).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)
+        // a recorded column RENAMEd/DROPped since the clustered write is
+        // silently skipped (explicit clusterBy still fails loudly)
+        .filter(c => latestSchema().exists(_.fieldNames.contains(c)))
     var attempt = 0
     while (true) {
       val expected = nextVersion()
       val all = visibleCommits(None)
       val ts = tombstones(all)
-      val cands = all.filter(_.adds.nonEmpty)
+      val candAdds = all.filter(_.adds.nonEmpty)
         .filter(c => c.adds.forall(a => !a.path.contains("/")))
-        .flatMap(c => c.adds.map(a => addKey(c, a)))
-        .filterNot(ts.removed)
-        .map(k => k -> Files.size(dataDir.resolve(k)))
-        .filter(_._2 < targetBytes)
+        .flatMap(c => c.adds.map(a => addKey(c, a) -> a))
+        .filterNot { case (k, _) => ts.removed(k) }
+        .map { case (k, a) => (k, a, Files.size(dataDir.resolve(k))) }
+        .filter(_._3 < targetBytes)
+      val cands = candAdds.map(t => (t._1, t._3))
       if (cands.size < minFiles) return -1L
       val nOut = math.max(1,
         math.ceil(cands.map(_._2).sum.toDouble / targetBytes).toInt)
@@ -4195,8 +4257,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // small files (the scan frame carries PHYSICAL names — translate
       // the clustering columns). Big files keep their existing layout.
       val packed =
-        if (clusterBy.isEmpty) live0.coalesce(nOut)
-        else graft.operators.ZOrder.cluster(live0, clusterBy.map(physicalOf),
+        if (clusterCols.isEmpty) live0.coalesce(nOut)
+        else graft.operators.ZOrder.cluster(live0, clusterCols.map(physicalOf),
           if (clusterFiles > 0) clusterFiles else math.max(nOut, 2))
       val uuid = java.util.UUID.randomUUID().toString
       val staging = Paths.get(tableDir, s".staging-$uuid")
@@ -4208,6 +4270,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val stats = meta.stats
       val rowsM = meta.rows
       val bytesM = meta.bytes
+      // blooms SURVIVE OPTIMIZE: recompute them for the packed output
+      // over the union of the recorded bloom policy and whatever
+      // columns the retired files carried blooms for (legacy tables
+      // that predate the `graft.bloom` domain) — otherwise an
+      // auto-compacting streaming table silently loses the point-probe
+      // pruning q_sink_bloom_lookup exists to demonstrate
+      val (polCols, polBits) = bloomPolicy()
+      val retiredBlooms = candAdds.map(_._2.bloom)
+      val bloomCols = (polCols ++ retiredBlooms.flatMap(_.keys)).distinct
+      val bloomBits =
+        if (polCols.nonEmpty) polBits
+        else retiredBlooms.flatMap(_.values.map(_.length * 64))
+          .maxOption.getOrElse(4096)
+      val blooms = fileBlooms(spark, staging, bloomCols, bloomBits)
       val dir = s"files/$uuid"
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
@@ -4216,8 +4292,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           latestSchema().map(_.json).getOrElse(packed.schema.json),
           expected, dir, Nil,
           snapshot = false, adds, stats, "COMPACT_INC", None,
+          blooms = blooms,
           removes = cands.map(_._1), rows = rowsM, bytes = bytesM,
-          matFiles = tracked, domains = clusterDomain(clusterBy))))
+          matFiles = tracked, domains = clusterDomain(clusterCols))))
         return expected
       attempt += 1
       if (attempt > maxRetries)

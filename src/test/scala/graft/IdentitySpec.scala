@@ -267,6 +267,37 @@ class IdentitySpec extends SparkSpecBase {
     assert(sink.rowCount(spark) == 120L)
   }
 
+  test("parameterless OPTIMIZE discovers clustering from the recorded domain") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    // every append covers the FULL (a, b) domain — arrival order
+    // clusters nothing — and records graft.clustering via clusterBy
+    (0 until 6).foreach { _ =>
+      sink.commitAppend(
+        spark.range(0, 2000).toDF("a")
+          .withColumn("b", pmod(col("a") * 7919, lit(2000))),
+        clusterBy = Seq("a", "b"), clusterFiles = 1)
+    }
+    assert(sink.domainMetadata("graft.clustering")
+      .exists(_.get("columns").contains("a,b")))
+    // NO explicit clusterBy: the maintenance pass must discover the
+    // declared layout from the log instead of packing in arrival order
+    assert(sink.compactSmall(spark, targetBytes = 64L << 20,
+      clusterFiles = 4) > 0)
+    val total = sink.read(spark).inputFiles.toSet
+    assert(total.size >= 4, s"expected >=4 z-ordered outputs, got ${total.size}")
+    Seq("a", "b").foreach { c =>
+      val kept = sink.readSkipping(spark, c, 0, 120).inputFiles.toSet
+      assert(kept.size < total.size,
+        s"packed output not stats-prunable on $c — clustering was not discovered")
+      // 7919 mod 2000 is coprime to 2000, so b permutes 0..1999: both
+      // columns hold 121 in-range values per append, 6 appends each
+      assert(sink.readSkipping(spark, c, 0, 120)
+        .filter(col(c).between(0, 120)).count() === 726L)
+    }
+  }
+
   test("identity values survive a compact (snapshot carries them through)") {
     val sink = new ExactlyOnceSink(tmp())
     sink.setIdentityColumn(spark, "rid")

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import graft.streaming.ExactlyOnceSink
 
@@ -98,6 +98,34 @@ class SinkOpsSpec extends SparkSpecBase {
       .agg(count(lit(1)), sum("value")).head()
     assert(viaBloom == direct)
     assert(direct.getLong(0) > 0, "probe user missing — not probative")
+
+    // the write recorded the bloom policy as a metadata domain
+    assert(sink.domainMetadata("graft.bloom")
+      .exists(_.get("columns").contains("user_id")))
+    // blooms SURVIVE OPTIMIZE: pack the stripes ~2:1 and the probe must
+    // still prune (the packed adds carry recomputed blooms — before
+    // round 16 compaction silently dropped them and a bloom-less file
+    // is kept conservatively, so pruning died)
+    val maxStripe = total
+      .map(f => Files.size(Paths.get(java.net.URI.create(f)))).max
+    assert(sink.compactSmall(spark, targetBytes = 2 * maxStripe + 1) > 0)
+    val packed = sink.read(spark).inputFiles.toSet
+    assert(packed != total && packed.size > 1, "compaction did not repack")
+    val prunedPacked = sink.readLookup(spark, "user_id", "7").inputFiles.toSet
+    assert(prunedPacked.size < packed.size,
+      s"bloom pruning lost after OPTIMIZE (${prunedPacked.size}/${packed.size})")
+    assert(sink.readLookup(spark, "user_id", "7")
+      .filter(col("user_id") === 7).agg(count(lit(1)), sum("value")).head()
+      == direct)
+    // the CoW snapshot path keeps the policy too: compact() rewrites
+    // the whole table and an ABSENT key must prune to zero files —
+    // possible only if the rewritten adds carry blooms at all
+    sink.compact(spark)
+    assert(sink.readLookup(spark, "user_id", "987654321").inputFiles.isEmpty,
+      "compact dropped the bloom policy (bloom-less files read conservatively)")
+    assert(sink.readLookup(spark, "user_id", "7")
+      .filter(col("user_id") === 7).agg(count(lit(1)), sum("value")).head()
+      == direct)
   }
 
   test("q_sink_bloom_lookup matches the direct events aggregate") {
