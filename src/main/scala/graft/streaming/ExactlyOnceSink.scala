@@ -2222,24 +2222,89 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * MATERIALIZE surviving rows' ids into reserved physical columns so
     * they survive the (file, position) changing. MERGE-updated rows
     * KEEP their id and take the updating commit as their new
-    * row-commit-version — Delta's row-lineage semantics. Must be
-    * enabled before data lands (backfill of pre-existing files is not
-    * implemented — the early-Delta restriction). Idempotent: returns
-    * -1 if already enabled. */
-  def enableRowTracking(spark: SparkSession): Long = {
+    * row-commit-version — Delta's row-lineage semantics. On a table
+    * that already holds data, pass `backfill = true` (the plain enable
+    * refuses — the early-Delta restriction, kept as the default so
+    * adopting tracking on a large table is an explicit choice):
+    * BACKFILL is a METADATA-ONLY snapshot commit, Delta's actual
+    * backfill approach — every live add is re-committed (restore-style
+    * lift: same files, stats/blooms/DVs carried verbatim, zero data
+    * rewritten) with a fresh contiguous `baseRowId` block sized by its
+    * recorded row count and its default row-commit-version pinned to
+    * the ORIGINAL commit, so pre-existing rows read as "last written
+    * where they were written". O(live adds) driver work, no Spark job
+    * (footer reads only for legacy adds missing `rows` — and the
+    * backfill records the count it read, repairing them). The commit
+    * is physical-only: readChanges treats it like COMPACT.
+    * Idempotent: returns -1 if already enabled. */
+  def enableRowTracking(spark: SparkSession, backfill: Boolean = false): Long = {
     if (logTail.rowIdState().isDefined) return -1L
-    require(liveData(spark).isEmpty,
-      "enableRowTracking: enable before data lands (pre-existing files " +
-        "have no baseRowId and backfill is not implemented)")
     Files.createDirectories(logDir)
-    var v = nextVersion()
-    while ({ metaClaimHook()
-        !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
-          Nil, Map.empty, "ENABLE ROW TRACKING", None, Map.empty,
-          rowWmForce = Some(0L))) }) {
-      v = math.max(v + 1, nextVersion())
+    if (!backfill) {
+      require(liveData(spark).isEmpty,
+        "enableRowTracking: enable before data lands, or pass " +
+          "backfill = true to assign ids to pre-existing files " +
+          "(metadata-only, no rewrite)")
+      var v = nextVersion()
+      while ({ metaClaimHook()
+          !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
+            Nil, Map.empty, "ENABLE ROW TRACKING", None, Map.empty,
+            rowWmForce = Some(0L))) }) {
+        v = math.max(v + 1, nextVersion())
+      }
+      return v
     }
-    v
+    var attempt = 0
+    while (true) {
+      val expected = nextVersion()
+      if (logTail.rowIdState().isDefined) return -1L // rival enabled mid-race
+      val all = visibleCommits(None)
+      val commits = all.filter(_.adds.nonEmpty)
+      val ts = tombstones(all)
+      // live adds, key-qualified like a RESTORE lift (same files, new
+      // add actions — the log's newest word on each file wins the fold)
+      val lifted = commits.flatMap { c =>
+        c.adds.collect {
+          case a if !ts.removed.contains(addKey(c, a)) =>
+            (c, if (c.restoreDirs.nonEmpty || c.dir.isEmpty) a
+             else a.copy(path = s"${c.dir}/${a.path}"))
+        }
+      }
+      if (lifted.isEmpty) return enableRowTracking(spark) // nothing to backfill
+      // contiguous id blocks in deterministic key order; physical row
+      // counts from the log (DV'd positions still consume ids — virtual
+      // ids are base + PHYSICAL position)
+      var wm = 0L
+      val assigned = lifted.sortBy(_._2.path).map { case (c, a) =>
+        val n = a.rows.getOrElse(fileRowCount(spark, a.path))
+        val entry = (a.path, wm, a.rcv.getOrElse(c.version), n)
+        wm += n
+        entry
+      }
+      val rowCarry = assigned.map { case (k, b, cv, _) => k -> (b, cv) }.toMap
+      val rowsCarry = assigned.map { case (k, _, _, n) => k -> n }.toMap
+      val adds2 = lifted.map(_._2)
+      val liftedKeys = adds2.map(_.path).toSet
+      val dvCarry = ts.dv.filter(kv => liftedKeys.contains(kv._1))
+      val statsCarry = adds2.map(a => a.path ->
+        a.stats.map { case (cn, (lo, hi)) => cn -> (lo.orNull, hi.orNull) }).toMap
+      val bloomsCarry = adds2.filter(_.bloom.nonEmpty)
+        .map(a => a.path -> a.bloom).toMap
+      val bytesCarry = adds2.flatMap(a => a.bytes.map(a.path -> _)).toMap
+      val dirs = commits.flatMap(_.dataDirs).distinct.filter(_.nonEmpty)
+      metaClaimHook()
+      if (claim(expected, entryJsonS(metaSchemaJson(), expected, "", Nil,
+          snapshot = true, adds2.map(a => Paths.get(a.path)), statsCarry,
+          "ENABLE ROW TRACKING", None, bloomsCarry, restoreDirs = dirs,
+          removes = ts.removed.toSeq.sorted, dvs = dvCarry,
+          rows = rowsCarry, bytes = bytesCarry,
+          rowIdsCarry = Some(rowCarry), rowWmForce = Some(wm))))
+        return expected
+      attempt += 1
+      if (attempt > 20)
+        sys.error("enableRowTracking: gave up after 20 conflicts")
+    }
+    -1L // unreachable
   }
 
   /** The row-id high watermark (next id to allocate), or None while row
@@ -2361,7 +2426,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // the batch's own commits, not the table's lifetime.
     val commits = committedVersions()
       .filter(v => v > fromVersion && v <= toVersion).map(parseCommit)
-    commits.find(c => c.snapshot && c.changeDir.isEmpty && c.op != "COMPACT")
+    // physical-only snapshots are CDC-transparent: COMPACT rewrites
+    // prior state, a row-tracking BACKFILL re-points the same files
+    // with id metadata — neither changes a logical row
+    commits.find(c => c.snapshot && c.changeDir.isEmpty &&
+        c.op != "COMPACT" && c.op != "ENABLE ROW TRACKING")
       .foreach { c =>
         sys.error(s"readChanges: version ${c.version} is a ${c.op} snapshot " +
           "with no recorded change rows — the change feed over this range " +
@@ -4115,10 +4184,29 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           else lifted.copy(rcv = lifted.rcv.orElse(Some(c.version)))
       }
     }
-    val rowCarry: Option[Map[String, (Long, Long)]] =
-      if (logTail.rowIdState().isEmpty) None
-      else Some(adds.flatMap(a =>
-        a.baseRowId.map(b => a.path -> (b, a.rcv.getOrElse(0L)))).toMap)
+    // Row-id carry across the enablement boundary: a lifted add that
+    // PREDATES row tracking (restore target before a backfill enable)
+    // has no recorded block — reuse the newest block ANY known commit
+    // recorded for the same file (the backfill re-committed exactly
+    // these paths, so unchanged files keep their ids — stability), and
+    // only a file no commit ever assigned gets a fresh block (allocated
+    // per claim attempt, inside the OCC loop).
+    val knownIds: Map[String, (Long, Long)] =
+      if (logTail.rowIdState().isEmpty) Map.empty
+      else allKnownCommits().sortBy(_.version).flatMap { c =>
+        c.adds.flatMap(a => a.baseRowId.map(b =>
+          addKey(c, a) -> (b, a.rcv.getOrElse(c.version))))
+      }.toMap // ascending fold: the newest recording of a key wins
+    val carriedIds: Map[String, (Long, Long)] =
+      if (logTail.rowIdState().isEmpty) Map.empty
+      else adds.flatMap { a =>
+        a.baseRowId.map(b => (b, a.rcv.getOrElse(0L)))
+          .orElse(knownIds.get(a.path)).map(a.path -> _)
+      }.toMap
+    val unassigned: Seq[(String, Long)] =
+      if (logTail.rowIdState().isEmpty) Nil
+      else adds.filterNot(a => carriedIds.contains(a.path))
+        .map(a => a.path -> a.rows.getOrElse(fileRowCount(spark, a.path)))
     val liftedKeys = adds.map(_.path).toSet
     val dvCarry = tsAt.dv.filter(kv => liftedKeys.contains(kv._1))
     val stats = adds.map(a => a.path ->
@@ -4149,20 +4237,33 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val changeRel = s"changes/$uuid"
       Files.createDirectories(dataDir.resolve("changes"))
       Files.move(chStaging, dataDir.resolve(changeRel), StandardCopyOption.ATOMIC_MOVE)
+      // fresh blocks for never-assigned lifted files, allocated from
+      // the CURRENT watermark per attempt (dense claims: a win proves
+      // no rival allocated after this read)
+      val (rowCarry, rowWmAfter) = logTail.rowIdState() match {
+        case None => (None, None)
+        case Some(wm0) =>
+          var wm = wm0
+          val fresh = unassigned.map { case (k, n) =>
+            val b = wm; wm += n; k -> (b, toVersion) }.toMap
+          (Some(carriedIds ++ fresh),
+            if (fresh.isEmpty) None else Some(wm))
+      }
       if (claim(expected, entryJsonS(
           target.schema.json, expected, "", Nil, snapshot = true,
           adds.map(a => Paths.get(a.path)), stats, "RESTORE",
           Some(changeRel), blooms, restoreDirs = dirs,
           // row counts carry over with the lifted adds (restore cannot
           // change them), keeping the metadata COUNT(*) path alive
-          rows = adds.flatMap(a => a.rows.map(a.path -> _)).toMap,
+          rows = adds.flatMap(a => a.rows.map(a.path -> _)).toMap ++
+            unassigned.toMap,
           bytes = adds.flatMap(a => a.bytes.map(a.path -> _)).toMap,
           // removed files are excluded from the lifted adds, but the
           // re-pointed DIRS still physically contain them — the restore
           // commit re-states the removes so the dir-granular scan keeps
           // subtracting them after the snapshot fold restarts
           removes = tsAt.removed.toSeq.sorted, dvs = dvCarry,
-          rowIdsCarry = rowCarry,
+          rowIdsCarry = rowCarry, rowWmForce = rowWmAfter,
           // the lifted files may carry materialized ids from rewrites
           // before the restore point
           matFiles = rowCarry.isDefined)))

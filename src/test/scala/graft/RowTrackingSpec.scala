@@ -242,4 +242,52 @@ class RowTrackingSpec extends SparkSpecBase {
     val compacts = entries.filter(_.contains("COMPACT_INC"))
     assert(compacts.nonEmpty && compacts.forall(_.contains("rowTracking")))
   }
+
+  test("backfill enables tracking on a non-empty table without rewriting a byte") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(spark.range(0, 10).toDF("id").repartition(3))
+    sink.commitAppend(spark.range(10, 16).toDF("id"))
+    sink.deleteDV(spark, col("id") === 4L) // a DV rides into the backfill
+    val bytesBefore = withDirStream(
+      Files.walk(Paths.get(dir, "data")))(_
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toSet)
+    val v = sink.enableRowTracking(spark, backfill = true)
+    assert(v > 0)
+    // metadata-only: the data tree is byte-identical
+    assert(withDirStream(Files.walk(Paths.get(dir, "data")))(_
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toSet) === bytesBefore)
+    // every pre-existing row has an id; DV'd positions consumed ids but
+    // are not served; blocks are dense over PHYSICAL rows
+    val m0 = idMap(sink)
+    assert(m0.keySet === ((0L until 16L).toSet - 4L))
+    assert(m0.values.map(_._1).toSeq.distinct.size === 15)
+    assert(sink.rowIdWatermark() === Some(16L), "watermark = physical rows")
+    // rcv of backfilled rows = the commit that WROTE them, not the backfill
+    assert(m0(0L)._2 === 0L && m0(15L)._2 === 1L)
+    // ids are stable across a subsequent merge; updated rows keep their
+    // id and take the merging commit as their new version
+    val mv = sink.mergeDV(spark,
+      Seq(3L, 20L).toDF("id"), Seq("id"))
+    val m1 = idMap(sink)
+    assert(m1(3L)._1 === m0(3L)._1, "merge changed a backfilled row's id")
+    assert(m1(3L)._2 === mv)
+    assert((m0.keySet - 3L).forall(k => m1(k) === m0(k)))
+    assert(m1(20L)._1 >= 16L, "insert must allocate above the backfill watermark")
+    // ...and across OPTIMIZE (materialization of backfilled virtual ids)
+    sink.compactSmall(spark, minFiles = 1)
+    assert(idMap(sink) === m1)
+    // idempotent; CDC over the backfill range carries no phantom changes
+    assert(sink.enableRowTracking(spark, backfill = true) === -1L)
+    assert(sink.readChanges(spark, fromVersion = v - 1, toVersion = v).count() === 0)
+    // restore to a PRE-enablement version: lifted files reuse the ids
+    // the backfill assigned them — stability across the boundary
+    sink.restore(spark, toVersion = 2L)
+    val m2 = idMap(sink)
+    assert(m2.keySet === ((0L until 16L).toSet - 4L))
+    m2.keySet.foreach(k => assert(m2(k)._1 === m0(k)._1,
+      s"restore across the enablement boundary drifted key $k's id"))
+  }
 }

@@ -97,8 +97,13 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // (through CoW/MOR merges, DV tiers incl. cap-forced rewrites,
       // compaction, restore, rename/drop, clone forks, cleanupLog),
       // and watermark monotonicity — the interaction surface no
-      // hand-written scenario enumerates
-      val tracked = seed % 2 == 1
+      // hand-written scenario enumerates. Odd seeds enable at birth;
+      // seeds ≡ 0 (mod 4) adopt tracking MID-RUN via the metadata-only
+      // BACKFILL (arm 23), so every later verb — including restore to
+      // a PRE-enablement version — runs against backfilled ids; seeds
+      // ≡ 2 (mod 4) stay untracked as the control.
+      var tracked = seed % 2 == 1
+      val backfillable = !tracked && seed % 4 == 0
       if (tracked) sink.enableRowTracking(spark)
       var rowIds = Map.empty[Long, Long] // business key -> _row_id
       var wmLast = 0L
@@ -199,7 +204,16 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 32).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(23)) match {
+        (if (step == forceCloneAt) 15 else rnd.nextInt(24)) match {
+          case 23 => // adopt row tracking mid-run: metadata-only backfill
+            if (backfillable && !tracked) {
+              val v = sink.enableRowTracking(spark, backfill = true)
+              assert(v >= 0, "backfill enable on a fuzz table returned no version")
+              tracked = true
+              rowIds = Map.empty // ids exist from NOW; stability starts here
+              wmLast = 0L
+              history :+= ((v, live, ys, ns, nsType)) // physical-only: state unchanged
+            }
           case 0 | 1 | 2 | 3 => // append fresh rows
             val rows = freshRows(1 + rnd.nextInt(3))
             val v = sink.commitAppend(df(rows, xName))
