@@ -75,7 +75,7 @@ class ContractSpec extends AnyFunSuite {
       s"kernel $k is not named in SURVEY"))
   }
 
-  test("every oracle key has a matching query; no-oracle set is exactly the declared eleven") {
+  test("every oracle key has a matching query; no-oracle set is exactly the declared twelve") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -83,7 +83,8 @@ class ContractSpec extends AnyFunSuite {
       "q_agg_profile_approx", "q_llm_ann_ivf", "q_llm_ann_lsh",
       "q_llm_ppl_bucket_approx", "q_agg_spearman_approx",
       "q_llm_dedup_funnel_approx", "q_llm_semdedup_approx",
-      "q_llm_len_pctile_approx", "q_llm_compress_ratio"),
+      "q_llm_len_pctile_approx", "q_llm_compress_ratio",
+      "q_events_rfm_approx"),
       s"unexpected no-oracle set: $noOracle")
   }
 }

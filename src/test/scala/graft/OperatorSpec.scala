@@ -197,6 +197,71 @@ class OperatorSpec extends SparkSpecBase {
     }, avgs.mkString(","))
   }
 
+  test("sketch-threshold RFM within tolerance of an exact-boundary assignment; ordering holds") {
+    // Tie-aware gate: threshold buckets put EQUAL values in the same
+    // quartile (the defensible semantics at scale), while the exact
+    // twin's ntile splits ties arbitrarily to equalize counts — so the
+    // expectation is an exact-ORDER-STATISTIC threshold assignment over
+    // the same per-user relation, not ntile's populations (recency is
+    // massively tied at the fixture SFs: most users are active on the
+    // corpus' last day).
+    val per = q("q_events_rfm")
+      .select(col("recency_d").cast("double"), col("freq").cast("double"),
+        col("monetary"))
+      .as[(Double, Double, Double)].collect()
+    val n = per.length.toLong
+    def thr(vs: Array[Double]): (Double, Double, Double) = {
+      val s = vs.sorted
+      def at(p: Double) = s(math.min(s.length - 1,
+        math.max(0, math.ceil(p * s.length).toInt - 1)))
+      (at(0.25), at(0.5), at(0.75))
+    }
+    def popUp(vs: Array[Double]): Map[Int, Long] = {
+      val (a, b, c) = thr(vs)
+      vs.map(v => 1 + (if (v > a) 1 else 0) + (if (v > b) 1 else 0)
+          + (if (v > c) 1 else 0))
+        .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    }
+    def popDown(vs: Array[Double]): Map[Int, Long] = {
+      val (a, b, c) = thr(vs)
+      vs.map(v => 1 + (if (v < c) 1 else 0) + (if (v < b) 1 else 0)
+          + (if (v < a) 1 else 0))
+        .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    }
+    val expect = Map(
+      "recency" -> popUp(per.map(_._1)),
+      "frequency" -> popDown(per.map(_._2)),
+      "monetary" -> popDown(per.map(_._3)))
+    val got = q("q_events_rfm_approx")
+      .select("dim", "q", "n_users").as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (dim, em) =>
+      val gm = got(dim)
+      assert(gm.values.sum == n, s"$dim: populations must conserve users")
+      (1 to 4).foreach { b =>
+        val e = em.getOrElse(b, 0L); val a = gm.getOrElse(b, 0L)
+        // ±2 users or 20%: absorbs the sketch picking a neighboring
+        // order statistic at a boundary (one rank = one user here)
+        assert(math.abs(a - e) <= math.max(2L, (0.2 * e).toLong),
+          s"$dim bucket $b: approx $a, exact-boundary $e")
+      }
+    }
+    // mean-metric ordering over non-empty buckets: quartile 1 is BEST —
+    // lowest recency, highest frequency/monetary
+    q("q_events_rfm_approx")
+      .select("dim", "q", "mean_metric").as[(String, Int, Double)].collect()
+      .groupBy(_._1).foreach { case (dim, rs) =>
+        val seq = rs.sortBy(_._2).map(_._3)
+        val ok =
+          if (dim == "recency")
+            seq.sliding(2).forall { case Array(x, y) => x <= y; case _ => true }
+          else
+            seq.sliding(2).forall { case Array(x, y) => x >= y; case _ => true }
+        assert(ok, s"$dim means not ordered: ${seq.mkString(",")}")
+      }
+  }
+
   test("sketch-rank Spearman within tolerance of the exact twin per flag") {
     val exact = q("q_agg_spearman")
       .select("l_returnflag", "n", "spearman")

@@ -306,6 +306,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_events_rfm_approx: broadcast thresholds, no window, no user sort") {
+    // the 100 TB point of the RFM sketch twin: the exact form's three
+    // ntile(4) windows each sort EVERY user in one partition — here the
+    // quartile boundaries ride a 1-row broadcast and assignment is
+    // map-side, so no Window appears anywhere in the plan
+    val p = physical("q_events_rfm_approx")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q_llm_ppl_bucket scores tokens via the broadcast vocab join") {
     // the term-frequency table joins the token stream as a broadcast
     // (vocab is sublinear in the corpus) — an SMJ here would shuffle
