@@ -28,7 +28,7 @@ import graft.streaming.ExactlyOnceSink
   * leak. Since round 15 every scale also runs ROW-TRACKED, so the
   * artifact prices the row-tracking feature per verb (tracked /
   * untracked at the largest scale) and re-checks flatness under it.
-  * Emits one JSON line and persists golden/scaling_w_r15.json
+  * Emits one JSON line and persists golden/scaling_w_r16.json
   * (run on an idle box; the Bench sentinel travels in the artifact).
   */
 object WriteScaleBench {
@@ -170,7 +170,7 @@ object WriteScaleBench {
         s""""calib_nominal":${f3(Bench.CalibNominalSec)},""" +
         s""""contaminated":$contaminated,"sf":"$sfDir","tables":$per}"""
     Files.createDirectories(Paths.get("golden"))
-    Files.writeString(Paths.get("golden/scaling_w_r15.json"), line + "\n")
+    Files.writeString(Paths.get("golden/scaling_w_r16.json"), line + "\n")
     println(line)
     spark.stop()
   }
