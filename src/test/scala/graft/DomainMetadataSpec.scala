@@ -85,4 +85,21 @@ class DomainMetadataSpec extends SparkSpecBase {
     assert(sink.domainMetadata("graft.clustering") ===
       Some(Map("columns" -> "b")))
   }
+
+  test("a clustered AND bloom-striped write records both domains in one commit") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(
+      spark.range(0, 100).toDF("id").withColumn("u", col("id") * 7 % 100),
+      clusterBy = Seq("id"), bloomBy = Seq("u"), bloomBits = 2048)
+    assert(sink.domainMetadata("graft.clustering") ===
+      Some(Map("columns" -> "id")))
+    // the bloom domain records PHYSICAL columns + the bitmap width
+    assert(sink.domainMetadata("graft.bloom") ===
+      Some(Map("columns" -> "u", "bits" -> "2048")))
+    // and user domains set later coexist with both write-recorded ones
+    sink.setDomainMetadata("app.tag", Map("k" -> "v"))
+    assert(sink.activeDomains().keySet ===
+      Set("graft.clustering", "graft.bloom", "app.tag"))
+  }
 }

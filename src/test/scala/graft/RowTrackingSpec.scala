@@ -290,4 +290,27 @@ class RowTrackingSpec extends SparkSpecBase {
     m2.keySet.foreach(k => assert(m2(k)._1 === m0(k)._1,
       s"restore across the enablement boundary drifted key $k's id"))
   }
+
+  test("backfill racing a concurrent append retries and covers the rival's file") {
+    // the OCC window: a rival append lands between the backfill's state
+    // read and its claim — the claim fails, the retry re-reads and the
+    // rival's file gets a block too (a backfill that missed it would
+    // leave a tracked table with an id-less live file, which every id
+    // read fails loudly on)
+    val dir = tmp()
+    val a = new ExactlyOnceSink(dir)
+    a.commitAppend(spark.range(0, 8).toDF("id"))
+    val b = new ExactlyOnceSink(dir)
+    a.metaClaimHook = () => {
+      a.metaClaimHook = () => ()
+      b.commitAppend(spark.range(8, 12).toDF("id"))
+    }
+    val v = a.enableRowTracking(spark, backfill = true)
+    assert(v > 0)
+    val m = idMap(a)
+    assert(m.keySet === (0L until 12L).toSet,
+      "the rival's rows must be served with ids after the backfill")
+    assert(m.values.map(_._1).toSeq.distinct.size === 12)
+    assert(a.rowIdWatermark() === Some(12L))
+  }
 }
