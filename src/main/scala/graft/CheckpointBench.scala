@@ -30,7 +30,7 @@ import graft.streaming.ExactlyOnceSink
   * PARSE carries both checkpoint shapes; on an object store the
   * per-file round-trips dominate and the sidecar fan-out (plus the
   * bounded manifest) is the win. Emits one JSON line and persists
-  * golden/ckpt_r15.json. */
+  * golden/ckpt_r16.json. */
 object CheckpointBench {
 
   private def copyTree(src: Path, dst: Path): Unit = {
@@ -158,7 +158,7 @@ object CheckpointBench {
         s""""contaminated":$contaminated}"""
     Seq(rawDir, d1, dM).foreach(rmTree)
     Files.createDirectories(Paths.get("golden"))
-    Files.writeString(Paths.get("golden/ckpt_r15.json"), line + "\n")
+    Files.writeString(Paths.get("golden/ckpt_r16.json"), line + "\n")
     println(line)
     spark.stop()
   }
