@@ -3169,10 +3169,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         Some(withPos(flatReader(spark).parquet(
           live.map(a => dataDir.resolve(addKey(c, a)).toString): _*)))
       else
-        // a RESTORE commit's dirs come from DIFFERENT source commits —
-        // mergeSchema so evolution across them can't silently drop columns
-        Some(withPos(spark.read.option("mergeSchema", "true").parquet(
-          c.dataDirs.map(d => dataDir.resolve(d).toString): _*)))
+        // a RESTORE-shaped commit's dirs come from DIFFERENT source
+        // commits: read ONE DIR PER SCAN and union by name — each dir's
+        // files share a schema (one source commit), and unionByName
+        // both fills evolution-added columns with null AND type-coerces
+        // across a widening boundary (int→long), which parquet's own
+        // mergeSchema refuses to merge (fuzz seed 12: a backfill lift
+        // spanning a widen broke the MOR probe under one merged read)
+        Some(c.dataDirs
+          .map(d => withPos(spark.read.parquet(dataDir.resolve(d).toString)))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
     }
     if (frames.isEmpty) spark.emptyDataFrame
     else toLogical(

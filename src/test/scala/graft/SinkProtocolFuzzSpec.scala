@@ -57,23 +57,32 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
   // copies a CLEANED log — its early history exists only through the
   // rewritten checkpoint entries (the r12 verdict's highest-value
   // untested product: clone-of-a-cleaned-log).
-  for ((seed, forceCloneAt, cleanBeforeClone) <- Seq(
-      (7L, -1, false), (23L, -1, false), (101L, -1, false), (55L, 8, false),
+  for ((seed, forceCloneAt, cleanBeforeClone, forceBackfillAt) <- Seq(
+      (7L, -1, false, -1), (23L, -1, false, -1), (101L, -1, false, -1),
+      (55L, 8, false, -1),
       // two more sequence draws: one plain, one forking LATE (step 20 of 32)
       // so the clone inherits a long history — incl. whatever renames,
       // drops and full-clause merges the run accumulated — and the
       // post-fork verbs run against mostly-foreign files
-      (13L, -1, false), (42L, 20, false),
+      (13L, -1, false, -1), (42L, 20, false, -1),
       // checkpoint-seeded clone: retention truncates the source log
       // mid-history, THEN the fork copies it — every pre-anchor version
       // the clone serves resolves through checkpoint body entries whose
       // dirs cloneTo made absolute
-      (91L, 16, true),
+      (91L, 16, true, -1),
       // same product, LATE fork (step 28 of 32): the cleaned log carries
       // a long accumulated history (renames/drops/full-clause merges),
       // so most of what the clone serves is checkpoint-rewritten, and
       // only a handful of verbs run post-fork
-      (67L, 28, true)))
+      (67L, 28, true, -1),
+      // round 16, mid-run BACKFILL seeds (≡ 0 mod 4; the arm is forced
+      // at a fixed step so coverage never depends on the draw): seed 12
+      // adopts tracking early and runs 26 more verbs tracked; seed 28
+      // forks a clone at step 14 (multipart log — 28 % 3 == 1) and then
+      // backfills THE CLONE at step 22, so id assignment runs over
+      // foreign absolute-path files and every later verb (incl. restore
+      // to pre-enablement versions) exercises the boundary carry
+      (12L, -1, false, 6), (28L, 14, false, 22)))
     test(s"protocol fuzz seed=$seed" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
           (if (cleanBeforeClone) ", log cleaned first" else "") + ")"
@@ -204,7 +213,9 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       }
 
       (1 to 32).foreach { step =>
-        (if (step == forceCloneAt) 15 else rnd.nextInt(24)) match {
+        (if (step == forceCloneAt) 15
+         else if (step == forceBackfillAt) 23
+         else rnd.nextInt(24)) match {
           case 23 => // adopt row tracking mid-run: metadata-only backfill
             if (backfillable && !tracked) {
               val v = sink.enableRowTracking(spark, backfill = true)

@@ -383,4 +383,28 @@ class TypeWideningSpec extends SparkSpecBase {
       "n re-entered at the narrow width — wide committed data would coerce down")
     assert(got.filter(col("id") === 4L).select("n").as[Long].head() == 7L)
   }
+
+  test("MOR probe survives a restore-shaped lift spanning a widening boundary") {
+    // fuzz seed 12 (round 16): a restore-shaped entry (backfill,
+    // restore) can reference dirs from BOTH sides of a type widening —
+    // int-era and long-era files. The MOR probe used to scan all its
+    // dirs in ONE mergeSchema read, and parquet's schema merge refuses
+    // int vs bigint (Spark's union coerces; parquet's merge does not).
+    // The probe must read one dir per scan and union by name.
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(Seq((1L, 1)).toDF("id", "n")) // n: int era
+    sink.commitAppend(Seq((2L, 3000000000L)).toDF("id", "n"),
+      mergeSchema = true) // widen: long era
+    // restore-shaped lift over both eras via the row-tracking backfill
+    sink.enableRowTracking(spark, backfill = true)
+    sink.deleteDV(spark, col("id") === 1L)
+    assert(sink.read(spark).select("id", "n").as[(Long, Long)]
+      .collect().toMap === Map(2L -> 3000000000L))
+    // the same product through RESTORE's own lifted entry
+    sink.restore(spark, toVersion = 1L)
+    sink.deleteDV(spark, col("id") === 2L)
+    assert(sink.read(spark).select("id", "n").as[(Long, Long)]
+      .collect().toMap === Map(1L -> 1L))
+  }
 }
