@@ -4498,7 +4498,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * first batchId is nonzero — is not truncation and sets no marker. */
   private val truncMarker = logDir.resolve("_graft_log_truncated")
 
-  private def truncatedBelow(): Long =
+  private[graft] def truncatedBelow(): Long =
     if (!Files.exists(truncMarker)) 0L
     else try Files.readString(truncMarker).trim.toLong
     catch { case scala.util.control.NonFatal(_) => 0L }

@@ -82,7 +82,13 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // backfills THE CLONE at step 22, so id assignment runs over
       // foreign absolute-path files and every later verb (incl. restore
       // to pre-enablement versions) exercises the boundary carry
-      (12L, -1, false, 6), (28L, 14, false, 22)))
+      (12L, -1, false, 6), (28L, 14, false, 22)) ++
+      // exploratory sweep hook: GRAFT_FUZZ_SEEDS=3,5,8 runs extra seeds
+      // with no forced arms — local bug-hunting only, CI runs the fixed
+      // list above (a found bug graduates to a forced-arm seed + a
+      // minimal regression in the owning spec)
+      sys.env.get("GRAFT_FUZZ_SEEDS").toSeq.flatMap(_.split(','))
+        .filter(_.nonEmpty).map(s => (s.trim.toLong, -1, false, -1)))
     test(s"protocol fuzz seed=$seed" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
           (if (cleanBeforeClone) ", log cleaned first" else "") + ")"
@@ -159,11 +165,27 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         // (int before the widening commit, long after, rolled back by
         // RESTORE with the rest of the snapshot)
         nsType.foreach { wide =>
-          if (d.columns.contains("n"))
-            assert(d.schema("n").dataType ==
-              (if (wide) org.apache.spark.sql.types.LongType
-               else org.apache.spark.sql.types.IntegerType),
-              s"n presents the wrong width after ${history.size} commits")
+          if (d.columns.contains("n")) {
+            val t = d.schema("n").dataType
+            if (!wide)
+              assert(t == org.apache.spark.sql.types.IntegerType,
+                s"n presents long before the widening after ${history.size} commits")
+            else if (ns.values.exists(_ > Int.MaxValue))
+              // a surviving beyond-int value can only live in a wide-era
+              // file, so the visible-file union MUST present long (a
+              // down-coercion would also corrupt nState — double gate)
+              assert(t == org.apache.spark.sql.types.LongType,
+                s"n presents the wrong width after ${history.size} commits")
+            else
+              // documented presentation semantics: the width is the
+              // union of the VISIBLE files' schemas, and MOR removes can
+              // retire every wide-era file while only int-representable
+              // values survive — int or long are both faithful here
+              // (the recorded table schema stays monotone regardless;
+              // found by sweep seed 8)
+              assert(t == org.apache.spark.sql.types.IntegerType ||
+                t == org.apache.spark.sql.types.LongType)
+          }
         }
         // metadata-only COUNT(*) must equal the model after EVERY verb —
         // appends, CoW/MOR merges, DV deletes (remove/vector/rewrite
@@ -275,12 +297,14 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               ns = ns -- picks
               history :+= ((v, live, ys, ns, nsType))
             }
-          case 7 => // retention: reclaim below the newest checkpoint
+          case 7 => // retention: reclaim below the newest checkpoint.
+            // The anchor comes from the SINK's own truncation marker —
+            // an estimate from history's last data version undercounts
+            // when metadata-only commits (rename, domains) pushed a
+            // checkpoint past it, and the restore/time-travel arms would
+            // then pick reclaimed versions (found by sweep seed 3)
             sink.cleanupLog(minAgeMs = 0)
-            history.lastOption.foreach { case (maxV, _, _, _, _) =>
-              val ck = (maxV / interval) * interval
-              if (ck > 0) anchor = math.max(anchor, ck)
-            }
+            anchor = math.max(anchor, sink.truncatedBelow())
           case 8 => // physical maintenance must never change any read:
             // vacuum, or incremental OPTIMIZE (tiny target forces real
             // packing of whatever small files exist)
@@ -452,10 +476,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
                 // truncate the source log first: the clone must serve its
                 // early history from rewritten checkpoint entries alone
                 sink.cleanupLog(minAgeMs = 0)
-                history.lastOption.foreach { case (maxV, _, _, _, _) =>
-                  val ck = (maxV / interval) * interval
-                  if (ck > 0) anchor = math.max(anchor, ck)
-                }
+                anchor = math.max(anchor, sink.truncatedBelow())
               }
               val cloneDir =
                 Files.createTempDirectory(s"graft-fuzz-$seed-clone").toString
