@@ -4194,9 +4194,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // PREDATES row tracking (restore target before a backfill enable)
     // has no recorded block — reuse the newest block ANY known commit
     // recorded for the same file (the backfill re-committed exactly
-    // these paths, so unchanged files keep their ids — stability), and
-    // only a file no commit ever assigned gets a fresh block (allocated
-    // per claim attempt, inside the OCC loop).
+    // these paths, so unchanged files keep their ids — stability). A
+    // file NO commit ever assigned (retired before the backfill ran)
+    // is REFUSED: its rows never had ids, a fresh block would hand
+    // surviving business rows new ids mid-history — the id-stability
+    // break Delta avoids by refusing protocol-boundary restores
+    // outright (this guard refuses only the underivable subset;
+    // fuzz seed 20 found the drift).
     val knownIds: Map[String, (Long, Long)] =
       if (logTail.rowIdState().isEmpty) Map.empty
       else allKnownCommits().sortBy(_.version).flatMap { c =>
@@ -4209,10 +4213,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         a.baseRowId.map(b => (b, a.rcv.getOrElse(0L)))
           .orElse(knownIds.get(a.path)).map(a.path -> _)
       }.toMap
-    val unassigned: Seq[(String, Long)] =
-      if (logTail.rowIdState().isEmpty) Nil
-      else adds.filterNot(a => carriedIds.contains(a.path))
-        .map(a => a.path -> a.rows.getOrElse(fileRowCount(spark, a.path)))
+    if (logTail.rowIdState().isDefined) {
+      val unassigned = adds.filterNot(a => carriedIds.contains(a.path))
+      if (unassigned.nonEmpty)
+        sys.error(s"restore: version $toVersion predates row tracking and " +
+          s"${unassigned.size} of its files (e.g. ${unassigned.head.path}) " +
+          "were retired before the backfill assigned ids — restoring would " +
+          "give their surviving rows fresh ids mid-history. Restore to a " +
+          "version at or after enablement instead (row-id stability)")
+    }
     val liftedKeys = adds.map(_.path).toSet
     val dvCarry = tsAt.dv.filter(kv => liftedKeys.contains(kv._1))
     val stats = adds.map(a => a.path ->
@@ -4243,33 +4252,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val changeRel = s"changes/$uuid"
       Files.createDirectories(dataDir.resolve("changes"))
       Files.move(chStaging, dataDir.resolve(changeRel), StandardCopyOption.ATOMIC_MOVE)
-      // fresh blocks for never-assigned lifted files, allocated from
-      // the CURRENT watermark per attempt (dense claims: a win proves
-      // no rival allocated after this read)
-      val (rowCarry, rowWmAfter) = logTail.rowIdState() match {
-        case None => (None, None)
-        case Some(wm0) =>
-          var wm = wm0
-          val fresh = unassigned.map { case (k, n) =>
-            val b = wm; wm += n; k -> (b, toVersion) }.toMap
-          (Some(carriedIds ++ fresh),
-            if (fresh.isEmpty) None else Some(wm))
-      }
+      val rowCarry =
+        if (logTail.rowIdState().isEmpty) None else Some(carriedIds)
       if (claim(expected, entryJsonS(
           target.schema.json, expected, "", Nil, snapshot = true,
           adds.map(a => Paths.get(a.path)), stats, "RESTORE",
           Some(changeRel), blooms, restoreDirs = dirs,
           // row counts carry over with the lifted adds (restore cannot
           // change them), keeping the metadata COUNT(*) path alive
-          rows = adds.flatMap(a => a.rows.map(a.path -> _)).toMap ++
-            unassigned.toMap,
+          rows = adds.flatMap(a => a.rows.map(a.path -> _)).toMap,
           bytes = adds.flatMap(a => a.bytes.map(a.path -> _)).toMap,
           // removed files are excluded from the lifted adds, but the
           // re-pointed DIRS still physically contain them — the restore
           // commit re-states the removes so the dir-granular scan keeps
           // subtracting them after the snapshot fold restarts
           removes = tsAt.removed.toSeq.sorted, dvs = dvCarry,
-          rowIdsCarry = rowCarry, rowWmForce = rowWmAfter,
+          rowIdsCarry = rowCarry,
           // the lifted files may carry materialized ids from rewrites
           // before the restore point
           matFiles = rowCarry.isDefined)))

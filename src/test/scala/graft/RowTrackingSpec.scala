@@ -291,6 +291,27 @@ class RowTrackingSpec extends SparkSpecBase {
       s"restore across the enablement boundary drifted key $k's id"))
   }
 
+  test("restore refuses a pre-backfill target lifting files that never got ids") {
+    // fuzz seed 20: a file retired BEFORE the backfill ran never got a
+    // block, so restoring to a version that serves it would hand its
+    // surviving rows fresh ids mid-history — the sink refuses exactly
+    // that subset (Delta refuses the whole protocol-boundary class)
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    sink.commitAppend(spark.range(0, 6).toDF("id"))    // v0: file A
+    sink.compact(spark)                                // v1 retires A
+    sink.enableRowTracking(spark, backfill = true)     // v2: ids for v1's file only
+    val m0 = idMap(sink)
+    val e = intercept[RuntimeException](sink.restore(spark, toVersion = 0L))
+    assert(e.getMessage.contains("row-id stability"),
+      s"expected the id-stability refusal, got: ${e.getMessage}")
+    assert(idMap(sink) === m0, "the refused restore leaked state")
+    // a post-enablement target still restores, ids intact
+    sink.commitAppend(spark.range(6, 9).toDF("id"))
+    sink.restore(spark, toVersion = 2L)
+    assert(idMap(sink) === m0)
+  }
+
   test("backfill racing a concurrent append retries and covers the rival's file") {
     // the OCC window: a rival append lands between the backfill's state
     // read and its claim — the claim fails, the retry re-reads and the

@@ -330,12 +330,22 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               case h if h.nonEmpty =>
                 val (v, expect, expectY, expectN, expectW) =
                   h(rnd.nextInt(h.size))
-                val rv = sink.restore(spark, v)
-                live = expect
-                ys = expectY
-                ns = expectN // n rolls back with the snapshot —
-                nsType = expectW // width included (TypeWideningSpec)
-                history :+= ((rv, live, ys, ns, nsType))
+                try {
+                  val rv = sink.restore(spark, v)
+                  live = expect
+                  ys = expectY
+                  ns = expectN // n rolls back with the snapshot —
+                  nsType = expectW // width included (TypeWideningSpec)
+                  history :+= ((rv, live, ys, ns, nsType))
+                } catch {
+                  // a backfill-tracked table REFUSES restores to
+                  // versions lifting files that never got id blocks
+                  // (retired before enablement — fresh ids would break
+                  // stability, fuzz seed 20); the arm becomes a no-op
+                  case e: RuntimeException if tracked &&
+                      Option(e.getMessage)
+                        .exists(_.contains("row-id stability")) => ()
+                }
               case _ => ()
             }
           case 13 => // schema evolution: append WIDENED rows (id, x, y).
