@@ -304,6 +304,11 @@ object Bench {
     // counts (the `contaminated` bool is the load-bearing flag)
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","threads":$threads,""" +
+        // estimator labels ride the artifact so cross-round readers never
+        // misread the series: "value" switched median→min in r16, and a
+        // runs=1 artifact's serial_value is a single pass, not a median
+        s""""value_estimator":"min_of_${runs}_concurrent_runs",""" +
+        s""""serial_value_estimator":"sum_of_per_query_median_of_$runs",""" +
         s""""concurrent_runs":[${concTotals.map(f3).mkString(",")}],""" +
         s""""serial_value":${f3(serialTotal)},"serial_first":${f3(serialFirst)},""" +
         s""""calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},""" +

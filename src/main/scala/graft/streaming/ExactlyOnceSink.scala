@@ -230,7 +230,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * in a `bits`-wide bitmap held as 64-bit words, OR-merged per file by
     * `bit_or` aggregates — all public, codegen'd functions. `bits` is a
     * writer knob; a real deployment sizes it from expected distinct
-    * count and target FPP exactly as Delta's index does. */
+    * count and target FPP exactly as Delta's index does.
+    *
+    * Cost model: this is one EXTRA full read of the staged output, paid
+    * by every bloom-striped write AND by every rewrite that honors the
+    * recorded policy (OPTIMIZE, CoW snapshot, MOR new files) —
+    * O(rewritten bytes), unavoidable on public APIs because the parquet
+    * writer exposes no per-task accumulator hook to fold the bitmap
+    * during the write itself. The policy's price is therefore ~2×
+    * read-amplification on rewrites of bloom-striped tables; size
+    * `bits` and the policy's column set accordingly. */
   private def fileBlooms(spark: SparkSession, staging: Path,
       cols0: Seq[String], bits: Int): Map[String, Map[String, Array[Long]]] = {
     if (cols0.isEmpty) return Map.empty
@@ -1311,6 +1320,15 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val staging = Paths.get(tableDir, s".staging-$batchId-$attempt")
       val adds = stage(gdf, staging, partitionBy)
       val meta = fileStats(gdf.sparkSession, staging)
+      // the declared bloom policy (graft.bloom) rides streaming batches
+      // too — the PRIMARY ingest path; without this, every micro-batch
+      // after the declaration writes bloom-less files and point-probe
+      // pruning quietly decays as the table grows
+      val (polCols, polBits) = activeBloomPolicy()
+      val blooms =
+        if (polCols.isEmpty) Map.empty[String, Map[String, Array[Long]]]
+        else fileBlooms(gdf.sparkSession, staging,
+          polCols.map(physicalOf), polBits)
 
       // 2. move into place under the attempt's own directory
       val target = dataDir.resolve(dir)
@@ -1326,7 +1344,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val (schemaJson, widened) = evolvedSchema(gdf)
       if (!claim(batchId, entryJsonS(schemaJson, batchId,
           dir, partitionBy, snapshot, adds,
-          meta.stats, generated = advancedGen, rows = meta.rows,
+          meta.stats, blooms = blooms, generated = advancedGen,
+          rows = meta.rows,
           bytes = meta.bytes, widened = widened))) {
         require(isOwnStreamBatch(parseCommit(batchId), batchId),
           s"process(batchId=$batchId): lost the version claim to a " +
@@ -1391,6 +1410,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       mergeSchema: Boolean = false,
       streamTxn: Option[(String, Long)] = None): Long = {
     enforceSchema(df, mergeSchema, "commitAppend")
+    // no caller bloom spec → the table's declared policy applies
+    // (activeBloomPolicy doc): appendBatch funnels here too, so every
+    // OCC/streaming-cursored append keeps the policy on new files
+    val (bBy, bBits) =
+      if (bloomBy.nonEmpty) (bloomBy, bloomBits) else activeBloomPolicy()
     // the table schema enforceSchema just validated against: every claim
     // (re)derivation below first compares latestSchema() to this and
     // RE-VALIDATES when a rival moved it — evolvedSchemaOf alone would
@@ -1400,7 +1424,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val idr0 = identityRules()
     if (idr0.isEmpty) {
       val st = stageAppend(gdf, partitionBy, clusterBy, clusterFiles,
-        bloomBy, bloomBits)
+        bBy, bBits)
       stagedHook()
       var v = nextVersion()
       // re-derive the recorded schema AFTER staging and on every retry:
@@ -1420,7 +1444,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wd, domains = writeDomains(clusterBy, bloomBy, bloomBits)))) {
+          widened = wd, domains = writeDomains(clusterBy, bBy, bBits)))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
         validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
           "commitAppend")
@@ -1485,14 +1509,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         }
         if (contiguousRival)
           commitIdentityContiguous(prep, mergeSchema, validated,
-            partitionBy, clusterBy, clusterFiles, bloomBy, bloomBits,
+            partitionBy, clusterBy, clusterFiles, bBy, bBits,
             streamTxn)
         else {
           // 2. assign from the reserved base and stage ONCE; the advanced
           //    watermark already rode the reservation commit
           val (adf, _) = assignFromPrep(prep, base)
           val st = stageAppend(adf, partitionBy, clusterBy, clusterFiles,
-            bloomBy, bloomBits)
+            bBy, bBits)
           // 3. commit like a plain append — blind version retries, fresh
           //    re-validation + schema re-derivation per attempt
           //    (reEnforceOnRetry / evolvedSchemaOf docs)
@@ -1503,7 +1527,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
               snapshot = false, st.adds, st.stats, blooms = st.blooms,
               streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-              widened = wd, domains = writeDomains(clusterBy, bloomBy, bloomBits)))) {
+              widened = wd, domains = writeDomains(clusterBy, bBy, bBits)))) {
             v = math.max(v + 1, nextVersion())
             validated = reEnforceOnRetry(adf.schema, mergeSchema,
               validated, "commitAppend")
@@ -1536,7 +1560,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // through ONE streaming writer (appendBatch), which never races.
       val prep = prepareIdentity(gdf, idr0.map(_._1))
       try commitIdentityContiguous(prep, mergeSchema, validated,
-        partitionBy, clusterBy, clusterFiles, bloomBy, bloomBits,
+        partitionBy, clusterBy, clusterFiles, bBy, bBits,
         streamTxn)
       finally prep.release()
     }
@@ -1625,20 +1649,42 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   /** The domain-metadata delta a clustered write records — the Delta
     * pattern of building clustering state on domainMetadata: readers
     * (and OPTIMIZE policy) can discover the table's clustered columns
-    * from the log instead of out-of-band configuration. */
+    * from the log instead of out-of-band configuration. PHYSICAL names
+    * are recorded (like `graft.bloom`, and unlike rounds ≤ 16 which
+    * recorded logical ones): a physical name survives RENAME, so a
+    * parameterless OPTIMIZE after a rename still discovers the full
+    * declared layout instead of silently narrowing it. Discovery
+    * ([[activeClusterCols]]) translates back to the current logical
+    * view and tolerates legacy logical-name records. */
   private def clusterDomain(clusterBy: Seq[String])
       : Option[Map[String, Option[Map[String, String]]]] =
     if (clusterBy.isEmpty) None
     else Some(Map("graft.clustering" ->
-      Some(Map("columns" -> clusterBy.mkString(",")))))
+      Some(Map("columns" -> clusterBy.map(physicalOf).mkString(",")))))
 
-  /** Every domain delta a WRITE records: `graft.clustering` (logical
-    * columns, the user-facing layout declaration) plus `graft.bloom` —
-    * PHYSICAL column names + bitmap width, matching the per-file bloom
-    * keys so the policy survives renames. The bloom domain exists so
-    * OPTIMIZE (and every copy-on-write rewrite) can recompute blooms
-    * for its packed output instead of silently retiring the table's
-    * point-probe pruning along with the original files. */
+  /** The table's recorded clustering layout as CURRENT LOGICAL column
+    * names: reverse-maps each recorded physical name through the active
+    * column mapping (legacy logical-name records pass through
+    * unchanged), then drops names the live schema no longer carries
+    * (DROPped columns — the only case that genuinely narrows the
+    * layout; a RENAMEd column resolves to its new logical name). */
+  private def activeClusterCols(): Seq[String] = {
+    val sch = latestSchema()
+    val logicalOf = colMap()._1.map(_.swap)
+    domainMetadata("graft.clustering")
+      .flatMap(_.get("columns")).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+      .map(c => logicalOf.getOrElse(c, c))
+      .filter(c => sch.exists(_.fieldNames.contains(c)))
+  }
+
+  /** Every domain delta a WRITE records: `graft.clustering` plus
+    * `graft.bloom` — both under PHYSICAL column names + (for bloom) the
+    * bitmap width, matching the per-file bloom keys so the policies
+    * survive renames. The bloom domain exists so OPTIMIZE (and every
+    * copy-on-write rewrite) can recompute blooms for its packed output
+    * instead of silently retiring the table's point-probe pruning along
+    * with the original files. */
   private def writeDomains(clusterBy: Seq[String], bloomBy: Seq[String],
       bloomBits: Int): Option[Map[String, Option[Map[String, String]]]] = {
     val bl: Map[String, Option[Map[String, String]]] =
@@ -1659,6 +1705,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         cfg.get("bits").map(_.toInt).getOrElse(4096))
       case None => (Nil, 4096)
     }
+
+  /** The recorded bloom policy translated to CURRENT LOGICAL names and
+    * filtered to the live schema (DROPped columns fall out) — the shape
+    * the write paths take, so their physicalOf round-trip lands back on
+    * the recorded physical keys. Appends that pass no `bloomBy` of
+    * their own default to this: once a policy is declared, NEW data
+    * keeps the table's point-probe pruning instead of silently writing
+    * bloom-less files (rewrites — OPTIMIZE/CoW/MOR — already honor it). */
+  private def activeBloomPolicy(): (Seq[String], Int) = {
+    val (phys, bits) = bloomPolicy()
+    val sch = latestSchema()
+    val logicalOf = colMap()._1.map(_.swap)
+    (phys.map(c => logicalOf.getOrElse(c, c))
+      .filter(c => sch.exists(_.fieldNames.contains(c))), bits)
+  }
 
   private case class StagedAppend(dir: String, adds: Seq[Path],
       stats: Map[String, Map[String, (String, String)]],
@@ -2302,7 +2363,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         return expected
       attempt += 1
       if (attempt > 20)
-        sys.error("enableRowTracking: gave up after 20 conflicts")
+        sys.error("enableRowTracking: gave up after 20 claim conflicts; " +
+          "NO partial state was committed (the backfill is a single " +
+          "metadata-only claim — it either lands whole or not at all), " +
+          "so the table is untracked and unchanged; retry when writer " +
+          "contention subsides")
     }
     -1L // unreachable
   }
@@ -4314,19 +4379,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Long = {
     import org.apache.spark.sql.functions.col
     // OPTIMIZE discovers the table's layout from the log when the caller
-    // passes none: clustered writes record their columns in the
+    // passes none: clustered writes record their PHYSICAL columns in the
     // `graft.clustering` domain, so an auto-compact (streaming-ingest
     // maintenance) preserves the declared clustering instead of
     // silently packing in arrival order — the Delta liquid-clustering
-    // discovery loop, closed on both ends
+    // discovery loop, closed on both ends. activeClusterCols translates
+    // back to the logical view, so a RENAME never narrows the layout; a
+    // recorded column DROPped since the clustered write is skipped
+    // (explicit clusterBy still fails loudly).
     val clusterCols =
-      if (clusterBy.nonEmpty) clusterBy
-      else domainMetadata("graft.clustering")
-        .flatMap(_.get("columns")).toSeq
-        .flatMap(_.split(',')).filter(_.nonEmpty)
-        // a recorded column RENAMEd/DROPped since the clustered write is
-        // silently skipped (explicit clusterBy still fails loudly)
-        .filter(c => latestSchema().exists(_.fieldNames.contains(c)))
+      if (clusterBy.nonEmpty) clusterBy else activeClusterCols()
     var attempt = 0
     while (true) {
       val expected = nextVersion()
@@ -4399,7 +4461,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           snapshot = false, adds, stats, "COMPACT_INC", None,
           blooms = blooms,
           removes = cands.map(_._1), rows = rowsM, bytes = bytesM,
-          matFiles = tracked, domains = clusterDomain(clusterCols))))
+          matFiles = tracked,
+          // re-record only an EXPLICIT caller declaration: the
+          // discovered set may be narrowed by a concurrent DROP, and
+          // re-recording it would make the narrowing permanent
+          domains = clusterDomain(clusterBy))))
         return expected
       attempt += 1
       if (attempt > maxRetries)
@@ -4598,14 +4664,34 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * substring scan for the next key is spoofable by field METADATA
     * (which flows into schema.json uncut): a column whose metadata
     * contains a key named `partitionColumns` would truncate the parse
-    * and brick every subsequent verb. */
+    * and brick every subsequent verb.
+    *
+    * Cached per log version: the latest entry can be MBs (a snapshot
+    * listing thousands of adds), this runs on EVERY read via
+    * [[physicalReadSchema]], and a committed entry is immutable — so a
+    * version-keyed memo is always fresh. Only the parse is memoized;
+    * the version listing itself re-runs per call, which is what keeps
+    * a rival writer's evolution visible immediately. */
+  @volatile private var schemaCache:
+    Option[(Long, org.apache.spark.sql.types.StructType)] = None
+  /** Cache-miss parses, observable so the memo claim is testable. */
+  private[graft] val schemaParses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   def latestSchema(): Option[org.apache.spark.sql.types.StructType] = {
     import org.json4s.jackson.JsonMethods
     committedVersions().lastOption.map { v =>
-      val j = JsonMethods.parse(Files.readString(logFile(v)))
-      org.apache.spark.sql.types.DataType.fromJson(
-          JsonMethods.compact(JsonMethods.render(j \ "metaData" \ "schemaString")))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      schemaCache match {
+        case Some((cv, s)) if cv == v => s
+        case _ =>
+          schemaParses.incrementAndGet()
+          val j = JsonMethods.parse(Files.readString(logFile(v)))
+          val s = org.apache.spark.sql.types.DataType.fromJson(
+              JsonMethods.compact(
+                JsonMethods.render(j \ "metaData" \ "schemaString")))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          schemaCache = Some((v, s))
+          s
+      }
     }
   }
 }

@@ -110,6 +110,37 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
     assert(pruned < total, s"z-ordered pack pruned nothing ($pruned/$total)")
   }
 
+  test("discovered clustering survives a column RENAME (physical-name domain)") {
+    val (sink, _) = newSink("rename-cluster")
+    // clustered writes record graft.clustering under PHYSICAL names
+    (0 until 4).foreach { _ =>
+      sink.commitAppend(
+        spark.range(0, 2000).toDF("a")
+          .withColumn("b", pmod(col("a") * 7919, lit(2000))),
+        clusterBy = Seq("a", "b"), clusterFiles = 1)
+    }
+    sink.renameColumn("b", "c")
+    // parameterless OPTIMIZE must still discover BOTH columns — before
+    // round 17 the domain held logical names, the renamed one silently
+    // fell out of discovery, and the narrowed set was re-recorded
+    assert(sink.compactSmall(spark, targetBytes = 64L << 20,
+      clusterFiles = 4) > 0)
+    val total = sink.read(spark).inputFiles.toSet
+    assert(total.size >= 4)
+    Seq("a", "c").foreach { col0 =>
+      val kept = sink.readSkipping(spark, col0, 0, 120).inputFiles.toSet
+      assert(kept.size < total.size,
+        s"packed output not stats-prunable on $col0 — the renamed " +
+          "clustering column was dropped from discovery")
+      assert(sink.readSkipping(spark, col0, 0, 120)
+        .filter(col(col0).between(0, 120)).count() === 484L)
+    }
+    // and the recorded domain was NOT narrowed by the maintenance pass
+    assert(sink.domainMetadata("graft.clustering")
+      .exists(_.get("columns").contains("a,b")),
+      "OPTIMIZE re-recorded a narrowed clustering domain")
+  }
+
   test("read(timestampAsOf) maps commit stamps to versions; too-early fails loudly") {
     val (sink, dir) = newSink("tsread")
     (0 until 4).foreach(k =>

@@ -39,6 +39,22 @@ class LogCheckpointSpec extends SparkSpecBase {
       "checkpoint seeding should bound this by the interval")
   }
 
+  test("latestSchema parses the (potentially MBs) latest entry once per version") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir)
+    (0 until 3).foreach(append(sink, _))
+    val before = sink.schemaParses.get()
+    assert(sink.latestSchema().exists(_.fieldNames.contains("id")))
+    (0 until 5).foreach(_ => sink.latestSchema()) // readers hit this per scan
+    assert(sink.schemaParses.get() - before === 1,
+      "latestSchema re-parsed an unchanged latest entry")
+    // a new commit (possibly a rival's — the version listing re-runs per
+    // call) invalidates the memo exactly once
+    append(sink, 3)
+    sink.latestSchema(); sink.latestSchema()
+    assert(sink.schemaParses.get() - before === 2)
+  }
+
   test("time travel is exact from a checkpoint seed and below the oldest checkpoint") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)

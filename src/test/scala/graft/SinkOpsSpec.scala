@@ -128,6 +128,41 @@ class SinkOpsSpec extends SparkSpecBase {
       == direct)
   }
 
+  test("appends without bloomBy inherit the declared bloom policy") {
+    val events = Tables(spark, sf, "events").limit(400)
+    val dir = Files.createTempDirectory("graft-bloom-default").toString
+    val sink = new ExactlyOnceSink(dir)
+    // the FIRST write declares the policy; every later append omits it
+    sink.commitAppend(events.coalesce(1), bloomBy = Seq("user_id"))
+    sink.commitAppend(events.withColumn("user_id", col("user_id") + 1000000)
+      .coalesce(1)) // plain OCC append, no bloomBy
+    sink.appendBatch(events.withColumn("user_id", col("user_id") + 2000000)
+      .coalesce(1), batchId = 0, streamAppId = "s1") // cursored append
+    // an ABSENT key prunes to ZERO files — possible only if every file
+    // (including the policy-less appends') carries a bloom; a bloom-less
+    // file is kept conservatively and would break the assert
+    assert(sink.read(spark).inputFiles.length === 3)
+    assert(sink.readLookup(spark, "user_id", "987654321").inputFiles.isEmpty,
+      "an append without bloomBy wrote bloom-less files despite the " +
+        "declared graft.bloom policy")
+    // the streaming (process) path inherits it too
+    val dir2 = Files.createTempDirectory("graft-bloom-default-stream").toString
+    val sink2 = new ExactlyOnceSink(dir2)
+    sink2.commitAppend(events.coalesce(1), bloomBy = Seq("user_id"))
+    sink2.process(events.withColumn("user_id", col("user_id") + 1000000)
+      .coalesce(1), batchId = 1)
+    assert(sink2.read(spark).inputFiles.length === 2)
+    assert(sink2.readLookup(spark, "user_id", "987654321").inputFiles.isEmpty,
+      "a streaming micro-batch wrote bloom-less files despite the " +
+        "declared graft.bloom policy")
+    // an EXPLICIT bloomBy still overrides the policy (wider bitmap)
+    val v = sink.commitAppend(events.withColumn("user_id",
+      col("user_id") + 3000000).coalesce(1),
+      bloomBy = Seq("user_id"), bloomBits = 8192)
+    assert(v > 0)
+    assert(sink.readLookup(spark, "user_id", "987654321").inputFiles.isEmpty)
+  }
+
   test("q_sink_bloom_lookup matches the direct events aggregate") {
     val direct = Tables(spark, sf, "events")
       .filter(col("user_id") === 7)
