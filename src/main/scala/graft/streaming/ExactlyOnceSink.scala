@@ -28,8 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  2. **Multi-writer optimistic concurrency** (`commitAppend` /
   *     `transactSnapshot`): data files land under a writer-unique
   *     directory first, then the writer claims the next log version by
-  *     EXCLUSIVE creation of the version file (hard-link of a staged
-  *     entry — atomic, fails if the version exists). Losing a claim race
+  *     CONDITIONAL CREATION of the version file — [[CommitStore]]
+  *     `.putIfAbsent`, the one storage primitive commits require
+  *     (atomic, all-or-nothing, fails if the version exists). The
+  *     store is pluggable (the Delta LogStore analog): POSIX hard-link
+  *     claims by default, an emulated object-store conditional PUT for
+  *     the 100 TB target where rename/link do not exist — the protocol
+  *     itself never renames or links inside the log. Losing a claim race
   *     means another writer committed that version: appends simply
   *     re-claim the next version (append⇄append never conflicts — the
   *     Delta protocol's disjoint-files rule), while snapshot transactions
@@ -95,12 +100,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     checkpointInterval: Int = 10,
     autoCompactEvery: Int = 0,
     autoCompactTargetBytes: Long = 128L << 20,
-    checkpointPartBytes: Long = 8L << 20) {
+    checkpointPartBytes: Long = 8L << 20,
+    storeFactory: CommitStore.Factory = CommitStore.Posix) {
   private val logDir = Paths.get(tableDir, "_graft_log")
   private val dataDir = Paths.get(tableDir, "data")
 
-  private def logFile(version: Long): Path =
-    logDir.resolve(f"$version%020d.json")
+  /** Every log mutation goes through this (the Delta LogStore analog —
+    * see [[CommitStore]]): POSIX hard-link claims by default, emulated
+    * object-store conditional-put via `CommitStore.ConditionalPut`.
+    * The sink never renames or links inside the log itself. */
+  private val store: CommitStore = storeFactory(logDir)
+
+  private def logName(version: Long): String = f"$version%020d.json"
+  private def crcName(version: Long): String = f"$version%020d.crc"
+  private def ckptNameOf(version: Long): String = f"$version%020d.checkpoint"
 
   /** Drain a Files.list/Files.walk stream through `f`, CLOSING the
     * underlying directory descriptor. The java.nio directory streams
@@ -112,16 +125,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       f: Iterator[A] => B): B =
     try f(s.iterator().asScala) finally s.close()
 
-  def committedVersions(): Seq[Long] = {
-    if (!Files.isDirectory(logDir)) return Seq.empty
-    withDirStream(Files.list(logDir))(_
-      .map(_.getFileName.toString)
-      .filter(f => f.endsWith(".json") && !f.startsWith("."))
+  def committedVersions(): Seq[Long] =
+    store.list()
+      .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong)
-      .toSeq).sorted
-  }
+      .sorted
 
-  def isCommitted(version: Long): Boolean = Files.exists(logFile(version))
+  def isCommitted(version: Long): Boolean = store.exists(logName(version))
 
   // ---------------------------------------------------------------------
   // staging + stats
@@ -329,7 +339,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       rowIdsCarry: Option[Map[String, (Long, Long)]] = None,
       rowWmForce: Option[Long] = None,
       matFiles: Boolean = false,
-      domains: Option[Map[String, Option[Map[String, String]]]] = None)
+      domains: Option[Map[String, Option[Map[String, String]]]] = None,
+      changeStats: Map[String, Map[String, (String, String)]] = Map.empty)
       : String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
@@ -392,6 +403,24 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     }.mkString(",")
     val rowWmJson = rowWmOut.map(w => s""","rowIdWatermark":$w""").getOrElse("")
     val changeJson = changeDir.map(d => s""""changeDir":${jstr(d)},""").getOrElse("")
+    // per-change-file column stats (round 17 — the CDC data-skipping
+    // analog): a selective change-feed consumer (replicate WHERE k=x)
+    // prunes change FILES by [min,max] instead of scanning every change
+    // row in range. Additive-safe: a reader ignoring the field reads
+    // the whole change dir — conservative, never wrong.
+    val changeAddJson =
+      if (changeStats.isEmpty || changeDir.isEmpty) ""
+      else {
+        val items = changeStats.toSeq.sortBy(_._1).map { case (rel, st) =>
+          val stJ = st.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            val loJ = Option(lo).map(jstr).getOrElse("null")
+            val hiJ = Option(hi).map(jstr).getOrElse("null")
+            s"${jstr(c)}:{${jstr("min")}:$loJ,${jstr("max")}:$hiJ}"
+          }.mkString(",")
+          s"""{"path":${jstr(rel)},"stats":{$stJ}}"""
+        }.mkString(",")
+        s""""changeAdd":[$items],"""
+      }
     // constraints ride the metaData action (Delta's table-config slot): a
     // commit carrying the field REPLACES the active set; commits without
     // it leave the set untouched (latest-wins log replay)
@@ -454,7 +483,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
        else ("\"dv\":{" + dvs.toSeq.sortBy(_._1).map { case (k, idxs) =>
          s"${jstr(k)}:${jstr(DeletionVectors.encode(idxs))}"
        }.mkString(",") + "},")) +
-      changeJson +
+      changeJson + changeAddJson +
       // the Delta domainMetadata action: a per-domain metadata DELTA
       // (null = removal), top-level like Delta's — additive-safe for
       // old readers, latest-wins per domain in the fold
@@ -483,7 +512,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * None for pre-ICT entries or a reclaimed/unreadable file. */
   private def ictOf(version: Long): Option[Long] =
     try {
-      val in = Files.newInputStream(logFile(version))
+      val in = store.inputStream(logName(version))
       try {
         // readNBytes, not read: a single read() may legally return
         // short, and a truncated head would silently classify a
@@ -509,7 +538,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val prev =
       if (version <= 0) None
       else ictOf(version - 1).orElse(
-        try Some(Files.getLastModifiedTime(logFile(version - 1)).toMillis)
+        try Some(store.modifiedTime(logName(version - 1)))
         catch { case scala.util.control.NonFatal(_) => None })
         // After cleanupLog the predecessor's entry survives verbatim
         // (stamp included) only in the checkpoint; a fresh JVM on a
@@ -526,34 +555,32 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * surviving only in a checkpoint) is directly assertable. */
   private[graft] def nextIctForTest(version: Long): Long = nextIct(version)
 
-  /** THE commit point: exclusive creation of the version's log file via
-    * an atomic hard-link of the staged entry. Returns false if the
-    * version was already claimed (by a replay or another writer).
-    * Every entry is stamped with an in-commit timestamp at claim time
-    * (spliced as the FIRST field so [[ictOf]] can head-parse it):
-    * time travel and history read the stamp from the entry itself, so
-    * they survive log-file copies and cleanupLog — the checkpoint
-    * carries entries verbatim, stamp included. */
+  /** THE commit point: conditional creation of the version's log
+    * object ([[CommitStore]].putIfAbsent — POSIX hard-link or emulated
+    * object-store conditional PUT, per the configured store). Returns
+    * false if the version was already claimed (by a replay or another
+    * writer). Every entry is stamped with an in-commit timestamp at
+    * claim time (spliced as the FIRST field so [[ictOf]] can
+    * head-parse it): time travel and history read the stamp from the
+    * entry itself, so they survive log-file copies and cleanupLog —
+    * the checkpoint carries entries verbatim, stamp included. */
   private def claim(version: Long, entry: String): Boolean = {
-    Files.createDirectories(logDir)
-    val tmp = logDir.resolve(s".claim-$appId-${java.util.UUID.randomUUID()}.tmp")
+    store.ensureRoot()
     val ict = nextIct(version)
     val stamped =
       if (entry.startsWith("{")) s"""{"ict":$ict,""" + entry.substring(1)
       else entry
-    Files.writeString(tmp, stamped)
-    val won =
-      try { Files.createLink(logFile(version), tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
-      finally { Files.deleteIfExists(tmp) }
+    val won = store.putIfAbsent(logName(version), stamped)
     if (won) {
       lastIct.getAndUpdate(v => math.max(v, ict))
-      // re-stamp to COMMIT time: the hard link inherits the tmp file's
-      // write mtime, which for a writer that lost earlier claim races
-      // predates rivals' entries — mtime-ordered log consumers
-      // ([[tailChanges]]'s file stream) and cleanupLog's age guard both
-      // want claim order, and claims are sequential by construction
-      try touchNow(logFile(version))
+      // re-stamp to COMMIT time (ordering HINT, not correctness): a
+      // POSIX hard-link inherits the staged temp's write mtime, which
+      // for a writer that lost earlier claim races predates rivals'
+      // entries — mtime-ordered log consumers ([[tailChanges]]'s file
+      // stream) and cleanupLog's age guard both want claim order, and
+      // claims are sequential by construction. On a real object store
+      // PUT time already IS claim time and touch degrades to a no-op.
+      try store.touch(logName(version))
       catch { case scala.util.control.NonFatal(_) => () }
       maybeCheckpoint(version)
       maybeWriteCrc(version)
@@ -573,17 +600,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       numRows: Option[Long], numDeletedRows: Long, numDvFiles: Long,
       tableSizeBytes: Option[Long])
 
-  private def crcFile(version: Long): Path =
-    logDir.resolve(f"$version%020d.crc")
-
   /** Versions with a checksum file, ascending. */
   private def crcVersions(): Seq[Long] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else withDirStream(Files.list(logDir))(_
-      .map(_.getFileName.toString)
-      .filter(f => f.endsWith(".crc") && !f.startsWith("."))
+    store.list()
+      .filter(_.endsWith(".crc"))
       .map(_.stripSuffix(".crc").toLong)
-      .toSeq).sorted
+      .sorted
 
   /** The state summary at `version`, folded from the commit log alone
     * (checkpoint-seeded — O(interval) parses, no data scan). */
@@ -616,7 +638,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * produce identical bytes and ingest never fails over a checksum. */
   private def maybeWriteCrc(version: Long): Unit =
     try {
-      if (!Files.exists(crcFile(version))) {
+      if (!store.exists(crcName(version))) {
         val c = computeChecksum(version)
         val rows = c.numRows.map(n => s""","numRows":$n""").getOrElse("")
         val sz = c.tableSizeBytes
@@ -625,13 +647,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           s""""numFiles":${c.numFiles}$rows,""" +
           s""""numDeletedRows":${c.numDeletedRows},""" +
           s""""numDvFiles":${c.numDvFiles}$sz}}""" + "\n"
-        val tmp = logDir.resolve(
-          s".crc-$appId-${java.util.UUID.randomUUID()}.tmp")
-        Files.writeString(tmp, text)
-        try Files.move(tmp, crcFile(version),
-          StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: FileAlreadyExistsException => () }
-        finally { Files.deleteIfExists(tmp) }
+        // first writer wins; racers' bytes are identical by construction
+        store.putIfAbsent(crcName(version), text)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -645,7 +662,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
-      val c = JsonMethods.parse(Files.readString(crcFile(version))) \ "crc"
+      val c = JsonMethods.parse(store.read(crcName(version))) \ "crc"
       def l(k: String): Option[Long] = (c \ k) match {
         case JInt(n) => Some(n.toLong); case _ => None
       }
@@ -679,18 +696,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   // log checkpoints
   // ---------------------------------------------------------------------
 
-  private def checkpointFile(version: Long): Path =
-    logDir.resolve(f"$version%020d.checkpoint")
-
   /** Versions with a checkpoint file, ascending (not `.json`-suffixed,
     * so `committedVersions` never sees them). */
   private def checkpointVersions(): Seq[Long] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else withDirStream(Files.list(logDir))(_
-      .map(_.getFileName.toString)
-      .filter(f => f.endsWith(".checkpoint") && !f.startsWith("."))
+    store.list()
+      .filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong)
-      .toSeq).sorted
+      .sorted
 
   /** One sidecar part of a multi-part checkpoint: bare file name (the
     * manifest and the sidecar always live in the same log dir), entry
@@ -706,17 +718,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private def sidecarName(version: Long, uid: String, i: Int): String =
     f"$version%020d.$uid.$i%04d.sidecar"
 
-  /** All sidecar files currently in the log, with their version prefix
+  /** All sidecar object names in the log, with their version prefix
     * (for [[cleanupLog]]'s orphan sweep). */
-  private def sidecarFiles(): Seq[(Long, Path)] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else withDirStream(Files.list(logDir))(_
-      .filter(p => p.getFileName.toString.endsWith(".sidecar") &&
-        !p.getFileName.toString.startsWith("."))
-      .toSeq)
-      .flatMap { p =>
-        val n = p.getFileName.toString
-        scala.util.Try(n.takeWhile(_ != '.').toLong).toOption.map(_ -> p)
+  private def sidecarFiles(): Seq[(Long, String)] =
+    store.list()
+      .filter(_.endsWith(".sidecar"))
+      .flatMap { n =>
+        scala.util.Try(n.takeWhile(_ != '.').toLong).toOption.map(_ -> n)
       }
 
   /** The latest-wins metadata state a checkpoint must carry so that raw
@@ -864,8 +872,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private def loadCheckpointFull(cv: Long)
       : Option[(CkptAux, Seq[Commit], Seq[String])] =
     try {
-      val lines = Files.readAllLines(checkpointFile(cv)).asScala
-        .filter(_.nonEmpty).toSeq
+      val lines = store.readLines(ckptNameOf(cv))
+        .filter(_.nonEmpty)
       for {
         head <- lines.headOption
         (v, aux) <- parseAuxHeader(head)
@@ -909,8 +917,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         out(i) =
           try {
             val p = parts(i)
-            val ls = Files.readAllLines(logDir.resolve(p.name)).asScala
-              .filter(_.nonEmpty).toSeq
+            val ls = store.readLines(p.name).filter(_.nonEmpty)
             if (ls.size == p.entries && ls.nonEmpty &&
                 parseCommitText(ls.last).version == p.lastVersion)
               Some(ls)
@@ -935,7 +942,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private def maybeCheckpoint(version: Long): Unit =
     if (checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0 &&
-        !Files.exists(checkpointFile(version)))
+        !store.exists(ckptNameOf(version)))
       try {
         val prev = checkpointVersions().filter(_ < version).reverseIterator
           .map(cv => cv -> loadCheckpointFull(cv))
@@ -954,8 +961,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           .map { case (_, (_, cs, ls)) => cs.map(_.version).zip(ls).toMap }
           .getOrElse(Map.empty)
         def entryLine(c: Commit): String =
-          if (Files.exists(logFile(c.version)))
-            Files.readString(logFile(c.version)).trim
+          if (store.exists(logName(c.version)))
+            store.read(logName(c.version)).trim
           else seedLines(c.version)
         val entries = visibleCommits(Some(version)).map(entryLine)
         val bodyBytes = entries.iterator
@@ -981,22 +988,19 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             bufs.map(_.toSeq).toSeq
           }
         val uid = java.util.UUID.randomUUID().toString
-        val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+        val written = scala.collection.mutable.ArrayBuffer.empty[String]
         try {
           val refs: Seq[SidecarRef] =
             if (parts.isEmpty) Nil
             else {
               val names = parts.indices.map(sidecarName(version, uid, _))
-              // parts are independent files — write them in parallel
-              // (each tmp + atomic move), the scale point of the format
+              // parts are independent objects — PUT them in parallel
+              // (uid-unique names, so overwrite is impossible), the
+              // scale point of the format
               java.util.stream.IntStream.range(0, parts.size).parallel()
                 .forEach { i =>
-                  val tmp = logDir.resolve(s".${names(i)}.tmp")
-                  Files.writeString(tmp,
-                    parts(i).mkString("", "\n", "\n"))
-                  Files.move(tmp, logDir.resolve(names(i)),
-                    StandardCopyOption.ATOMIC_MOVE)
-                  written.synchronized { written += logDir.resolve(names(i)) }
+                  store.put(names(i), parts(i).mkString("", "\n", "\n"))
+                  written.synchronized { written += names(i) }
                 }
               parts.indices.map { i =>
                 SidecarRef(names(i), parts(i).size,
@@ -1007,23 +1011,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             if (refs.isEmpty) (auxHeader(version, aux) +: entries)
               .mkString("", "\n", "\n")
             else auxHeaderWithSidecars(version, aux, refs) + "\n"
-          val tmp = logDir.resolve(
-            s".ckpt-$appId-${java.util.UUID.randomUUID()}.tmp")
-          Files.writeString(tmp, text)
-          try Files.move(tmp, checkpointFile(version),
-            StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: FileAlreadyExistsException =>
-              // lost the cadence race: the winner's manifest references
-              // its OWN uid-named sidecars; ours are unreachable — drop
-              // them rather than leave orphans for cleanupLog
-              written.foreach(Files.deleteIfExists(_))
-          }
-          finally { Files.deleteIfExists(tmp) }
+          // conditional PUT, first writer wins the cadence point: the
+          // winner's manifest references its OWN uid-named sidecars;
+          // a loser's are unreachable — drop them rather than leave
+          // orphans for cleanupLog
+          if (!store.putIfAbsent(ckptNameOf(version), text))
+            written.foreach(store.delete(_))
         } catch {
           case scala.util.control.NonFatal(e) =>
-            written.foreach(p =>
-              try Files.deleteIfExists(p)
+            written.foreach(n =>
+              try store.delete(n)
               catch { case scala.util.control.NonFatal(_) => () })
             throw e
         }
@@ -1822,15 +1819,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
       touchNow(dataDir.resolve(dir))
-      val changeDir = changes.map { ch =>
+      val changeStaged = changes.map { ch =>
         val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
         stage(ch, chStaging, Nil, check = false)
+        // footer-only stats pass over the change files (same machinery
+        // as the adds): the CDC skipping metadata a selective change
+        // consumer prunes files on (readChanges pruneBy)
+        val chStats = fileStats(spark, chStaging).stats
         val rel = s"changes/$uuid"
         Files.createDirectories(dataDir.resolve("changes"))
         Files.move(chStaging, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
         touchNow(dataDir.resolve(rel))
-        rel
+        (rel, chStats)
       }
+      val changeDir = changeStaged.map(_._1)
+      val chStatsM = changeStaged.map(_._2).getOrElse(Map.empty)
       // record the EVOLVED table schema (latestSchema ∪ output frame),
       // never the frame's alone: when no visible file carries a column
       // (the table emptied, then narrow appends landed), the snapshot's
@@ -1847,7 +1850,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           adds, stats, op, changeDir, blooms = bloomsS,
           streamTxn = streamTxn, rows = rowsM,
           bytes = bytesM, widened = wdS,
-          matFiles = out.columns.contains(MatIdCol))))
+          matFiles = out.columns.contains(MatIdCol),
+          changeStats = chStatsM)))
         return expected
       // conflict: someone committed `expected` first → our snapshot was
       // computed on stale state. Abandon the staged dirs (never visible —
@@ -1874,6 +1878,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private case class Commit(version: Long, dir: String, snapshot: Boolean,
       adds: Seq[AddFile],
       op: String = "", changeDir: Option[String] = None,
+      changeAdds: Seq[AddFile] = Nil,
       constraints: Option[Map[String, String]] = None,
       streamTxn: Option[(String, Long)] = None,
       restoreDirs: Seq[String] = Nil,
@@ -1925,7 +1930,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 
   private def parseCommit(v: Long): Commit = {
     logFileParses.incrementAndGet()
-    parseCommitText(Files.readString(logFile(v)), v)
+    parseCommitText(store.read(logName(v)), v)
   }
 
   /** Reader capabilities this implementation understands; an entry
@@ -2073,7 +2078,26 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }.toMap)
       case _ => None
     }
-    Commit(v, dir, snap, adds, op, changeDir, cons, stx, restoreDirs,
+    // per-change-file stats (round 17): path + min/max only — the CDC
+    // pruning metadata. Absent on pre-r17 entries (whole-dir reads).
+    val changeAdds = (j \ "changeAdd") match {
+      case JArray(items) => items.collect { case o: JObject =>
+        val path = (o \ "path") match { case JString(p) => p; case _ => "" }
+        val st = (o \ "stats") match {
+          case JObject(fields) => fields.map { case (c, stj) =>
+            def sv(k: String) = (stj \ k) match {
+              case JString(x) => Some(x); case _ => None
+            }
+            c -> (sv("min"), sv("max"))
+          }.toMap
+          case _ => Map.empty[String, (Option[String], Option[String])]
+        }
+        AddFile(path, st)
+      }
+      case _ => Nil
+    }
+    Commit(v, dir, snap, adds, op, changeDir, changeAdds, cons, stx,
+      restoreDirs,
       removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm, domains = doms)
   }
 
@@ -2300,7 +2324,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * Idempotent: returns -1 if already enabled. */
   def enableRowTracking(spark: SparkSession, backfill: Boolean = false): Long = {
     if (logTail.rowIdState().isDefined) return -1L
-    Files.createDirectories(logDir)
+    store.ensureRoot()
     if (!backfill) {
       require(liveData(spark).isEmpty,
         "enableRowTracking: enable before data lands, or pass " +
@@ -2472,9 +2496,21 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     *    change rows) in range FAILS LOUDLY: silently skipping it would
     *    hand an incremental consumer a feed missing real changes.
     *
-    * Metadata-only selection of which dirs to scan. */
+    * Metadata-only selection of which dirs to scan — and, with
+    * `pruneBy` (round 17, the CDC data-skipping analog), of which
+    * change FILES: commits record per-change-file [min,max] stats
+    * (`changeAdd` actions), so a selective consumer (replicate WHERE
+    * key = x) opens only the change files whose ranges can intersect
+    * the predicate instead of scanning every change row in range. Like
+    * readSkipping, this is FILE pruning, not filtering — the caller
+    * still applies the predicate; files without stats (pre-r17
+    * commits, non-scalar columns) are kept conservatively, as are
+    * hive-partitioned append dirs (reading their leaves directly would
+    * drop partition columns). An empty post-prune range returns an
+    * empty frame. */
   def readChanges(spark: SparkSession, fromVersion: Long,
-      toVersion: Long = Long.MaxValue): DataFrame = {
+      toVersion: Long = Long.MaxValue,
+      pruneBy: Seq[(String, Double, Double)] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.lit
     // CDC is a PER-VERSION feed — checkpoints cannot serve it. After
     // cleanupLog, ranges reaching below the oldest surviving entry must
@@ -2502,6 +2538,35 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           "would silently miss logical changes. Re-read the full table, or " +
           "commit such transforms via merge()/delete().")
       }
+    // file-level pruning predicate over recorded stats (physical
+    // names, same translation as readSkippingAll; conservative on a
+    // missing stat)
+    val phys = pruneBy.map { case (c0, lo, hi) => (physicalOf(c0), lo, hi) }
+    def intersects(st: Option[(Option[String], Option[String])],
+        lower: Double, upper: Double): Boolean = st match {
+      case Some((Some(lo), Some(hi))) =>
+        try { !(hi.toDouble < lower || lo.toDouble > upper) }
+        catch { case _: NumberFormatException => true }
+      case _ => true
+    }
+    def keep(a: AddFile): Boolean =
+      phys.forall { case (c0, lo, hi) => intersects(a.stats.get(c0), lo, hi) }
+    // the pruned read of one change/data dir: explicit surviving files
+    // when per-file stats exist and pruning is requested, the whole dir
+    // otherwise; None when pruning leaves nothing
+    def readDir(rel: String, files: Seq[AddFile])
+        : Option[DataFrame] =
+      if (phys.isEmpty || files.isEmpty ||
+          files.exists(_.path.contains("/"))) // hive leaves: keep the dir
+        Some(spark.read.parquet(dataDir.resolve(rel).toString))
+      else {
+        val kept = files.filter(keep)
+        if (kept.isEmpty) None
+        else if (kept.size == files.size)
+          Some(spark.read.parquet(dataDir.resolve(rel).toString))
+        else Some(spark.read.parquet(
+          kept.map(a => dataDir.resolve(s"$rel/${a.path}").toString): _*))
+      }
     val frames = commits.flatMap {
       case c if c.op == "COMPACT_INC" =>
         // bin-packing is a physical rewrite of prior state — no logical
@@ -2511,18 +2576,18 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         // merge-on-read commits: their adds are PHYSICAL (per-file
         // rewrites + merge's new rows) — the logical change set is the
         // recorded change dir, same as the copy-on-write verbs
-        c.changeDir.map(cd =>
-          spark.read.parquet(dataDir.resolve(cd).toString)
-            .withColumn("batch", lit(c.version).cast("int")))
+        c.changeDir.flatMap(cd => readDir(cd, c.changeAdds)
+          .map(_.withColumn("batch", lit(c.version).cast("int"))))
       case c if !c.snapshot =>
-        // metadata-only commits change no rows
+        // metadata-only commits change no rows; appends prune on their
+        // own add-action stats (the same metadata readSkipping uses)
         if (c.adds.isEmpty) None
-        else Some(spark.read.parquet(dataDir.resolve(c.dir).toString)
+        else readDir(c.dir, c.adds).map(_
           .withColumn("_change_type", lit("insert"))
           .withColumn("batch", lit(c.version).cast("int")))
-      case c => c.changeDir.map { cd =>
-        spark.read.parquet(dataDir.resolve(cd).toString)
-          .withColumn("batch", lit(c.version).cast("int"))
+      case c => c.changeDir.flatMap { cd =>
+        readDir(cd, c.changeAdds)
+          .map(_.withColumn("batch", lit(c.version).cast("int")))
       }
     }
     if (frames.isEmpty) spark.emptyDataFrame
@@ -2550,7 +2615,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       fromVersion: Long = -1L,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      maxVersionsPerTrigger: Int = Int.MaxValue)
+      maxVersionsPerTrigger: Int = Int.MaxValue,
+      // selective replication: per-batch change-file pruning on the
+      // recorded changeAdd stats (readChanges pruneBy)
+      pruneBy: Seq[(String, Double, Double)] = Nil)
       (f: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
@@ -2573,7 +2641,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val vs = batch.select(col("txn.version")).collect()
           .map(_.getLong(0)).filter(_ > fromVersion)
-        if (vs.nonEmpty) f(readChanges(spark, vs.min - 1, vs.max), id)
+        if (vs.nonEmpty)
+          f(readChanges(spark, vs.min - 1, vs.max, pruneBy), id)
       }
       .start()
   }
@@ -2621,8 +2690,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * survives; None for a pre-ICT commit living only in a checkpoint. */
   private def commitTime(c: Commit): Option[Long] =
     c.ict.orElse(
-      if (Files.exists(logFile(c.version)))
-        Some(Files.getLastModifiedTime(logFile(c.version)).toMillis)
+      if (store.exists(logName(c.version)))
+        Some(store.modifiedTime(logName(c.version)))
       else None)
 
   /** Time travel by WALL CLOCK (the Delta `timestampAsOf` analog): the
@@ -3368,6 +3437,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
         // the CDC feed is logical — strip helper/materialization columns
         stage(dropMat(changes), chStaging, Nil, check = false)
+        val chStatsM = fileStats(spark, chStaging).stats // CDC skipping
         val changeRel = s"changes/$uuid"
         Files.createDirectories(dataDir.resolve("changes"))
         Files.move(chStaging, dataDir.resolve(changeRel),
@@ -3386,7 +3456,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             streamTxn = streamTxn,
             removes = removeKeys ++ rewriteKeys, dvs = dvNew,
             rows = rowsM, bytes = bytesM,
-            matFiles = adds.nonEmpty && logTail.rowIdState().isDefined)))
+            matFiles = adds.nonEmpty && logTail.rowIdState().isDefined,
+            changeStats = chStatsM)))
           return expected
       } finally doomed.unpersist(blocking = false)
       attempt += 1
@@ -3494,9 +3565,33 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def removeDomainMetadata(domain: String): Long =
     domainCommit(Map(domain -> None))
 
+  /** Declare — or RE-declare — the table's clustering layout (the
+    * Delta `ALTER TABLE ... CLUSTER BY` analog): a metadata-only commit
+    * recording the columns (PHYSICAL names, rename-proof) in the
+    * `graft.clustering` domain, latest-wins. Clustered writes record
+    * the same domain implicitly; this verb is how the key EVOLVES
+    * without a write.
+    *
+    * The re-cluster window, disclosed exactly as Delta's liquid
+    * clustering has it: already-committed files KEEP their old layout
+    * until the next OPTIMIZE — a parameterless [[compactSmall]]
+    * discovers the new key from the domain and re-clusters every file
+    * it packs (pass `targetBytes = Long.MaxValue` to force ALL live
+    * flat files through one re-clustering pass); reads stay correct
+    * throughout, only skipping tightness on the NEW key lags until
+    * then. */
+  def setClusterBy(cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "setClusterBy: empty column list — use " +
+      "removeDomainMetadata(\"graft.clustering\") to drop the layout")
+    val sch = latestSchema()
+    cols.foreach(c => require(sch.forall(_.fieldNames.contains(c)),
+      s"setClusterBy: column '$c' is not in the table schema"))
+    domainCommit(clusterDomain(cols).get)
+  }
+
   private def domainCommit(
       delta: Map[String, Option[Map[String, String]]]): Long = {
-    Files.createDirectories(logDir)
+    store.ensureRoot()
     var v = nextVersion()
     // metadata-only entry, same shape as constraintCommit's
     while ({ metaClaimHook()
@@ -3706,7 +3801,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * race and have its evolution silently reverted. */
   private def mappingCommit(schemaJson: String, m: Map[String, String],
       dropped: Seq[String], op: String, derivedFrom: String): Long = {
-    Files.createDirectories(logDir)
+    store.ensureRoot()
     var v = -1L
     while ({
         metaClaimHook()
@@ -3884,7 +3979,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   }
 
   private def generatedCommit(f: Map[String, String] => Map[String, String]): Long = {
-    Files.createDirectories(logDir)
+    store.ensureRoot()
     var v = nextVersion()
     while ({ metaClaimHook()
         !claim(v, entryJsonS(metaSchemaJson(), v, "", Nil, snapshot = false,
@@ -3911,7 +4006,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   private[graft] var metaClaimHook: () => Unit = () => ()
 
   private def constraintCommit(f: Map[String, String] => Map[String, String]): Long = {
-    Files.createDirectories(logDir)
+    store.ensureRoot()
     var v = nextVersion()
     // metadata-only entry: no data dir, no adds; snapshot=false so it
     // neither hides prior data (visibleCommits) nor trips the CDC
@@ -3976,12 +4071,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
   def cloneTo(targetDir: String): Long = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val tgtLog = Paths.get(targetDir, "_graft_log")
-    val tgtEmpty = !Files.isDirectory(tgtLog) || {
-      val s = Files.list(tgtLog)
-      try !s.iterator().hasNext finally s.close()
-    }
-    require(tgtEmpty, s"cloneTo: $targetDir already has a commit log")
+    val tgt = storeFactory(Paths.get(targetDir, "_graft_log"))
+    require(tgt.list().isEmpty,
+      s"cloneTo: $targetDir already has a commit log")
     val vs = committedVersions()
     require(vs.nonEmpty || checkpointVersions().nonEmpty,
       "cloneTo: source table has no commits")
@@ -4069,11 +4161,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }
       JsonMethods.compact(JsonMethods.render(JObject(fields2)))
     }
-    Files.createDirectories(tgtLog)
+    tgt.ensureRoot()
     Files.createDirectories(Paths.get(targetDir, "data"))
     vs.foreach { v =>
-      Files.writeString(tgtLog.resolve(f"$v%020d.json"),
-        rewriteEntry(Files.readString(logFile(v)), vHint = v))
+      tgt.put(logName(v), rewriteEntry(store.read(logName(v)), vHint = v))
     }
     // checkpoints: line 1 is the aux header (no data paths), the rest
     // are commit entries — rewritten like the raw log so a clone of a
@@ -4083,24 +4174,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // by a 1:1 entry rewrite) and each sidecar's entries are rewritten
     // into a clone-local sidecar of the same name.
     checkpointVersions().foreach { cv =>
-      val lines = Files.readAllLines(checkpointFile(cv)).asScala
-        .filter(_.nonEmpty).toSeq
+      val lines = store.readLines(ckptNameOf(cv)).filter(_.nonEmpty)
       if (lines.nonEmpty) {
         val parts = try parseManifest(lines.head)
           catch { case scala.util.control.NonFatal(_) => Nil }
         if (parts.isEmpty) {
           val body = lines.head +: lines.tail.map(rewriteEntry(_))
-          Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
-            body.mkString("\n") + "\n")
+          tgt.put(ckptNameOf(cv), body.mkString("\n") + "\n")
         } else try {
           parts.foreach { p =>
-            val ls = Files.readAllLines(logDir.resolve(p.name)).asScala
-              .filter(_.nonEmpty).toSeq
-            Files.writeString(tgtLog.resolve(p.name),
+            val ls = store.readLines(p.name).filter(_.nonEmpty)
+            tgt.put(p.name,
               ls.map(rewriteEntry(_)).mkString("", "\n", "\n"))
           }
-          Files.writeString(tgtLog.resolve(f"$cv%020d.checkpoint"),
-            lines.head + "\n")
+          tgt.put(ckptNameOf(cv), lines.head + "\n")
         } catch {
           // a multipart checkpoint with a missing/torn sidecar is
           // unusable on the source too — skip it (readers fall back),
@@ -4112,19 +4199,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
               if e.getMessage != null &&
                 e.getMessage.startsWith("cloneTo:") => throw e
           case scala.util.control.NonFatal(_) =>
-            Files.deleteIfExists(tgtLog.resolve(f"$cv%020d.checkpoint"))
+            tgt.delete(ckptNameOf(cv))
         }
       }
     }
-    if (Files.exists(truncMarker))
-      Files.copy(truncMarker, tgtLog.resolve(truncMarker.getFileName),
-        StandardCopyOption.REPLACE_EXISTING)
+    if (store.exists(TruncMarkerName))
+      tgt.put(TruncMarkerName, store.read(TruncMarkerName))
     // version checksums summarize the version-pinned log FOLD (counts,
     // not paths), which the clone's rewritten entries preserve exactly —
     // copy them verbatim so the clone's integrity checks keep working
     crcVersions().foreach { v =>
-      Files.copy(crcFile(v), tgtLog.resolve(f"$v%020d.crc"),
-        StandardCopyOption.REPLACE_EXISTING)
+      tgt.put(crcName(v), store.read(crcName(v)))
     }
     (vs ++ checkpointVersions()).max
   }
@@ -4161,8 +4246,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val s = Files.list(p)
       try !s.iterator().hasNext finally s.close()
     }
-    val tgtLog = Paths.get(targetDir, "_graft_log")
-    require(emptyOrAbsent(tgtLog),
+    val tgt = storeFactory(Paths.get(targetDir, "_graft_log"))
+    require(tgt.list().isEmpty,
       s"deepCloneTo: $targetDir already has a commit log")
     // a pre-existing data tree would be silently MERGED with the clone
     // (copies replace name-collisions but leave strangers in place) —
@@ -4209,19 +4294,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
         }
       }
-    Files.createDirectories(tgtLog)
+    tgt.ensureRoot()
     val tgtData = Paths.get(targetDir, "data")
     Files.createDirectories(tgtData)
     // the log, verbatim: raw entries, checkpoints (manifest heads AND
-    // sidecar bodies — all paths inside are relative, so a byte copy is
-    // already correct), and the truncation marker
-    withDirStream(Files.list(logDir))(_.toSeq).foreach { p =>
-      val n = p.getFileName.toString
-      if (!n.startsWith(".") && (n.endsWith(".json") ||
+    // sidecar bodies — all paths inside are relative, so a 1:1 object
+    // copy is already correct), and the truncation marker
+    store.list().foreach { n =>
+      if (n.endsWith(".json") ||
           n.endsWith(".checkpoint") || n.endsWith(".sidecar") ||
-          n.endsWith(".crc") || n == truncMarker.getFileName.toString))
-        Files.copy(p, tgtLog.resolve(n),
-          StandardCopyOption.REPLACE_EXISTING)
+          n.endsWith(".crc") || n == TruncMarkerName)
+        tgt.put(n, store.read(n))
     }
     dirs.foreach { rel =>
       val src = dataDir.resolve(rel)
@@ -4314,6 +4397,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val uuid = java.util.UUID.randomUUID().toString
       val chStaging = Paths.get(tableDir, s".staging-$uuid-cdc")
       stage(changes, chStaging, Nil, check = false)
+      val chStatsM = fileStats(spark, chStaging).stats // CDC skipping
       val changeRel = s"changes/$uuid"
       Files.createDirectories(dataDir.resolve("changes"))
       Files.move(chStaging, dataDir.resolve(changeRel), StandardCopyOption.ATOMIC_MOVE)
@@ -4335,7 +4419,8 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           rowIdsCarry = rowCarry,
           // the lifted files may carry materialized ids from rewrites
           // before the restore point
-          matFiles = rowCarry.isDefined)))
+          matFiles = rowCarry.isDefined,
+          changeStats = chStatsM)))
         return expected
       attempt += 1
       if (attempt > maxRetries)
@@ -4560,42 +4645,38 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * marker error), never under-report it (silently partial state). A
     * log that merely STARTS above version 0 — a streaming writer whose
     * first batchId is nonzero — is not truncation and sets no marker. */
-  private val truncMarker = logDir.resolve("_graft_log_truncated")
+  private val TruncMarkerName = "_graft_log_truncated"
 
   private[graft] def truncatedBelow(): Long =
-    if (!Files.exists(truncMarker)) 0L
-    else try Files.readString(truncMarker).trim.toLong
+    if (!store.exists(TruncMarkerName)) 0L
+    else try store.read(TruncMarkerName).trim.toLong
     catch { case scala.util.control.NonFatal(_) => 0L }
 
   def cleanupLog(minAgeMs: Long = 604800000L): Int = {
     val cutoff = System.currentTimeMillis() - minAgeMs
-    def oldEnough(p: Path): Boolean =
-      Files.getLastModifiedTime(p).toMillis <= cutoff
+    def oldEnough(name: String): Boolean =
+      store.modifiedTime(name) <= cutoff
     val anchor = checkpointVersions()
-      .filter(cv => oldEnough(checkpointFile(cv)) && loadCheckpoint(cv).isDefined)
+      .filter(cv => oldEnough(ckptNameOf(cv)) && loadCheckpoint(cv).isDefined)
       .maxOption
     anchor.fold(0) { a =>
-      if (truncatedBelow() < a) {
-        val tmp = logDir.resolve(s".trunc-${java.util.UUID.randomUUID()}.tmp")
-        Files.writeString(tmp, a.toString)
-        Files.move(tmp, truncMarker, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+      if (truncatedBelow() < a)
+        store.put(TruncMarkerName, a.toString)
       var removed = 0
       committedVersions().filter(_ < a).foreach { v =>
-        if (oldEnough(logFile(v))) { Files.deleteIfExists(logFile(v)); removed += 1 }
+        if (oldEnough(logName(v))) { store.delete(logName(v)); removed += 1 }
       }
       checkpointVersions().filter(_ < a).foreach { cv =>
-        if (oldEnough(checkpointFile(cv))) {
-          Files.deleteIfExists(checkpointFile(cv)); removed += 1
+        if (oldEnough(ckptNameOf(cv))) {
+          store.delete(ckptNameOf(cv)); removed += 1
         }
       }
       // checksums of reclaimed versions: their log fold is no longer
       // servable (reads below the anchor fail loudly), so the stored
       // summary is unverifiable — reclaim it with the entries
       crcVersions().filter(_ < a).foreach { v =>
-        if (oldEnough(crcFile(v))) {
-          Files.deleteIfExists(crcFile(v)); removed += 1
+        if (oldEnough(crcName(v))) {
+          store.delete(crcName(v)); removed += 1
         }
       }
       // sidecars: a part is live only while a surviving checkpoint's
@@ -4606,14 +4687,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // writer may be mid-assembly there.
       val referenced: Set[String] = checkpointVersions().flatMap { cv =>
         try {
-          Files.readAllLines(checkpointFile(cv)).asScala
+          store.readLines(ckptNameOf(cv))
             .find(_.nonEmpty).toSeq.flatMap(parseManifest(_).map(_.name))
         } catch { case scala.util.control.NonFatal(_) => Nil }
       }.toSet
-      sidecarFiles().foreach { case (v, p) =>
-        if (v <= a && !referenced.contains(p.getFileName.toString) &&
-            oldEnough(p)) {
-          Files.deleteIfExists(p); removed += 1
+      sidecarFiles().foreach { case (v, n) =>
+        if (v <= a && !referenced.contains(n) && oldEnough(n)) {
+          store.delete(n); removed += 1
         }
       }
       removed
@@ -4684,7 +4764,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         case Some((cv, s)) if cv == v => s
         case _ =>
           schemaParses.incrementAndGet()
-          val j = JsonMethods.parse(Files.readString(logFile(v)))
+          val j = JsonMethods.parse(store.read(logName(v)))
           val s = org.apache.spark.sql.types.DataType.fromJson(
               JsonMethods.compact(
                 JsonMethods.render(j \ "metaData" \ "schemaString")))

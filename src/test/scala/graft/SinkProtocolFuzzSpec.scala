@@ -57,7 +57,13 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
   // copies a CLEANED log — its early history exists only through the
   // rewritten checkpoint entries (the r12 verdict's highest-value
   // untested product: clone-of-a-cleaned-log).
-  for ((seed, forceCloneAt, cleanBeforeClone, forceBackfillAt) <- Seq(
+  // EVERY fixed seed runs over BOTH commit-store backends (r17): the
+  // POSIX hard-link store and the emulated object-store conditional-put
+  // store — proving the protocol depends only on the CommitStore
+  // contract (put-if-absent + put + list + read-after-write), the one
+  // property an s3/gcs/adls deployment must supply. Exploratory env
+  // seeds run posix-only (local bug-hunting).
+  for { (seed, forceCloneAt, cleanBeforeClone, forceBackfillAt, storeKind) <- (Seq(
       (7L, -1, false, -1), (23L, -1, false, -1), (101L, -1, false, -1),
       (55L, 8, false, -1),
       // two more sequence draws: one plain, one forking LATE (step 20 of 32)
@@ -82,18 +88,23 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // backfills THE CLONE at step 22, so id assignment runs over
       // foreign absolute-path files and every later verb (incl. restore
       // to pre-enablement versions) exercises the boundary carry
-      (12L, -1, false, 6), (28L, 14, false, 22)) ++
+      (12L, -1, false, 6), (28L, 14, false, 22))
+        .flatMap { case (sd, fc, cb, fb) =>
+          Seq(("posix", sd), ("cput", sd)).map { case (k, _) =>
+            (sd, fc, cb, fb, k) } } ++
       // exploratory sweep hook: GRAFT_FUZZ_SEEDS=3,5,8 runs extra seeds
       // with no forced arms — local bug-hunting only, CI runs the fixed
       // list above (a found bug graduates to a forced-arm seed + a
       // minimal regression in the owning spec)
       sys.env.get("GRAFT_FUZZ_SEEDS").toSeq.flatMap(_.split(','))
-        .filter(_.nonEmpty).map(s => (s.trim.toLong, -1, false, -1)))
-    test(s"protocol fuzz seed=$seed" +
+        .filter(_.nonEmpty).map(s => (s.trim.toLong, -1, false, -1, "posix")))
+  }
+    test(s"protocol fuzz seed=$seed store=$storeKind" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
           (if (cleanBeforeClone) ", log cleaned first" else "") + ")"
          else "") +
         ": reads, time travel and retention match the model") {
+      val storeF = graft.streaming.CommitStore.forName(storeKind)
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
       val interval = 3
@@ -105,7 +116,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // from rewritten sidecars alone), and the cold-reader replay
       val partBytes = if (seed % 3 == 1) 1L else 8L << 20
       var sink = new ExactlyOnceSink(dir, checkpointInterval = interval,
-        checkpointPartBytes = partBytes)
+        checkpointPartBytes = partBytes, storeFactory = storeF)
       // ROW TRACKING rides most seeds (one stays untracked as the
       // control): after EVERY verb the differential check asserts id
       // uniqueness, id stability for every surviving business key
@@ -497,7 +508,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
               curDir = cloneDir
               sink = new ExactlyOnceSink(cloneDir,
                 checkpointInterval = interval,
-                checkpointPartBytes = partBytes)
+                checkpointPartBytes = partBytes, storeFactory = storeF)
             }
         }
         checkRead()
@@ -561,7 +572,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // if the run forked onto a clone, the SOURCE must read exactly its
       // frozen at-clone state — no later verb may have leaked across
       clonedFrom.foreach { case (srcDir, frozen, frozenY, frozenN, _, frozenX) =>
-        val src = new ExactlyOnceSink(srcDir)
+        val src = new ExactlyOnceSink(srcDir, storeFactory = storeF)
         val d = src.read(spark)
         assert(state(d, frozenX) === frozen,
           "source table diverged after the clone forked")
@@ -574,7 +585,7 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // a cold reader (fresh instance, checkpoint-seeded) sees the same
       // final state, and time travel below retention fails loudly
       val cold = new ExactlyOnceSink(curDir,
-        checkpointPartBytes = partBytes)
+        checkpointPartBytes = partBytes, storeFactory = storeF)
       assert(state(cold.read(spark), xName) === live,
         "cold replay diverged from the model")
       if (anchor > 0)
