@@ -254,6 +254,31 @@ object SinkOps {
       }
     }
 
+  /** VARIANT-SHREDDING demo (round 17, the Delta 4.x shredded-JSON
+    * pattern): `props` is an opaque JSON string every consumer re-parses
+    * per row; a write-time GENERATED column shreds the hot field into a
+    * TYPED, stats-carrying column, so queries skip files on the
+    * shredded field without ever touching the JSON. Build: declare
+    * k_shred = CAST(get_json_object(props,'$.k') AS INT), then four
+    * clustered appends — the writer computes the column (frames never
+    * carry it) and z-orders on it, so per-file [min,max] are tight and
+    * readSkipping prunes. The oracle recomputes the same aggregate from
+    * the RAW fixture via DuckDB json extraction — proving shred-write +
+    * pruned-read end-to-end. */
+  private val builtShred = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shredEvents(s: SparkSession, d: String): ExactlyOnceSink =
+    buildOnce(builtShred, s, d, "graft-shred",
+        "proto=gen(k_shred=json.k),4xappend,clusterBy=k_shred") { (ev, dir) =>
+      val sink = new ExactlyOnceSink(dir.toString)
+      sink.setGeneratedColumn(s, "k_shred",
+        "CAST(get_json_object(props, '$.k') AS INT)")
+      (0 until 4).foreach { k =>
+        sink.commitAppend(ev.filter(pmod(col("event_id"), lit(4)) === k),
+          clusterBy = Seq("k_shred"), clusterFiles = 4)
+      }
+    }
+
   /** Clone-read predicates (mirrored in the oracle): the DV delete on
     * the CLONE drops the high-value tail; the clone-local append then
     * re-adds user 5's rows (including its high-value ones — appends
@@ -617,6 +642,18 @@ object SinkOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
         .orderBy("event_type")
+    }),
+
+    // VARIANT shredding (shredEvents doc): the scan is FILE-PRUNED on
+    // the shredded typed column's recorded stats (readSkipping), then
+    // the residual predicate applies — props itself is never parsed at
+    // read time
+    "q_sink_shred_read" -> ((s, d) => {
+      shredEvents(s, d).readSkipping(s, "k_shred", 0, 9)
+        .filter(col("k_shred").between(0, 9))
+        .groupBy(col("k_shred"))
+        .agg(count(lit(1)).as("n"), Det.sumMoney(col("value")).as("val_sum"))
+        .orderBy("k_shred")
     })
   )
 
@@ -780,6 +817,14 @@ object SinkOps {
                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
           FROM events
           WHERE user_id % 8 = $GenBucket
-          GROUP BY event_type ORDER BY event_type"""
+          GROUP BY event_type ORDER BY event_type""",
+    // the shredded field recomputed from the RAW JSON fixture — DuckDB
+    // never sees the typed column, only the extraction the write shred
+    "q_sink_shred_read" ->
+      """SELECT CAST(props->>'k' AS INT) AS k_shred, count(*) AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS val_sum
+          FROM events
+          WHERE CAST(props->>'k' AS INT) BETWEEN 0 AND 9
+          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -141,6 +141,46 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
       "OPTIMIZE re-recorded a narrowed clustering domain")
   }
 
+  test("clustering-key EVOLUTION: re-declared key re-clusters on the next OPTIMIZE") {
+    val (sink, _) = newSink("evolve-cluster")
+    // life phase 1: clustered by (a, b)
+    (0 until 4).foreach { _ =>
+      sink.commitAppend(
+        spark.range(0, 2000).toDF("a")
+          .withColumn("b", pmod(col("a") * 7919, lit(2000)))
+          .withColumn("c", pmod(col("a") * 4099, lit(2000))),
+        clusterBy = Seq("a", "b"), clusterFiles = 1)
+    }
+    // life phase 2: the layout evolves — metadata-only re-declaration
+    sink.setClusterBy(Seq("b", "c"))
+    assert(sink.domainMetadata("graft.clustering")
+      .exists(_.get("columns").contains("b,c")))
+    intercept[IllegalArgumentException](sink.setClusterBy(Seq("nope")))
+    // parameterless OPTIMIZE discovers the NEW key and re-clusters ALL
+    // live files (targetBytes = MaxValue forces every flat file through)
+    assert(sink.compactSmall(spark, targetBytes = Long.MaxValue,
+      clusterFiles = 4) > 0)
+    val total = sink.read(spark).inputFiles.toSet
+    assert(total.size >= 4)
+    // skipping now prunes on BOTH new-key columns — including c, which
+    // no write ever clustered by (the re-cluster loop, not write luck)
+    Seq("b", "c").foreach { c0 =>
+      val kept = sink.readSkipping(spark, c0, 0, 120).inputFiles.toSet
+      assert(kept.size < total.size,
+        s"OPTIMIZE did not re-cluster to the evolved key (column $c0)")
+      assert(sink.readSkipping(spark, c0, 0, 120)
+        .filter(col(c0).between(0, 120)).count() === 484L)
+    }
+    // the old-files-stale-until-OPTIMIZE window: a FRESH re-declaration
+    // alone must not have rewritten anything (metadata-only) — verified
+    // by evolving again and checking the files are untouched until the
+    // next maintenance pass
+    val before = sink.read(spark).inputFiles.toSet
+    sink.setClusterBy(Seq("a", "c"))
+    assert(sink.read(spark).inputFiles.toSet === before,
+      "setClusterBy must be metadata-only (no rewrite until OPTIMIZE)")
+  }
+
   test("read(timestampAsOf) maps commit stamps to versions; too-early fails loudly") {
     val (sink, dir) = newSink("tsread")
     (0 until 4).foreach(k =>

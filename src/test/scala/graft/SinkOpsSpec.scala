@@ -128,6 +128,31 @@ class SinkOpsSpec extends SparkSpecBase {
       == direct)
   }
 
+  test("q_sink_shred_read: shredded JSON field prunes files and matches the raw fixture") {
+    val events = Tables(spark, sf, "events")
+    // the declared query (runs the build) equals the raw-JSON aggregate
+    val direct = events
+      .withColumn("k_shred",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k_shred").between(0, 9))
+      .groupBy("k_shred")
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Det.sumMoney(col("value")).as("val_sum"))
+      .orderBy("k_shred")
+    assert(q("q_sink_shred_read").collect().toSeq === direct.collect().toSeq)
+    assert(direct.count() === 10L, "probe range not fully populated")
+    // and the read is genuinely FILE-pruned on the shredded column: the
+    // skipping scan opens strictly fewer files than the full table scan
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir")).toFile
+      .listFiles().filter(_.getName.startsWith("graft-shred-sf0.001"))
+      .head.toString
+    val sink = new ExactlyOnceSink(dir)
+    val total = sink.read(spark).inputFiles.length
+    val pruned = sink.readSkipping(spark, "k_shred", 0, 9).inputFiles.length
+    assert(total >= 8 && pruned < total,
+      s"shredded-field skipping opened $pruned/$total files — no pruning")
+  }
+
   test("appends without bloomBy inherit the declared bloom policy") {
     val events = Tables(spark, sf, "events").limit(400)
     val dir = Files.createTempDirectory("graft-bloom-default").toString

@@ -430,6 +430,55 @@ class StreamingSpec extends SparkSpecBase {
       .as[String].collect().toSeq == Seq("insert"))
   }
 
+  test("readChanges(pruneBy) opens only matching change files (CDC skipping)") {
+    val dir = tmp("graft-cdc-prune")
+    val sink = new ExactlyOnceSink(dir)
+    // one append, FOUR files with disjoint id ranges — per-file pruning
+    // must act WITHIN the commit, not just between commits
+    sink.commitAppend(spark.range(0, 100).toDF("id")
+      .withColumn("x", concat(lit("v"), col("id")))
+      .repartitionByRange(4, col("id")))
+    // two merges touching disjoint id ranges → two change dirs whose
+    // recorded changeAdd stats cannot both intersect a selective probe
+    val mv1 = sink.merge(spark,
+      (0L until 5L).map(i => (i, s"m$i")).toDF("id", "x"), Seq("id"))
+    val mv2 = sink.merge(spark,
+      (90L until 95L).map(i => (i, s"m$i")).toDF("id", "x"), Seq("id"))
+    // the entries record per-change-file stats
+    val e = Files.readString(Paths.get(dir, "_graft_log", f"$mv1%020d.json"))
+    assert(e.contains("\"changeAdd\""), "merge entry lacks changeAdd stats")
+
+    val full = sink.readChanges(spark, -1L, mv2)
+    val pruned = sink.readChanges(spark, -1L, mv2,
+      pruneBy = Seq(("id", 0.0, 4.0)))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruneBy opened ${pruned.inputFiles.length}/" +
+        s"${full.inputFiles.length} — no change-file skipping")
+    // pruning is file-level and conservative: after applying the
+    // predicate, the selective feed equals the full feed's slice
+    val sel = pruned.filter(col("id") <= 4)
+      .select("id", "x", "_change_type", "batch")
+    val ref = full.filter(col("id") <= 4)
+      .select("id", "x", "_change_type", "batch")
+    assert(sel.collect().toSet === ref.collect().toSet)
+    assert(sel.count() > 0)
+    // a probe hitting NOTHING prunes to an empty frame
+    assert(sink.readChanges(spark, mv1, mv2,
+      pruneBy = Seq(("id", 40.0, 50.0))).isEmpty)
+    // the streaming tail passes pruneBy through: the applier's batch
+    // frame opens only matching files
+    var tailFiles = -1
+    var tailRows = -1L
+    sink.tailChanges(spark, tmp("graft-cdc-prune-ckpt"),
+        pruneBy = Seq(("id", 0.0, 4.0))) { (ch, _) =>
+      tailFiles = ch.inputFiles.length
+      tailRows = ch.filter(col("id") <= 4).count()
+    }.awaitTermination()
+    assert(tailFiles >= 0 && tailFiles < full.inputFiles.length,
+      "tailing applier scanned the unpruned feed")
+    assert(tailRows === ref.count())
+  }
+
   test("readChanges surfaces merge/delete logical changes; opaque snapshots fail loudly") {
     val tableDir = tmp("graft-cdf")
     val sink = new ExactlyOnceSink(tableDir)
