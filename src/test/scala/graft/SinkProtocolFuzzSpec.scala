@@ -97,7 +97,11 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // list above (a found bug graduates to a forced-arm seed + a
       // minimal regression in the owning spec)
       sys.env.get("GRAFT_FUZZ_SEEDS").toSeq.flatMap(_.split(','))
-        .filter(_.nonEmpty).map(s => (s.trim.toLong, -1, false, -1, "posix")))
+        .filter(_.nonEmpty).map(_.trim.toLong)
+        // an env seed colliding with a fixed seed would register a
+        // duplicate test name and ABORT the whole suite (0 tests run)
+        .filterNot(Set(7L, 23L, 101L, 55L, 13L, 42L, 91L, 67L, 12L, 28L))
+        .map(sd => (sd, -1, false, -1, "posix")))
   }
     test(s"protocol fuzz seed=$seed store=$storeKind" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
