@@ -4435,14 +4435,23 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * the rewrite is z-order clustered (OPTIMIZE ZORDER BY): the
     * snapshot's per-file stats come out tight on every clustered
     * column, so readSkipping prunes on any of them even though the
-    * original appends were written in arrival order. */
+    * original appends were written in arrival order.
+    *
+    * A PARAMETERLESS compact discovers the declared layout from the
+    * `graft.clustering` domain, like [[compactSmall]] (round 17): after
+    * [[setClusterBy]] evolves the key, this full rewrite is the
+    * OPTIMIZE FULL analog — EVERY live row lands in the new layout,
+    * including files too big for the incremental pass. A table with no
+    * recorded layout packs in arrival order, exactly as before. */
   def compact(spark: SparkSession, clusterBy: Seq[String] = Nil,
-      clusterFiles: Int = 8): Long =
+      clusterFiles: Int = 8): Long = {
+    val cb = if (clusterBy.nonEmpty) clusterBy else activeClusterCols()
     transactSnapshotChanges(spark, "COMPACT") { live =>
-      (if (clusterBy.isEmpty) live
-       else graft.operators.ZOrder.cluster(live, clusterBy, clusterFiles),
+      (if (cb.isEmpty) live
+       else graft.operators.ZOrder.cluster(live, cb, clusterFiles),
         None)
     }
+  }
 
   /** Incremental OPTIMIZE (the actual Delta OPTIMIZE semantics:
     * bin-pack SMALL files, leave big ones alone): live files under

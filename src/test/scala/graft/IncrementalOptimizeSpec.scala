@@ -179,6 +179,18 @@ class IncrementalOptimizeSpec extends SparkSpecBase {
     sink.setClusterBy(Seq("a", "c"))
     assert(sink.read(spark).inputFiles.toSet === before,
       "setClusterBy must be metadata-only (no rewrite until OPTIMIZE)")
+    // the OPTIMIZE FULL analog: a parameterless compact() discovers the
+    // LATEST declared key and re-clusters the whole table — big files
+    // included, unlike the incremental pass
+    sink.compact(spark, clusterFiles = 4)
+    val total2 = sink.read(spark).inputFiles.toSet
+    assert(total2.size >= 4)
+    Seq("a", "c").foreach { c0 =>
+      assert(sink.readSkipping(spark, c0, 0, 120).inputFiles.size < total2.size,
+        s"full OPTIMIZE did not re-cluster to the latest key (column $c0)")
+      assert(sink.readSkipping(spark, c0, 0, 120)
+        .filter(col(c0).between(0, 120)).count() === 484L)
+    }
   }
 
   test("read(timestampAsOf) maps commit stamps to versions; too-early fails loudly") {
