@@ -101,7 +101,9 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         // an env seed colliding with a fixed seed would register a
         // duplicate test name and ABORT the whole suite (0 tests run)
         .filterNot(Set(7L, 23L, 101L, 55L, 13L, 42L, 91L, 67L, 12L, 28L))
-        .map(sd => (sd, -1, false, -1, "posix")))
+        // GRAFT_FUZZ_STORE=cput sweeps the object-store emulation
+        .map(sd => (sd, -1, false, -1,
+          sys.env.getOrElse("GRAFT_FUZZ_STORE", "posix"))))
   }
     test(s"protocol fuzz seed=$seed store=$storeKind" +
         (if (forceCloneAt > 0) s" (clone forked at step $forceCloneAt" +
