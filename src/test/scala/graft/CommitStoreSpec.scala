@@ -128,6 +128,46 @@ class CommitStoreSpec extends AnyFunSuite {
     intercept[RuntimeException](CommitStore.forName("s3"))
   }
 
+  test("cput: a crashed lock-holding writer never orphans the store") {
+    // the emulator's mutual exclusion is an OS advisory lock precisely
+    // because the kernel releases it on process death — a lock FILE
+    // would be orphaned by a crashed writer and deadlock every rival.
+    // Fork a process that takes the lock and hangs, kill it, and prove
+    // a rival's conditional put proceeds.
+    val dir = Files.createTempDirectory("graft-store-crash")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val log = Files.createTempFile("store-lock-holder", ".log")
+    val p = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.StoreLockHolder", dir.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(log.toFile)
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!Files.readString(log).contains("STORE_LOCK_HELD")) {
+        assert(System.nanoTime() < deadline, "lock holder never started")
+        Thread.sleep(50)
+      }
+      // while the foreign process holds the lock, a putIfAbsent from
+      // here must WAIT (run it async and observe it not completing)
+      val st = CommitStore.ConditionalPut(dir)
+      val pool = Executors.newFixedThreadPool(1)
+      try {
+        val f = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = st.putIfAbsent("k.json", "v")
+        })
+        Thread.sleep(300)
+        assert(!f.isDone, "putIfAbsent ignored a foreign process's lock")
+        // kill the holder: the kernel releases its flock, the rival
+        // proceeds — liveness after writer death, no manual cleanup
+        p.destroyForcibly()
+        assert(f.get(15, TimeUnit.SECONDS) === true)
+        assert(st.read("k.json") === "v")
+      } finally pool.shutdownNow()
+    } finally if (p.isAlive) p.destroyForcibly()
+  }
+
   test("factory classes are what forName says") {
     val d = Files.createTempDirectory("graft-store-kind")
     assert(CommitStore.Posix(d).isInstanceOf[PosixCommitStore])

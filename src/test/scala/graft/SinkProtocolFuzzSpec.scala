@@ -573,6 +573,28 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
           s"CDC replay from v$v0 diverged from the model on the evolved column")
         assert(fn === ns,
           s"CDC replay from v$v0 diverged from the model on the widened column")
+
+        // CDC FILE PRUNING differential (round 17): a pruned selective
+        // feed, post-filtered by its own predicate, must equal the
+        // unpruned feed's slice — over whatever change-dir shapes
+        // (pre-stats entries, restores, MOR, clone-rewritten absolute
+        // dirs) this seed's history produced. Pruning is file-level
+        // and conservative; this is the soundness half.
+        if (feed.columns.contains("_change_type")) {
+          val lo = 2.0 + (seed % 5).toDouble
+          val hi = lo + 6.0
+          val pruned = sink.readChanges(spark, fromVersion = v0,
+            pruneBy = Seq(("id", lo, hi)))
+          def slice(d: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+            if (!d.columns.contains("id")) Set.empty
+            else d.filter(col("id").between(lo, hi))
+              .select(col("id"), col("_change_type"), col(xName))
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+              .toSet
+          assert(slice(pruned) === slice(feed),
+            s"pruned CDC feed [$lo,$hi] from v$v0 lost or invented changes")
+        }
       }
 
       // if the run forked onto a clone, the SOURCE must read exactly its
