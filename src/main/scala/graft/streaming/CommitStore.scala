@@ -92,7 +92,12 @@ private[streaming] abstract class FsObjectStore(val root: Path)
   override def ensureRoot(): Unit = Files.createDirectories(root)
 
   protected def path(name: String): Path = {
-    require(name.nonEmpty && !name.contains("/") && !name.contains("\\"),
+    // "." / ".." / NUL are rejected along with separators: sidecar names
+    // are parsed from on-disk checkpoint manifests (cloneTo feeds them
+    // into read/put), so a corrupted or crafted manifest must not be
+    // able to address anything outside the log root.
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+      name != "." && name != ".." && !name.contains("\u0000"),
       s"commit-store object names are flat: '$name'")
     root.resolve(name)
   }
@@ -156,7 +161,9 @@ final class PosixCommitStore(root0: Path) extends FsObjectStore(root0) {
   * for stores that lacked native conditional PUT; a real S3/GCS/ADLS
   * deployment gets the same atomicity from the store itself and needs
   * no lock). Like any local emulator (MinIO, LocalStack), the
-  * IMPLEMENTATION uses filesystem primitives — a temp write + atomic
+  * IMPLEMENTATION uses filesystem primitives — an exclusive link for
+  * the conditional create ([[createObject]] — structural one-winner
+  * even against writers outside the lock) and a temp write + atomic
   * rename stands in for the store's all-or-nothing object visibility —
   * but none of that leaks through the interface, which is the point:
   * the protocol fuzz passing over this backend proves the sink depends
@@ -179,13 +186,35 @@ final class ConditionalPutCommitStore(root0: Path)
     finally Files.deleteIfExists(tmp)
   }
 
+  /** Exclusive object CREATION (the conditional-PUT commit point):
+    * exclusive hard-link of the staged temp, the same primitive the
+    * POSIX backend claims with — NOT a rename, which on POSIX silently
+    * replaces an existing target. This makes one-winner STRUCTURAL,
+    * independent of lock coverage: a writer that creates the name
+    * outside this store's lock (a Posix-backend writer sharing the
+    * table, an unconditional put racing the claim) makes this create
+    * fail instead of being silently clobbered into a two-winner split. */
+  private def createObject(name: String, text: String): Boolean = {
+    val tmp = tmpName()
+    Files.writeString(tmp, text)
+    try { Files.createLink(path(name), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
   /** Store-wide mutual exclusion: JVM-global monitor (two channels in
     * one JVM may not hold overlapping OS locks) around an OS advisory
     * lock (cross-process). Held only across the exists-check + create
-    * of putIfAbsent — reads never lock. */
+    * of putIfAbsent — reads never lock. The monitor is keyed on the
+    * root's REAL path (symlinks resolved): two stores opened on
+    * symlink-aliased spellings of one root must share the monitor, or
+    * the second same-JVM FileChannel.lock() throws
+    * OverlappingFileLockException instead of blocking. */
   private def withStoreLock[A](f: => A): A = {
     ensureRoot()
-    val key = root.toAbsolutePath.normalize.toString
+    val key = (try root.toRealPath()
+      catch { case _: java.io.IOException => root.toAbsolutePath.normalize })
+      .toString
     val monitor = monitors.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
       val ch = FileChannel.open(root.resolve(LockName),
@@ -201,7 +230,7 @@ final class ConditionalPutCommitStore(root0: Path)
     withStoreLock {
       raceHook(name) // test seam: widen the check→create window
       if (Files.exists(path(name))) false
-      else { writeObject(name, text); true }
+      else createObject(name, text)
     }
 
   override def put(name: String, text: String): Unit = {

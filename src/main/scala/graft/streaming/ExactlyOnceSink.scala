@@ -1409,7 +1409,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     enforceSchema(df, mergeSchema, "commitAppend")
     // no caller bloom spec → the table's declared policy applies
     // (activeBloomPolicy doc): appendBatch funnels here too, so every
-    // OCC/streaming-cursored append keeps the policy on new files
+    // OCC/streaming-cursored append keeps the policy on new files.
+    // STAGING uses the inherited (bBy, bBits); the recorded `graft.bloom`
+    // DOMAIN below uses only the caller's EXPLICIT declaration —
+    // activeBloomPolicy filters out columns the live schema dropped, so
+    // re-recording the inherited view after a column DROP would make
+    // the narrowing permanent (the same hazard compactSmall avoids by
+    // re-recording only explicit declarations).
     val (bBy, bBits) =
       if (bloomBy.nonEmpty) (bloomBy, bloomBits) else activeBloomPolicy()
     // the table schema enforceSchema just validated against: every claim
@@ -1441,7 +1447,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
           snapshot = false, st.adds, st.stats, blooms = st.blooms,
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wd, domains = writeDomains(clusterBy, bBy, bBits)))) {
+          widened = wd, domains = writeDomains(clusterBy, bloomBy, bloomBits)))) {
         v = math.max(v + 1, nextVersion()) // lost the race — next version
         validated = reEnforceOnRetry(gdf.schema, mergeSchema, validated,
           "commitAppend")
@@ -1507,7 +1513,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         if (contiguousRival)
           commitIdentityContiguous(prep, mergeSchema, validated,
             partitionBy, clusterBy, clusterFiles, bBy, bBits,
-            streamTxn)
+            declaredBloomBy = bloomBy, streamTxn = streamTxn)
         else {
           // 2. assign from the reserved base and stage ONCE; the advanced
           //    watermark already rode the reservation commit
@@ -1524,7 +1530,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           while (!claim(v, entryJsonS(sj, v, st.dir, partitionBy,
               snapshot = false, st.adds, st.stats, blooms = st.blooms,
               streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-              widened = wd, domains = writeDomains(clusterBy, bBy, bBits)))) {
+              widened = wd, domains = writeDomains(clusterBy, bloomBy, bloomBits)))) {
             v = math.max(v + 1, nextVersion())
             validated = reEnforceOnRetry(adf.schema, mergeSchema,
               validated, "commitAppend")
@@ -1558,7 +1564,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       val prep = prepareIdentity(gdf, idr0.map(_._1))
       try commitIdentityContiguous(prep, mergeSchema, validated,
         partitionBy, clusterBy, clusterFiles, bBy, bBits,
-        streamTxn)
+        declaredBloomBy = bloomBy, streamTxn = streamTxn)
       finally prep.release()
     }
   }
@@ -1575,6 +1581,10 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       mergeSchema: Boolean, validated0: Option[String],
       partitionBy: Seq[String], clusterBy: Seq[String], clusterFiles: Int,
       bloomBy: Seq[String], bloomBits: Int,
+      // the caller's EXPLICIT bloom declaration (empty when bloomBy was
+      // inherited from the table policy) — only this is re-recorded
+      // into the graft.bloom domain (commitAppend's narrowing note)
+      declaredBloomBy: Seq[String],
       streamTxn: Option[(String, Long)]): Long = {
     var validated = validated0
     var staged: Option[(Seq[(String, Long, Long, Long, Boolean)],
@@ -1612,7 +1622,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           partitionBy, snapshot = false, st.adds, st.stats,
           blooms = st.blooms, generated = Some(genOut),
           streamTxn = streamTxn, rows = st.rows, bytes = st.bytes,
-          widened = wdI, domains = writeDomains(clusterBy, bloomBy, bloomBits))))
+          widened = wdI, domains = writeDomains(clusterBy, declaredBloomBy, bloomBits))))
         return expected
     }
     -1L // unreachable

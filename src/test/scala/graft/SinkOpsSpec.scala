@@ -188,6 +188,37 @@ class SinkOpsSpec extends SparkSpecBase {
     assert(sink.readLookup(spark, "user_id", "987654321").inputFiles.isEmpty)
   }
 
+  test("a policy-less append after DROP COLUMN never narrows the declared bloom policy") {
+    // activeBloomPolicy() filters the declared set down to the LIVE
+    // schema, which is right for staging (a dropped column cannot get a
+    // bloom) but must never be re-RECORDED: the graft.bloom domain keeps
+    // the caller's full declaration, so the narrowing stays transient
+    // (the same posture compactSmall takes for graft.clustering)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bloom-narrow").toString
+    val sink = new ExactlyOnceSink(dir)
+    val df = (0 until 50).map(i => (i, s"k$i", s"u$i")).toDF("id", "k", "u")
+    sink.commitAppend(df.coalesce(1), bloomBy = Seq("k", "u"), bloomBits = 2048)
+    assert(sink.domainMetadata("graft.bloom").flatMap(_.get("columns"))
+      .exists(_.split(',').toSet == Set("k", "u")))
+    sink.dropColumn("u")
+    // inherited-policy appends (plain, cursored, streaming) must leave
+    // the recorded declaration untouched
+    sink.commitAppend(df.drop("u").coalesce(1))
+    sink.appendBatch(df.drop("u").coalesce(1), batchId = 0, streamAppId = "s9")
+    assert(sink.domainMetadata("graft.bloom").flatMap(_.get("columns"))
+      .exists(_.split(',').toSet == Set("k", "u")),
+      "an inherited-policy append re-recorded the schema-narrowed view, " +
+        "making the DROP's narrowing permanent")
+    // staging still honors the live-schema policy: the surviving column
+    // prunes to zero files on an absent key
+    assert(sink.readLookup(spark, "k", "absent-key").inputFiles.isEmpty)
+    // and an EXPLICIT re-declaration still replaces the recorded set
+    sink.commitAppend(df.drop("u").coalesce(1), bloomBy = Seq("k"))
+    assert(sink.domainMetadata("graft.bloom").flatMap(_.get("columns"))
+      .contains("k"))
+  }
+
   test("q_sink_bloom_lookup matches the direct events aggregate") {
     val direct = Tables(spark, sf, "events")
       .filter(col("user_id") === 7)
