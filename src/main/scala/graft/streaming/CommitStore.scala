@@ -67,6 +67,13 @@ trait CommitStore {
   def modifiedTime(name: String): Long
   /** Re-stamp `name`'s last-modified to now (ordering hint only). */
   def touch(name: String): Unit
+  /** Reclaim aged INTERNAL staging objects (`.put-*.tmp` left by a
+    * writer that died between the temp write and the create) — never
+    * touches visible objects; the age guard keeps in-flight writers
+    * safe. On a real object store uploads are not visible until
+    * complete, so this degrades to a no-op (incomplete-multipart
+    * lifecycle rules play the same role). Returns objects removed. */
+  def gcStaging(minAgeMs: Long): Int
 }
 
 object CommitStore {
@@ -125,6 +132,21 @@ private[streaming] abstract class FsObjectStore(val root: Path)
 
   protected def tmpName(): Path =
     root.resolve(s".put-${java.util.UUID.randomUUID()}.tmp")
+
+  override def gcStaging(minAgeMs: Long): Int = {
+    if (!Files.isDirectory(root)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val s = Files.list(root)
+    val victims =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".put-") && n.endsWith(".tmp") &&
+          (try Files.getLastModifiedTime(p).toMillis <= cutoff
+           catch { case _: java.io.IOException => false })
+      }.toList
+      finally s.close()
+    victims.count(Files.deleteIfExists(_))
+  }
 }
 
 /** POSIX backend: putIfAbsent = atomic hard-link of a staged temp file

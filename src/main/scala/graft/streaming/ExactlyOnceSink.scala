@@ -37,12 +37,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     itself never renames or links inside the log. Losing a claim race
   *     means another writer committed that version: appends simply
   *     re-claim the next version (append⇄append never conflicts — the
-  *     Delta protocol's disjoint-files rule), while snapshot transactions
-  *     (merge/delete/compact) re-read the table and recompute before
-  *     retrying, because their output depends on the state they read.
-  *     The log is therefore linear and gap-free: a version file exists
-  *     only after its data is in place, and claims are dense because
-  *     every writer targets exactly `nextVersion()`.
+  *     Delta protocol's disjoint-files rule). Snapshot/MOR transactions
+  *     (merge/delete/compact) apply CONFLICT NARROWING, the Delta
+  *     ConflictChecker analog: under the default
+  *     [[ExactlyOnceSink.WriteSerializable]] isolation a rival commit
+  *     that is a pure data append — disjoint by construction from the
+  *     transaction's read set — costs only a metadata re-claim at the
+  *     next version (snapshot commits record their read version as
+  *     `snapshotBase`, keeping the appends visible; delta-shaped MOR
+  *     commits keep them visible for free), while a genuinely
+  *     conflicting rival (removes/DVs/snapshot/metadata) still forces
+  *     the full re-read+recompute, because the output depends on state
+  *     that rival invalidated. [[ExactlyOnceSink.Serializable]] retains
+  *     the recompute-on-any-rival posture. The log stays linear and
+  *     gap-free: a version file exists only after its data is in place,
+  *     and claims are dense because every writer targets exactly
+  *     `nextVersion()`.
   *
   * Every commit entry also records **per-file column stats** (min/max of
   * numeric and string columns — the Delta data-skipping analog):
@@ -101,7 +111,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     autoCompactEvery: Int = 0,
     autoCompactTargetBytes: Long = 128L << 20,
     checkpointPartBytes: Long = 8L << 20,
-    storeFactory: CommitStore.Factory = CommitStore.Posix) {
+    storeFactory: CommitStore.Factory = CommitStore.Posix,
+    // Transaction isolation for the snapshot/MOR verbs — the Delta
+    // split, same names and same default (see [[ExactlyOnceSink.Isolation]]):
+    // WriteSerializable lets a transaction REBASE past rival pure
+    // appends it never read (re-claim the next version, no recompute);
+    // Serializable forces the full recompute on ANY rival.
+    isolation: ExactlyOnceSink.Isolation = ExactlyOnceSink.WriteSerializable) {
   private val logDir = Paths.get(tableDir, "_graft_log")
   private val dataDir = Paths.get(tableDir, "data")
 
@@ -340,7 +356,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       rowWmForce: Option[Long] = None,
       matFiles: Boolean = false,
       domains: Option[Map[String, Option[Map[String, String]]]] = None,
-      changeStats: Map[String, Map[String, (String, String)]] = Map.empty)
+      changeStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      // snapshot commits: the version whose state this snapshot read
+      // (and replaces up to). Emitted — with the `rebase` reader
+      // feature — only when it differs from the default `version - 1`,
+      // so a non-rebased commit's entry is byte-identical to the
+      // legacy format.
+      snapshotBase: Option[Long] = None)
       : String = {
     val parts = partitionBy.map(jstr).mkString(",")
     val opName =
@@ -452,7 +474,16 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     // harmlessly by an old reader) are deliberately NOT listed, exactly
     // Delta's reader-vs-writer feature split. parseCommitText refuses
     // entries carrying a feature it does not know.
+    // a rebased snapshot's base is STRICTLY below version - 1: commits
+    // in (base, version) are rebased-past appends that stay visible. An
+    // old reader ignoring the field would apply default-base compaction
+    // and silently DROP those appends' rows — a misread, hence the
+    // reader feature.
+    val rebased = snapshot && snapshotBase.exists(_ < version - 1)
+    val baseJson =
+      if (rebased) s""""snapshotBase":${snapshotBase.get},""" else ""
     val feats = Seq(
+      if (rebased) Some("rebase") else None,
       if (removes.nonEmpty || dvs.nonEmpty) Some("dv") else None,
       if (columnMapping.exists(_.nonEmpty) || droppedCols.exists(_.nonEmpty))
         Some("columnMapping") else None,
@@ -470,7 +501,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       else s""""protocol":{"readerFeatures":[${feats.map(jstr).mkString(",")}]},"""
     s"""{"txn":{"appId":${jstr(appId)},"version":$version},""" +
       protoJson +
-      s""""snapshot":$snapshot,""" +
+      s""""snapshot":$snapshot,""" + baseJson +
       s""""metaData":{"schemaString":$schemaJson,""" +
       s""""partitionColumns":[$parts]$consJson$genJson$mapJson$dropJson""" +
       s"""$rowWmJson},""" +
@@ -1400,6 +1431,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * hit probabilistically. */
   private[graft] var stagedHook: () => Unit = () => ()
   private[graft] var identityReserveHook: () => Unit = () => ()
+  /** Fires in the snapshot/MOR/compactSmall transaction loops after
+    * staging completes and before the first claim attempt — the window
+    * where a rival landing forces the conflict path (rebase or
+    * recompute). Deterministic conflict-narrowing tests live on it. */
+  private[graft] var txnStagedHook: () => Unit = () => ()
 
   def commitAppend(df: DataFrame, partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 8,
@@ -1798,8 +1834,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       maxRetries: Int = 20, streamTxn: Option[(String, Long)] = None)
       (f: DataFrame => (DataFrame, Option[DataFrame])): Long = {
     var attempt = 0
+    val rivalLog = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     while (true) {
-      val expected = nextVersion()
+      var expected = nextVersion()
+      // the version whose state `f` reads: a WriteSerializable re-claim
+      // moves `expected` past rival pure appends while the base — and
+      // the staged output — stay fixed (the appends remain visible,
+      // [[Commit.snapBase]] / visibleCommits)
+      val base = expected - 1
       // under row tracking the transform sees the live state with every
       // row's id RESOLVED into the materialization columns: surviving
       // rows carry them into the rewritten files (id stability through
@@ -1853,22 +1895,51 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // NARROW width and readers coerce wide committed data down
       // (caught by the protocol fuzz at the widen × empty ×
       // narrow-append × merge product)
-      val (sjS, wdS) = evolvedSchemaOf(
-        org.apache.spark.sql.types.StructType(
-          out.schema.fields.filterNot(_.name.startsWith(MatPrefix))))
-      if (claim(expected, entryJsonS(sjS, expected, dir, Nil, snapshot = true,
-          adds, stats, op, changeDir, blooms = bloomsS,
-          streamTxn = streamTxn, rows = rowsM,
-          bytes = bytesM, widened = wdS,
-          matFiles = out.columns.contains(MatIdCol),
-          changeStats = chStatsM)))
-        return expected
-      // conflict: someone committed `expected` first → our snapshot was
-      // computed on stale state. Abandon the staged dirs (never visible —
-      // a vacuum job reclaims them) and recompute.
+      val outSchemaNoMat = org.apache.spark.sql.types.StructType(
+        out.schema.fields.filterNot(_.name.startsWith(MatPrefix)))
+      var (sjS, wdS) = evolvedSchemaOf(outSchemaNoMat)
+      val matF = out.columns.contains(MatIdCol)
+      txnStagedHook()
+      // claim loop: under WriteSerializable, losing to rival PURE
+      // APPENDS re-claims the next version with the SAME staged output —
+      // only the entry is re-rendered (fresh schema union, fresh row-id
+      // watermark allocation) and `snapshotBase` keeps the appends
+      // visible. A genuinely conflicting rival falls through to the
+      // full recompute below.
+      var genuineConflict = false
+      while (!genuineConflict) {
+        if (claim(expected, entryJsonS(sjS, expected, dir, Nil,
+            snapshot = true,
+            adds, stats, op, changeDir, blooms = bloomsS,
+            streamTxn = streamTxn, rows = rowsM,
+            bytes = bytesM, widened = wdS,
+            matFiles = matF,
+            changeStats = chStatsM, snapshotBase = Some(base))))
+          return expected
+        val next = nextVersion()
+        val rivals = rivalCommits(expected, next)
+        rivalLog ++= rivals.map(c => c.version -> c.op)
+        if (isolation == ExactlyOnceSink.WriteSerializable &&
+            rivals.nonEmpty && rivals.forall(rebaseable)) {
+          txnRebases.incrementAndGet()
+          expected = next
+          val fresh = evolvedSchemaOf(outSchemaNoMat)
+          sjS = fresh._1; wdS = fresh._2
+        } else genuineConflict = true
+      }
+      // conflict: a non-rebaseable rival committed first → our snapshot
+      // was computed on state it invalidated. Abandon the staged dirs
+      // (never visible — a vacuum job reclaims them) and recompute.
+      txnRecomputes.incrementAndGet()
       attempt += 1
       if (attempt > maxRetries)
-        sys.error(s"transactSnapshot: gave up after $maxRetries conflicts")
+        sys.error(s"transactSnapshot($op): gave up after $maxRetries " +
+          "recomputes — every claim lost to rival commits " +
+          s"[${rivalSummary(rivalLog.toSeq)}]. Conflicting rivals " +
+          "(snapshot/merge/delete/metadata) force a full recompute per " +
+          "attempt; pure appends rebase without recompute under " +
+          "WriteSerializable — a list of APPENDs here means this sink " +
+          "is running Serializable isolation against a hot ingest table")
     }
     -1L // unreachable
   }
@@ -1902,11 +1973,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       rowIdWatermark: Option[Long] = None,
       // per-domain DELTA this commit applies: Some(config) upserts the
       // domain, None removes it (the Delta domainMetadata action shape)
-      domains: Option[Map[String, Option[Map[String, String]]]] = None) {
+      domains: Option[Map[String, Option[Map[String, String]]]] = None,
+      // snapshot commits only: the version whose state this snapshot
+      // REPLACES everything at-or-below (the transaction's read
+      // version). None = the legacy/default base `version - 1`
+      // (replaces everything earlier). A base further back means the
+      // transaction REBASED past rival pure appends under
+      // WriteSerializable isolation — those appends stay visible.
+      base: Option[Long] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
       if (restoreDirs.nonEmpty) restoreDirs else Seq(dir)
+    /** The snapshot's effective read version (what it replaces up to). */
+    def snapBase: Long = base.getOrElse(version - 1)
   }
 
   /** A file's identity across the whole table: its data/-relative path.
@@ -1938,6 +2018,50 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * replay claim instead of trusting it. */
   private[graft] val logFileParses = new java.util.concurrent.atomic.AtomicLong
 
+  /** Conflict-path instrumentation (the schemaParses pattern: observable
+    * so the "disjoint rivals cost no recompute" claim is testable, never
+    * consulted by the protocol). A RECOMPUTE is a full
+    * re-read+transform+re-stage pass forced by a genuinely conflicting
+    * rival; a REBASE is a metadata-only re-claim past rival pure appends
+    * under WriteSerializable. */
+  private[graft] val txnRecomputes = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val txnRebases = new java.util.concurrent.atomic.AtomicLong
+
+  /** Can a WriteSerializable transaction re-claim past this rival
+    * commit without recomputing? Yes iff the rival is a PURE DATA
+    * APPEND — adds only. Anything that could intersect the
+    * transaction's read set or mutate table metadata forces the full
+    * retry: removes/DVs (our probe may have read those rows), snapshot/
+    * restore (whole-state replacement), constraints/generated/column
+    * mapping/drops (our staged output was validated against the old
+    * metadata; identity RESERVE commits fall out via `generated`).
+    * Additive bookkeeping an append legitimately carries is fine: ict,
+    * txn/streamTxn cursors, a rowIdWatermark advance (the re-claim
+    * re-renders its entry against the fresh watermark), schema
+    * EVOLUTION riding the append (the re-claim re-derives the recorded
+    * schema union — a widening that is incompatible with committed data
+    * is impossible by enforceSchema), and upserts to the layout-hint
+    * domains (graft.clustering / graft.bloom — write-layout metadata
+    * that never affects a transaction's read set; stale staged blooms
+    * only prune less, never wrong). */
+  private def rebaseable(c: Commit): Boolean =
+    !c.snapshot && c.restoreDirs.isEmpty && c.removes.isEmpty &&
+      c.dvs.isEmpty && c.constraints.isEmpty && c.generated.isEmpty &&
+      c.columnMapping.isEmpty && c.droppedCols.isEmpty &&
+      c.domains.forall(_.forall { case (d, v) =>
+        (d == "graft.clustering" || d == "graft.bloom") && v.isDefined })
+
+  /** The rivals that took versions [from, until) — what a losing claim
+    * lost to; parsed for the rebase check and the starvation report. */
+  private def rivalCommits(from: Long, until: Long): Seq[Commit] =
+    committedVersions().filter(v => v >= from && v < until).map(parseCommit)
+
+  /** One line of "who beat us" for the gave-up errors, so an operator
+    * can tell a hot table from a bug. */
+  private def rivalSummary(rs: Seq[(Long, String)]): String =
+    rs.takeRight(12).map { case (v, o) =>
+      s"v$v:${if (o.nonEmpty) o else "APPEND"}" }.mkString(", ")
+
   private def parseCommit(v: Long): Commit = {
     logFileParses.incrementAndGet()
     parseCommitText(store.read(logName(v)), v)
@@ -1949,7 +2073,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * contract. */
   private val SupportedReaderFeatures =
     Set("dv", "columnMapping", "restore", "absolutePaths", "typeWidening",
-      "rowTracking")
+      "rowTracking", "rebase")
 
   /** Parse one commit-entry JSON. The version comes from the entry's own
     * txn action (every entry this sink writes records it); `vHint` — the
@@ -2106,9 +2230,17 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       }
       case _ => Nil
     }
+    // snapshot rebase base (round 18): the read version a rebased
+    // snapshot replaces up to. Absent on legacy and non-rebased entries
+    // (default base = version - 1).
+    val snapBase0 = (j \ "snapshotBase") match {
+      case JInt(b) => Some(b.toLong)
+      case _ => None
+    }
     Commit(v, dir, snap, adds, op, changeDir, changeAdds, cons, stx,
       restoreDirs,
-      removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm, domains = doms)
+      removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm, domains = doms,
+      base = snapBase0)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -2140,8 +2272,13 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
             "target survives")
         vs.map(parseCommit)
     }
+    // a snapshot replaces everything at or below its BASE (the version
+    // it read — `version - 1` unless it rebased past rival pure appends
+    // under WriteSerializable, in which case the appends in
+    // (base, version) stay visible; they carry no removes/DVs, so the
+    // tombstone fold over the kept window is unaffected)
     all.filter(_.snapshot).lastOption
-      .map(sc => all.filter(_.version >= sc.version)).getOrElse(all)
+      .map(sc => all.filter(_.version > sc.snapBase)).getOrElse(all)
   }
 
   /** Read the committed table state (only data referenced by the log);
@@ -3335,8 +3472,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       (f: DataFrame => (DataFrame, Option[DataFrame], DataFrame)): Long = {
     import org.apache.spark.sql.functions._
     var attempt = 0
+    val rivalLog = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     while (true) {
-      val expected = nextVersion()
+      var expected = nextVersion()
       val all = visibleCommits(None)
       val commits = all.filter(_.adds.nonEmpty)
       val ts0 = tombstones(all)
@@ -3456,23 +3594,52 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         // evolved union, same monotonicity argument as the snapshot
         // claim above: the probe state's file-derived schema can lack
         // columns the TABLE schema has
-        val (schemaJson, _) = evolvedSchemaOf(
-          org.apache.spark.sql.types.StructType(
-            statePos.drop(FileCol, RidxCol).schema.fields
-              .filterNot(_.name.startsWith(MatPrefix))))
-        if (claim(expected, entryJsonS(schemaJson, expected,
-            if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
-            stats, op, Some(changeRel), blooms = bloomsM,
-            streamTxn = streamTxn,
-            removes = removeKeys ++ rewriteKeys, dvs = dvNew,
-            rows = rowsM, bytes = bytesM,
-            matFiles = adds.nonEmpty && logTail.rowIdState().isDefined,
-            changeStats = chStatsM)))
-          return expected
+        val morSchemaBase = org.apache.spark.sql.types.StructType(
+          statePos.drop(FileCol, RidxCol).schema.fields
+            .filterNot(_.name.startsWith(MatPrefix)))
+        var schemaJson = evolvedSchemaOf(morSchemaBase)._1
+        txnStagedHook()
+        // claim loop: a delta-shaped commit (removes + DVs + adds)
+        // keeps rival appends visible by construction — no base field
+        // needed. Under WriteSerializable, losing to rival PURE APPENDS
+        // re-claims the next version with the SAME staged actions
+        // (entry re-rendered for the fresh schema union and row-id
+        // watermark): the rival's files did not exist at this
+        // transaction's read, so they intersect neither its probe scan
+        // nor its removes/DV keys. A rival carrying removes/DVs may
+        // have touched the rows this transaction read — full recompute.
+        var genuineConflict = false
+        while (!genuineConflict) {
+          if (claim(expected, entryJsonS(schemaJson, expected,
+              if (adds.nonEmpty) dir else "", Nil, snapshot = false, adds,
+              stats, op, Some(changeRel), blooms = bloomsM,
+              streamTxn = streamTxn,
+              removes = removeKeys ++ rewriteKeys, dvs = dvNew,
+              rows = rowsM, bytes = bytesM,
+              matFiles = adds.nonEmpty && logTail.rowIdState().isDefined,
+              changeStats = chStatsM)))
+            return expected
+          val next = nextVersion()
+          val rivals = rivalCommits(expected, next)
+          rivalLog ++= rivals.map(c => c.version -> c.op)
+          if (isolation == ExactlyOnceSink.WriteSerializable &&
+              rivals.nonEmpty && rivals.forall(rebaseable)) {
+            txnRebases.incrementAndGet()
+            expected = next
+            schemaJson = evolvedSchemaOf(morSchemaBase)._1
+          } else genuineConflict = true
+        }
       } finally doomed.unpersist(blocking = false)
+      txnRecomputes.incrementAndGet()
       attempt += 1
       if (attempt > maxRetries)
-        sys.error(s"$op: gave up after $maxRetries conflicts")
+        sys.error(s"$op: gave up after $maxRetries recomputes — every " +
+          s"claim lost to rival commits [${rivalSummary(rivalLog.toSeq)}]. " +
+          "Conflicting rivals (snapshot/merge/delete/metadata) force a " +
+          "full recompute per attempt; pure appends rebase without " +
+          "recompute under WriteSerializable — a list of APPENDs here " +
+          "means this sink is running Serializable isolation against a " +
+          "hot ingest table")
     }
     -1L // unreachable
   }
@@ -4494,8 +4661,9 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val clusterCols =
       if (clusterBy.nonEmpty) clusterBy else activeClusterCols()
     var attempt = 0
+    val rivalLog = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     while (true) {
-      val expected = nextVersion()
+      var expected = nextVersion()
       val all = visibleCommits(None)
       val ts = tombstones(all)
       val candAdds = all.filter(_.adds.nonEmpty)
@@ -4559,21 +4727,44 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       Files.createDirectories(dataDir.resolve("files"))
       Files.move(staging, dataDir.resolve(dir), StandardCopyOption.ATOMIC_MOVE)
       touchNow(dataDir.resolve(dir))
-      if (claim(expected, entryJsonS(
-          latestSchema().map(_.json).getOrElse(packed.schema.json),
-          expected, dir, Nil,
-          snapshot = false, adds, stats, "COMPACT_INC", None,
-          blooms = blooms,
-          removes = cands.map(_._1), rows = rowsM, bytes = bytesM,
-          matFiles = tracked,
-          // re-record only an EXPLICIT caller declaration: the
-          // discovered set may be narrowed by a concurrent DROP, and
-          // re-recording it would make the narrowing permanent
-          domains = clusterDomain(clusterBy))))
-        return expected
+      txnStagedHook()
+      // claim loop: same WriteSerializable narrowing as morCommit — a
+      // rival PURE APPEND cannot touch the packed candidates (its files
+      // did not exist at the read), so the staged bin-pack re-claims
+      // the next version as-is; its new small files are simply the next
+      // OPTIMIZE run's work. A rival with removes/DVs (including a
+      // rival OPTIMIZE) may have retired a candidate — full re-pick.
+      var genuineConflict = false
+      while (!genuineConflict) {
+        if (claim(expected, entryJsonS(
+            latestSchema().map(_.json).getOrElse(packed.schema.json),
+            expected, dir, Nil,
+            snapshot = false, adds, stats, "COMPACT_INC", None,
+            blooms = blooms,
+            removes = cands.map(_._1), rows = rowsM, bytes = bytesM,
+            matFiles = tracked,
+            // re-record only an EXPLICIT caller declaration: the
+            // discovered set may be narrowed by a concurrent DROP, and
+            // re-recording it would make the narrowing permanent
+            domains = clusterDomain(clusterBy))))
+          return expected
+        val next = nextVersion()
+        val rivals = rivalCommits(expected, next)
+        rivalLog ++= rivals.map(c => c.version -> c.op)
+        if (isolation == ExactlyOnceSink.WriteSerializable &&
+            rivals.nonEmpty && rivals.forall(rebaseable)) {
+          txnRebases.incrementAndGet()
+          expected = next
+        } else genuineConflict = true
+      }
+      txnRecomputes.incrementAndGet()
       attempt += 1
       if (attempt > maxRetries)
-        sys.error(s"compactSmall: gave up after $maxRetries conflicts")
+        sys.error(s"compactSmall: gave up after $maxRetries recomputes — " +
+          s"every claim lost to rival commits " +
+          s"[${rivalSummary(rivalLog.toSeq)}]. Pure appends rebase " +
+          "without recompute under WriteSerializable; rivals carrying " +
+          "removes/DVs force the full candidate re-pick")
     }
     -1L // unreachable
   }
@@ -4716,7 +4907,11 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
         }
       }
       removed
-    }
+    } +
+      // internal staging orphans (a writer killed between its temp
+      // write and the create leaves one aged `.put-*.tmp`) — reclaimed
+      // whether or not a retention anchor exists yet
+      store.gcStaging(minAgeMs)
   }
 
   def vacuum(retainHistory: Boolean = true, minAgeMs: Long = 3600000L): Int = {
@@ -4724,13 +4919,22 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val visible =
       if (retainHistory) commits
       else commits.filter(_.snapshot).lastOption
-        .map(sc => commits.filter(_.version >= sc.version)).getOrElse(commits)
-    // change dirs of ANY committed version stay referenced even past a
-    // snapshot boundary: the CDC feed reads history, not live state.
+        .map(sc => commits.filter(_.version > sc.snapBase)).getOrElse(commits)
+    // change dirs stay referenced past a snapshot boundary — the CDC
+    // feed reads history, not live state — but NOT past the cleanupLog
+    // truncation anchor: readChanges already fails loudly for ranges
+    // reaching below `truncatedBelow() - 1`, so change dirs of versions
+    // below the anchor serve nothing and would otherwise accumulate
+    // forever on an unbounded stream (the Delta `_change_data`
+    // retention analog: CDC bytes age out with the log window).
     // dataDirs (not dir) so a RESTORE commit keeps every source dir it
-    // re-points at alive — vacuum after restore preserves restored data.
+    // re-points at alive — vacuum after restore preserves restored data;
+    // data dirs BELOW the anchor stay referenced through the checkpoint
+    // (time travel at/above the anchor checkpoint still serves them).
+    val cdcFloor = truncatedBelow()
     val referenced: Set[String] =
-      visible.flatMap(_.dataDirs).toSet ++ commits.flatMap(_.changeDir)
+      visible.flatMap(_.dataDirs).toSet ++
+        commits.filter(_.version >= cdcFloor).flatMap(_.changeDir)
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
@@ -4796,6 +5000,35 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
 }
 
 object ExactlyOnceSink {
+  /** Transaction isolation for snapshot/MOR commits — exactly the two
+    * levels Delta ships, with the same semantics and the same default:
+    *
+    *  - [[WriteSerializable]] (default): the COMMIT HISTORY need not be
+    *    one-writer-serializable — a transaction that loses its claim to
+    *    rival commits that are all PURE DATA APPENDS (adds only: no
+    *    removes, no deletion vectors, no snapshot/restore re-pointing,
+    *    no metadata mutation beyond the additive layout domains) simply
+    *    re-claims the next version with its already-staged output,
+    *    paying a metadata re-render instead of a full
+    *    re-read+recompute+re-stage. The appended rows stay visible
+    *    (snapshot commits record the version they read as
+    *    `snapshotBase`; delta-shaped MOR commits keep them visible by
+    *    construction). The documented anomaly is Delta's: a merge whose
+    *    source matches a concurrently-appended key commits as if it ran
+    *    BEFORE the append, so the table can hold both the merge's row
+    *    and the appended row — the serial order "append then merge"
+    *    never existed. Readers still always see a consistent committed
+    *    snapshot.
+    *  - [[Serializable]]: every rival commit — pure appends included —
+    *    forces the full recompute, making the commit history equivalent
+    *    to SOME serial execution. The price on a busy ingest table is
+    *    starvation: a long maintenance verb loses every claim to the
+    *    append stream and dies at maxRetries.
+    */
+  sealed trait Isolation
+  case object WriteSerializable extends Isolation
+  case object Serializable extends Isolation
+
   /** JVM-wide instrumentation of the identity OCC path (claims are
     * per-instance, contention is cross-instance — so the counters are
     * static): total claim attempts and total re-assign+re-stage events.

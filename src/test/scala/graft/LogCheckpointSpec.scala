@@ -156,6 +156,68 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(reader.readChanges(spark, fromVersion = 20).count() === 2)
   }
 
+  test("vacuum reclaims change dirs below the truncation anchor, and only those") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    // alternate appends (no change dir) with MOR deletes (each records
+    // one change dir) — an unbounded CDC-producing history in miniature:
+    // even versions append (i, i+100), odd versions delete i
+    (0 until 11).foreach { i =>
+      sink.commitAppend(
+        Seq((i.toLong, s"a$i"), (i + 100L, s"b$i")).toDF("id", "x"))
+      sink.deleteDV(spark, col("id") === i.toLong)
+    }
+    val changesRoot = Paths.get(dir, "data", "changes")
+    def changeDirCount(): Long =
+      withDirStream(Files.list(changesRoot))(_.size).toLong
+    val before = changeDirCount()
+    assert(before === 11L, s"expected one change dir per MOR delete: $before")
+    // no truncation yet: vacuum must keep EVERY change dir (the CDC
+    // feed can still serve the whole history)
+    sink.vacuum(minAgeMs = 0)
+    assert(changeDirCount() === before,
+      "vacuum reclaimed change dirs inside the retained CDC window")
+    val removed = sink.cleanupLog(minAgeMs = 0)
+    assert(removed > 0)
+    val anchor = sink.truncatedBelow()
+    assert(anchor === 20L, s"expected the newest checkpoint at v20: $anchor")
+    // versions 1,3,...,19 were MOR deletes below the anchor → their 10
+    // change dirs serve nothing (readChanges below the window fails
+    // loudly); v21's change dir stays servable
+    sink.vacuum(minAgeMs = 0)
+    assert(changeDirCount() === 1L,
+      s"expected only the above-anchor change dir to survive: ${changeDirCount()}")
+    // the feed at/above the window stays complete (v21 = the last delete)
+    val feed = sink.readChanges(spark, fromVersion = anchor - 1)
+    assert(feed.filter(col("_change_type") === "delete").count() === 1L)
+    // below the window: still a loud failure, never silently empty
+    val e = intercept[RuntimeException](
+      sink.readChanges(spark, fromVersion = 5))
+    assert(e.getMessage.contains("retained history"))
+    // data dirs below the anchor stay alive (checkpoint-served reads):
+    // survivors are the ids never deleted, plus at v20 the not-yet-
+    // deleted id 10
+    assert(ids(sink.read(spark)) === (100L to 110L))
+    assert(ids(sink.read(spark, versionAsOf = Some(20))) ===
+      (Seq(10L) ++ (100L to 110L)))
+  }
+
+  test("cleanupLog reclaims aged mid-PUT staging orphans in the log dir") {
+    val dir = tmp()
+    val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)
+    (0 until 7).foreach(append(sink, _))
+    // simulate a writer killed between its temp write and the create
+    val log = Paths.get(dir, "_graft_log")
+    val orphan = log.resolve(".put-dead-writer.tmp")
+    Files.writeString(orphan, "{\"torn\":true}")
+    // too young: the age guard protects an in-flight writer's temp
+    sink.cleanupLog(minAgeMs = 3600000L)
+    assert(Files.exists(orphan), "gc reclaimed a young (in-flight) temp")
+    sink.cleanupLog(minAgeMs = 0)
+    assert(!Files.exists(orphan), "aged mid-PUT orphan never reclaimed")
+    assert(ids(sink.read(spark)) === (0L until 7L))
+  }
+
   test("history lists every known commit, and survives cleanupLog with null timestamps") {
     val dir = tmp()
     val sink = new ExactlyOnceSink(dir, checkpointInterval = 5)

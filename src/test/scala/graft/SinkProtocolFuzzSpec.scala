@@ -63,24 +63,33 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
   // contract (put-if-absent + put + list + read-after-write), the one
   // property an s3/gcs/adls deployment must supply. Exploratory env
   // seeds run posix-only (local bug-hunting).
-  for { (seed, forceCloneAt, cleanBeforeClone, forceBackfillAt, storeKind) <- (Seq(
-      (7L, -1, false, -1), (23L, -1, false, -1), (101L, -1, false, -1),
-      (55L, 8, false, -1),
+  // rivalAt (round 18): at that step a rival PURE APPEND lands inside a
+  // snapshot/MOR verb's staged→claim window (the txnStagedHook seam) —
+  // the WriteSerializable rebase path under the whole interaction
+  // product. Seed 7 runs the CoW-merge rebase early; seed 23 the MOR
+  // rebase late (post-evolution history); seed 12 rebases AFTER the
+  // mid-run backfill, so the re-rendered entry re-allocates row ids
+  // against the rival-advanced watermark; seed 91 rebases on the CLONE
+  // of a cleaned log (foreign absolute-path files under snapshotBase).
+  for { (seed, forceCloneAt, cleanBeforeClone, forceBackfillAt, rivalAt, storeKind) <- (Seq(
+      (7L, -1, false, -1, 9), (23L, -1, false, -1, 18),
+      (101L, -1, false, -1, -1),
+      (55L, 8, false, -1, -1),
       // two more sequence draws: one plain, one forking LATE (step 20 of 32)
       // so the clone inherits a long history — incl. whatever renames,
       // drops and full-clause merges the run accumulated — and the
       // post-fork verbs run against mostly-foreign files
-      (13L, -1, false, -1), (42L, 20, false, -1),
+      (13L, -1, false, -1, -1), (42L, 20, false, -1, -1),
       // checkpoint-seeded clone: retention truncates the source log
       // mid-history, THEN the fork copies it — every pre-anchor version
       // the clone serves resolves through checkpoint body entries whose
       // dirs cloneTo made absolute
-      (91L, 16, true, -1),
+      (91L, 16, true, -1, 20),
       // same product, LATE fork (step 28 of 32): the cleaned log carries
       // a long accumulated history (renames/drops/full-clause merges),
       // so most of what the clone serves is checkpoint-rewritten, and
       // only a handful of verbs run post-fork
-      (67L, 28, true, -1),
+      (67L, 28, true, -1, -1),
       // round 16, mid-run BACKFILL seeds (≡ 0 mod 4; the arm is forced
       // at a fixed step so coverage never depends on the draw): seed 12
       // adopts tracking early and runs 26 more verbs tracked; seed 28
@@ -88,10 +97,10 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       // backfills THE CLONE at step 22, so id assignment runs over
       // foreign absolute-path files and every later verb (incl. restore
       // to pre-enablement versions) exercises the boundary carry
-      (12L, -1, false, 6), (28L, 14, false, 22))
-        .flatMap { case (sd, fc, cb, fb) =>
+      (12L, -1, false, 6, 11), (28L, 14, false, 22, -1))
+        .flatMap { case (sd, fc, cb, fb, ra) =>
           Seq(("posix", sd), ("cput", sd)).map { case (k, _) =>
-            (sd, fc, cb, fb, k) } } ++
+            (sd, fc, cb, fb, ra, k) } } ++
       // exploratory sweep hook: GRAFT_FUZZ_SEEDS=3,5,8 runs extra seeds
       // with no forced arms — local bug-hunting only, CI runs the fixed
       // list above (a found bug graduates to a forced-arm seed + a
@@ -101,8 +110,9 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
         // an env seed colliding with a fixed seed would register a
         // duplicate test name and ABORT the whole suite (0 tests run)
         .filterNot(Set(7L, 23L, 101L, 55L, 13L, 42L, 91L, 67L, 12L, 28L))
-        // GRAFT_FUZZ_STORE=cput sweeps the object-store emulation
-        .map(sd => (sd, -1, false, -1,
+        // GRAFT_FUZZ_STORE=cput sweeps the object-store emulation;
+        // exploratory seeds land the rival-append rebase mid-run too
+        .map(sd => (sd, -1, false, -1, 10 + (sd % 15).toInt,
           sys.env.getOrElse("GRAFT_FUZZ_STORE", "posix"))))
   }
     test(s"protocol fuzz seed=$seed store=$storeKind" +
@@ -254,7 +264,58 @@ class SinkProtocolFuzzSpec extends SparkSpecBase {
       (1 to 32).foreach { step =>
         (if (step == forceCloneAt) 15
          else if (step == forceBackfillAt) 23
+         else if (step == rivalAt) 24
          else rnd.nextInt(24)) match {
+          case 24 => // CONFLICT NARROWING (round 18): a rival pure
+            // append lands inside the verb's staged→claim window; under
+            // WriteSerializable the verb must REBASE (zero recomputes,
+            // counter-checked) and the rival's rows must stay visible.
+            // Odd seeds run the CoW merge (snapshotBase path); even
+            // seeds the MOR delete (delta-shaped path), falling back to
+            // the merge when the table is empty.
+            val rivalRows = freshRows(2)
+            var rivalV = -1L
+            val rivalSink = new ExactlyOnceSink(curDir,
+              appId = s"fuzz-rival-$step", checkpointInterval = interval,
+              checkpointPartBytes = partBytes, storeFactory = storeF)
+            sink.txnStagedHook = () => {
+              sink.txnStagedHook = () => () // fire once
+              rivalV = rivalSink.commitAppend(df(rivalRows, xName))
+            }
+            val (rb0, rc0) = (sink.txnRebases.get(), sink.txnRecomputes.get())
+            try {
+              if (seed % 2 == 1 || live.isEmpty) {
+                // CoW merge rebase: updates + inserts over the stale read
+                val upd = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
+                  .map(k => (k, s"rb$step-$k"))
+                val ins = freshRows(1)
+                val rows = upd ++ ins
+                val v = sink.merge(spark, df(rows, xName), Seq("id"))
+                // the rival append is its own history point (its state =
+                // pre-verb live + rival rows)
+                history :+= ((rivalV, live ++ rivalRows, ys, ns, nsType))
+                live = live ++ rivalRows ++ rows
+                ys = ys -- rows.map(_._1)
+                ns = ns -- rows.map(_._1)
+                history :+= ((v, live, ys, ns, nsType))
+              } else {
+                // MOR delete rebase
+                val cut = live.keys.toSeq(rnd.nextInt(live.size))
+                val v = sink.deleteDV(spark, col("id") <= cut)
+                history :+= ((rivalV, live ++ rivalRows, ys, ns, nsType))
+                // rival ids are monotone-fresh, so the stale predicate
+                // never matched them — they survive alongside the keeps
+                live = live.filter(_._1 > cut) ++ rivalRows
+                ys = ys.filter(_._1 > cut)
+                ns = ns.filter(_._1 > cut)
+                history :+= ((v, live, ys, ns, nsType))
+              }
+              assert(rivalV >= 0, "the rival append never fired")
+              assert(sink.txnRebases.get() - rb0 >= 1,
+                s"step $step: the rival append did not trigger a rebase")
+              assert(sink.txnRecomputes.get() - rc0 === 0,
+                s"step $step: a disjoint rival append forced a recompute")
+            } finally sink.txnStagedHook = () => ()
           case 23 => // adopt row tracking mid-run: metadata-only backfill
             if (backfillable && !tracked) {
               val v = sink.enableRowTracking(spark, backfill = true)
