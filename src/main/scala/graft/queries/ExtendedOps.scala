@@ -208,7 +208,16 @@ object ExtendedOps {
       val pairs = flatten(transform(col("ps"),
         (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
           y => struct(x.as("pa"), y.as("pb")))))
+      // repartition on the basket key BEFORE the collect_set: the fixture
+      // parquet is one row group = one scan task, so the set-building
+      // partial agg would run on a single core (guide §2.5 input skew —
+      // repartition immediately after the read). The exchange carries only
+      // (orderkey, partkey) and the groupBy reuses the partitioning, so no
+      // second shuffle appears (guide §2.4).
       t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(pairs).as("p"))

@@ -91,8 +91,16 @@ object MiningOps {
     // rank map comes from a quantile sketch instead), then joins back
     // on the value key and one 3-row moment agg.
     "q_agg_spearman" -> ((s, d) => {
+      // repartition after the single-row-group scan (guide §2.5): the
+      // rank2 distinct-value partial aggs and the 5-moment scoring pass
+      // otherwise all run map-side in a one-task scan stage. Keyed on
+      // (flag, x) so rank2("x")'s groupBy and the rx join reuse the
+      // exchange (§2.4); results are exact DECIMAL sums — partitioning
+      // cannot move them.
       val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("flag"), col("x"))
       def rank2(vc: String, out: String): org.apache.spark.sql.DataFrame = {
         val w = Window.partitionBy("flag").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -142,18 +150,34 @@ object MiningOps {
     // approximate and merge-order-dependent); OperatorSpec tolerance-
     // gates ρ against the exact twin.
     "q_agg_spearman_approx" -> ((s, d) => {
+      // same §2.5 repartition as the exact twin: the per-flag sketch
+      // insert (600k rows × 2 percentile summaries at sf0.1) and the
+      // bucket-assignment pass otherwise run single-core in the one-task
+      // scan stage. The sketch MERGE order changes (32 partials instead
+      // of 1), which can nudge cutoff placement — this query is declared
+      // no-oracle exactly because sketch output is merge-order-dependent,
+      // and OperatorSpec's tolerance gate vs the exact twin still holds
+      // (re-run green this round).
       val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       val B = 128
       val ps = array((1 until B).map(i => lit(i.toDouble / B)): _*)
       // accuracy 2500 (not the 10000 default): with B=128 buckets the
       // midranks come from ACTUAL bucket counts, so cutoff placement
-      // error only nudges bucket boundaries — the sketch pass is the
-      // query's dominant cost and 4x coarser summaries measure ~0.4 s
-      // cheaper at sf0.1 with no visible ρ drift
+      // error only nudges bucket boundaries — 4x coarser summaries
+      // measure cheaper at sf0.1 with no visible ρ drift.
+      // Sketch over x/y CAST TO DOUBLE: QuantileSummaries works in
+      // double internally either way (identical cutoff values), but a
+      // decimal-typed input makes percentile_approx RETURN decimal
+      // arrays, and the bucket pass below then re-cast the 127-element
+      // cutoff array per ROW — ~150M decimal→double casts at sf0.1,
+      // measured as the query's real cost (r18 stage isolation: bucket
+      // pass 1.5 s vs 0.3 s sketch). Casting once here makes the
+      // broadcast value already double[] (guide §1.1: find where the
+      // time actually goes before touching the plan).
       val cuts = li.groupBy("flag").agg(
-        percentile_approx(col("x"), ps, lit(2500)).as("tx"),
-        percentile_approx(col("y"), ps, lit(2500)).as("ty"))
+        percentile_approx(col("x").cast("double"), ps, lit(2500)).as("tx"),
+        percentile_approx(col("y").cast("double"), ps, lit(2500)).as("ty"))
       // bucket = #cutoffs strictly below the value: the codegen'd
       // bucket_index kernel (O(log B) binary search inline in the fused
       // stage — see BucketIndex.scala for why both declarative
@@ -165,10 +189,8 @@ object MiningOps {
       import graft.functions.BucketIndex.bucketIndex
       val bk = li.join(broadcast(cuts), "flag")
         .select(col("flag"),
-          bucketIndex(s, col("x").cast("double"),
-            col("tx").cast("array<double>")).as("bx"),
-          bucketIndex(s, col("y").cast("double"),
-            col("ty").cast("array<double>")).as("by"))
+          bucketIndex(s, col("x").cast("double"), col("tx")).as("bx"),
+          bucketIndex(s, col("y").cast("double"), col("ty")).as("by"))
         .groupBy("flag", "bx", "by").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
       // doubled tie-averaged midranks per bucket (same exact-integer

@@ -86,7 +86,14 @@ object TextOps {
     * implied by J >= 1/2 and kept as the PPJoin length companion). */
   private[queries] def jaccardPairsWithHandle(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // repartition BEFORE the tokenize/hash/sort kernel: the fixture
+    // corpus is one parquet row group = one scan task (guide §2.5), so
+    // without it the whole array build — and the 32-partition persist
+    // every downstream consumer reads — materializes on a single core.
+    // The shuffled relation is just (doc_id, source, text).
     val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
       .select(col("doc_id"), col("source"), col("toks"),
@@ -206,6 +213,12 @@ object TextOps {
     val P = graft.functions.MinHashKernel.P
     val tks = col("toks")
     docs
+      // §2.5: spread the shingle+md5+signature kernel across cores — a
+      // one-row-group batch input (the sf fixtures) otherwise runs the
+      // whole MinHash build in a single scan task. Shuffles only
+      // (doc_id, text); on an already-split input this is a cheap
+      // narrow-row exchange.
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), when(size(tks) >= 3,
           array_distinct(transform(sequence(lit(0), size(tks) - 3),
@@ -254,12 +267,26 @@ object TextOps {
   private def bpeLearn(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
     val SEP = BpeSep
+    // §2.5 repartition: the corpus fixture is one parquet row group, so
+    // the regex tokenization explode would otherwise run in a single
+    // scan task; the groupBy("word") then reuses this exchange (§2.4).
     val words = t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // Each merge round is MATERIALIZED (eager localCheckpoint of the
+    // bounded vocab table + the 1-row winning pair) before the next
+    // round builds on it. Without this the 5-round unrolling duplicates
+    // the whole upstream subtree per consumer — the r18 before-plan for
+    // q_llm_bpe_vocab carried 62 parquet scans / 176 exchanges (2^rounds
+    // growth; ReuseExchange dedupes some execution but planning cost and
+    // the un-reused map work are real). Plans are now linear in rounds
+    // (guide §3.3: materialize intermediates to truncate enormous plans).
     var cur = words.select(col("word"), col("cnt"),
       regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("seq"))
+      .localCheckpoint(true)
     val rounds = (1 to 5).map { r =>
       val toks = cur.select(col("cnt"),
         split(trim(col("seq"), SEP), SEP + SEP).as("t"))
@@ -272,11 +299,13 @@ object TextOps {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1)
+        .localCheckpoint(true)
       cur = cur.crossJoin(broadcast(top))
         .select(col("word"), col("cnt"),
           replace(col("seq"),
             concat(lit(SEP), col("a"), lit(SEP + SEP), col("b"), lit(SEP)),
             concat(lit(SEP), col("a"), col("b"), lit(SEP))).as("seq"))
+        .localCheckpoint(true)
       top.select(lit(r).as("rnd"), col("a").as("tok_a"), col("b").as("tok_b"),
         concat(col("a"), col("b")).as("merged"), col("c").as("cnt"))
     }
@@ -458,7 +487,11 @@ object TextOps {
     // and ceil via (9·sz+9) div 10) — FP boundary drift would turn the
     // exact filter into a lossy one.
     "q_llm_jaccard_global" -> ((s, d) => {
+      // §2.5 repartition before the tokenize/hash/sort kernel — same
+      // one-row-group rationale as jaccardPairsWithHandle.
       val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"),
           array_sort(transform(col("toks"), tk => xxhash64(tk))).as("hs"))
