@@ -306,7 +306,11 @@ object AnalyticsOps {
             lit(k).as("dist"))))
           .otherwise(array().cast(
             "array<struct<w1:string,w2:string,dist:int>>"))
+      // §2.5 repartition before the windowed pair explode (one-row-group
+      // scan → single-task map work otherwise).
       t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(split(col("text"), " ").as("t"))
         .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
         .select(col("p.w1"), col("p.w2"), col("p.dist"))
@@ -329,7 +333,12 @@ object AnalyticsOps {
     // a TakeOrderedAndProject top-20 — no corpus self-joins.
     "q_llm_pmi_bigrams" -> ((s, d) => {
       val toks = split(col("text"), " ")
+      // §2.5 repartition: both the unigram and bigram branches explode
+      // from this relation; the shared exchange runs the tokenize once,
+      // 32-way, instead of twice single-core.
       val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), toks.as("toks"))
       val uni = base.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))

@@ -120,7 +120,15 @@ object CorpusStatsOps {
     // out (mirrored in the oracle).
     "q_llm_span_dedup" -> ((s, d) => {
       val tk = col("t")
+      // §2.5 repartition before gram generation: one-row-group fixture =
+      // one scan task, and BOTH the per-gram doc-count branch and the
+      // probe side of the join regenerate the grams from the scan —
+      // each single-core without this. The repartition exchange is
+      // identical in both branches, so it is shuffled once (ReuseExchange)
+      // and the xxhash64 gram kernel runs once, 32-way.
       val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(when(size(tk) >= SpanK,
           transform(sequence(lit(1), size(tk) - (SpanK - 1)),

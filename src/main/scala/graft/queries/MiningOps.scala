@@ -240,7 +240,11 @@ object MiningOps {
     "q_llm_ngram_novelty" -> ((s, d) => {
       val tk = col("t")
       def el(i: Column, off: Int) = element_at(tk, i + off)
+      // §2.5 repartition before gram generation (same one-row-group
+      // rationale and shared-exchange shape as q_llm_span_dedup).
       val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(when(size(tk) >= 3,
           array_distinct(transform(sequence(lit(1), size(tk) - 2),
@@ -309,7 +313,12 @@ object MiningOps {
     // identically in the oracle.
     "q_llm_keyword_topk" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // §2.5 repartition by doc_id: parallelizes the one-task tokenize
+      // front AND satisfies the (doc_id, term) grouping and the doc_id
+      // windows downstream, so no extra exchange appears for them.
       val tf = docs
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       val n = docs.agg(count(lit(1)).as("n_docs"))

@@ -146,7 +146,11 @@ object PipelineOps {
     // micros and summed exactly (FP summation order differs between
     // engines — same rule as Det.sumMoney).
     "q_llm_unigram_logprob" -> ((s, d) => {
+      // §2.5 repartition: the token explode feeds both the vocab count
+      // and the scoring pass from a one-task scan otherwise.
       val tok = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val cf = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
       val tot = cf.agg(sum(col("ctf")).as("t"))
@@ -223,7 +227,11 @@ object PipelineOps {
     // tokens have no bigram positions and drop out (mirrored in oracle).
     "q_llm_bigram_logprob" -> ((s, d) => {
       val tk = col("t")
+      // §2.5 repartition before bigram generation: the one-row-group scan
+      // otherwise runs the position explode single-core for every branch.
       val pos = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(when(size(tk) >= 2,
           transform(sequence(lit(1), size(tk) - 1),
@@ -233,12 +241,18 @@ object PipelineOps {
           .otherwise(array().cast("array<struct<prev:string,bg:string>>")))
           .as("p"))
         .select(col("doc_id"), col("p.prev").as("prev"), col("p.bg").as("bg"))
-      val c2 = pos.groupBy("bg").agg(count(lit(1)).as("c2"))
-      val c1 = pos.groupBy("prev").agg(count(lit(1)).as("c1"))
+      // c2 keeps `prev` in the key (bg = "prev next" determines prev, so
+      // the grouped cardinality is unchanged); c1 then FOLDS OUT of c2 —
+      // context count = Σ over that context's bigrams — instead of
+      // re-aggregating the corpus-sized position relation a second time
+      // (guide §2.3 "aggregate before you shuffle": the c1 shuffle now
+      // carries bigram-vocab rows, not every bigram position).
+      val c2 = pos.groupBy("prev", "bg").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
       val v = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("term"))
         .agg(count_distinct(col("term")).as("v"))
-      pos.join(c2, "bg")
+      pos.join(c2.select("bg", "c2"), "bg")
         .join(broadcast(c1), "prev")
         .crossJoin(broadcast(v))
         .withColumn("lp_u",

@@ -434,7 +434,12 @@ object TextOps {
     // and they scale: shuffles on term and doc_id only.
     "q_llm_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tok = docs.select(col("doc_id"),
+      // §2.5 repartition: the persisted tf table otherwise materializes
+      // through a one-task tokenize+partial-agg pipeline.
+      val tok = docs
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       // The term-frequency table feeds three consumers (doc length, doc
       // frequency, the scored join); materialize it once — per-branch
@@ -638,7 +643,12 @@ object TextOps {
     // eval docs themselves don't report contamination.
     "q_llm_decontaminate" -> ((s, d) => {
       val tks = col("toks")
+      // §2.5 repartition before the shingle explode: the corpus side and
+      // the eval side both derive from it (shared exchange — shingled
+      // once, 32-way; one-task scan otherwise).
       val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(when(size(tks) >= 3,
             array_distinct(transform(sequence(lit(0), size(tks) - 3),
@@ -789,7 +799,12 @@ object TextOps {
     // the sensitive side — but at any realistic doc size the false-pair
     // probability is ≲1e-15 and the oracle hash-verifies it stays zero.
     "q_llm_containment" -> ((s, d) => {
+      // §2.5 repartition: both self-join sides rebuild the hashed sorted
+      // token arrays from a one-task scan otherwise (shared exchange →
+      // built once, 32-way).
       val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), col("source"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("hs", array_sort(transform(col("toks"), tk => xxhash64(tk))))
@@ -815,7 +830,11 @@ object TextOps {
     // as integers, so partial-agg order can't move the rounded result;
     // H = (n·⌊ln n·1e6⌋ − Σ⌊c·ln c·1e6⌋) / (n·1e6).
     "q_llm_entropy" -> ((s, d) => {
+      // §2.5 repartition by doc_id: one exchange serves the tokenize and
+      // both aggregations (subset-key grouping reuses the partitioning).
       val tf = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       tf.groupBy("doc_id")
@@ -906,7 +925,12 @@ object TextOps {
   /** The (doc_id, simhash) signature relation, un-ordered — shared by
     * q_llm_simhash and MiningOps's banded Hamming-distance dedup. */
   private[queries] def simhashSig(s: SparkSession, d: String): DataFrame = {
+    // §2.5 repartition by doc_id: parallelizes the one-task tokenize and
+    // satisfies BOTH downstream groupings ((doc_id, term) and doc_id), so
+    // the whole signature build runs off this single exchange.
     val tf = t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h32(s, col("term")))
