@@ -19,38 +19,42 @@ object Scratch {
         val t0 = System.nanoTime()
         val r = f
         println(f"[scratch] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($r)")
-        Bench.sweep(spark)
       }
     }
-    val np = spark.sessionState.conf.numShufflePartitions
-    val li0 = Tables(spark, d, "lineitem").select(col("l_returnflag").as("flag"),
-      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-    val li = li0.repartition(np, col("x"), col("y"))
-    val B = 128
-    val ps = array((1 until B).map(i => lit(i.toDouble / B)): _*)
-    time("sketch_norepart") {
-      li0.groupBy("flag").agg(
-        percentile_approx(col("x"), ps, lit(2500)).as("tx"),
-        percentile_approx(col("y"), ps, lit(2500)).as("ty")).count()
+    def fp = Tables(spark, d, "documents")
+      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+      .head().mkString(",")
+    val pairs = graft.operators.StageCache.relation(spark, "jaccpairs", d)(fp) {
+      sys.error("stage should already be committed")
+    }.select(col("d1"), col("d2"))
+    time("pairs_count") { pairs.count() }
+    val e = pairs.localCheckpoint(true)
+    time("post_ckpt_marker") { 1L }
+    val sym = e.select(explode(array(
+        struct(col("d1").as("v"), col("d2").as("w")),
+        struct(col("d2").as("v"), col("d1").as("w")))).as("p"))
+      .select(col("p.v").as("v"), col("p.w").as("w"))
+    val adjL = sym.groupBy("v")
+      .agg(array_sort(collect_list(col("w"))).as("nbrs"))
+    time("adj_build_count") { adjL.count() }
+    val adj = adjL.localCheckpoint(true)
+    time("post_adj_ckpt") { 1L }
+    val common = graft.functions.SortedIntersectSize
+      .sortedIntersectSize(spark, col("n1"), col("n2"))
+    time("join_intersect_agg") {
+      e.join(adj.select(col("v").as("v1"), col("nbrs").as("n1"))
+          .hint("shuffle_hash"), col("d1") === col("v1"))
+        .join(adj.select(col("v").as("v2"), col("nbrs").as("n2"))
+          .hint("shuffle_hash"), col("d2") === col("v2"))
+        .select(col("d1"), col("d2"), common.as("c"))
+        .select(explode(array(
+            struct(col("d1").as("doc_id"), col("c")),
+            struct(col("d2").as("doc_id"), col("c")))).as("p"))
+        .select(col("p.doc_id").as("doc_id"), col("p.c").as("c"))
+        .groupBy("doc_id").agg((sum(col("c")) / 2).cast("long").as("n_tri"))
+        .filter(col("n_tri") > 0).count()
     }
-    time("sketch_repart") {
-      li.groupBy("flag").agg(
-        percentile_approx(col("x"), ps, lit(2500)).as("tx"),
-        percentile_approx(col("y"), ps, lit(2500)).as("ty")).count()
-    }
-    import graft.functions.BucketIndex.bucketIndex
-    val cuts = li.groupBy("flag").agg(
-      percentile_approx(col("x"), ps, lit(2500)).as("tx"),
-      percentile_approx(col("y"), ps, lit(2500)).as("ty"))
-    time("bucket_pass") {
-      li.join(broadcast(cuts), "flag")
-        .select(col("flag"),
-          bucketIndex(spark, col("x").cast("double"),
-            col("tx").cast("array<double>")).as("bx"),
-          bucketIndex(spark, col("y").cast("double"),
-            col("ty").cast("array<double>")).as("by"))
-        .groupBy("flag", "bx", "by").agg(count(lit(1)).as("cnt")).count()
-    }
+    Bench.sweep(spark)
     spark.stop()
   }
 }

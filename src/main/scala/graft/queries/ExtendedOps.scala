@@ -183,14 +183,24 @@ object ExtendedOps {
       val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
       val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // Partial-aggregate the line items per order BEFORE the join chain
+      // (guide §2.3 "aggregate before you shuffle"): the nation rollup is
+      // a sum/max/count of per-order partials — exact DECIMAL math, so
+      // regrouping cannot move a cent — and the join then carries one row
+      // per order instead of one per line item.
+      val liAgg = li
+        .withColumn("net",
+          col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
+        .groupBy("l_orderkey")
+        .agg(sum(col("net")).as("net_o"), max(col("price")).as("maxp_o"),
+          count(lit(1)).as("n_o"))
+      liAgg.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .withColumn("net", col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
         .groupBy("n_name")
-        .agg(sum(col("net")).cast("decimal(22,4)").cast("double").as("revenue"),
-          max(col("price")).cast("decimal(12,2)").cast("double").as("max_price"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("net_o")).cast("decimal(22,4)").cast("double").as("revenue"),
+          max(col("maxp_o")).cast("decimal(12,2)").cast("double").as("max_price"),
+          sum(col("n_o")).as("n_items"))
         .orderBy("n_name")
     }),
 

@@ -227,10 +227,14 @@ object GraphSearchOps {
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .localCheckpoint(true)
-      val nn = edges.select(col("src")).distinct()
-        .agg(count(lit(1)).as("n"))
-      val node = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // N = |degree table| — the distinct-src set IS the degree table's
+      // key set, so derive it from the deg agg instead of paying a
+      // second full exchange+distinct over the edge list (guide §2.4:
+      // remove shuffles outright).
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .withColumnRenamed("src", "doc")
+      val nn = deg.agg(count(lit(1)).as("n"))
+      val node = deg
         .crossJoin(broadcast(nn))
         .selectExpr("doc", "deg",
           "150000000L div n as base", "1000000000L div n as p0")

@@ -146,11 +146,7 @@ object PipelineOps {
     // micros and summed exactly (FP summation order differs between
     // engines — same rule as Det.sumMoney).
     "q_llm_unigram_logprob" -> ((s, d) => {
-      // §2.5 repartition: the token explode feeds both the vocab count
-      // and the scoring pass from a one-task scan otherwise.
       val tok = t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val cf = tok.groupBy("term").agg(count(lit(1)).as("ctf"))
       val tot = cf.agg(sum(col("ctf")).as("t"))

@@ -765,7 +765,10 @@ object TextOps {
         transform(sequence(lit(1), size(col("t")) - 1),
           i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
         .otherwise(array().cast("array<string>"))
+      // §2.5 repartition before the bigram explode (one-task scan front).
       t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(split(col("text"), " ").as("t"))
         .select(explode(bigrams).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("n"))
@@ -830,11 +833,7 @@ object TextOps {
     // as integers, so partial-agg order can't move the rounded result;
     // H = (n·⌊ln n·1e6⌋ − Σ⌊c·ln c·1e6⌋) / (n·1e6).
     "q_llm_entropy" -> ((s, d) => {
-      // §2.5 repartition by doc_id: one exchange serves the tokenize and
-      // both aggregations (subset-key grouping reuses the partitioning).
       val tf = t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       tf.groupBy("doc_id")
@@ -925,12 +924,7 @@ object TextOps {
   /** The (doc_id, simhash) signature relation, un-ordered — shared by
     * q_llm_simhash and MiningOps's banded Hamming-distance dedup. */
   private[queries] def simhashSig(s: SparkSession, d: String): DataFrame = {
-    // §2.5 repartition by doc_id: parallelizes the one-task tokenize and
-    // satisfies BOTH downstream groupings ((doc_id, term) and doc_id), so
-    // the whole signature build runs off this single exchange.
     val tf = t(s, d, "documents")
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h32(s, col("term")))
