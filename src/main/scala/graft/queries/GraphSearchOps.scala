@@ -218,15 +218,21 @@ object GraphSearchOps {
     "q_llm_pagerank" -> ((s, d) => {
       val pairs = TextOps.pairGraph(s, d).select("d1", "d2")
       // symmetrize in ONE pass — map-only explode of each pair into both
-      // directions. Eager localCheckpoint: every rank round re-reads
-      // this relation, and under GRAFT_STAGE_CACHE=off (ScaleBench) the
-      // source is the full similarity join, which must not re-run per
-      // round.
+      // directions — and establish the src hash partitioning ONCE: the
+      // deg agg, the weighted join and every rank round key on src, so
+      // one explicit exchange in front of a lazy persist serves them all
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange). persist (not eager localCheckpoint, r18): the lazy
+      // cache materializes inside the first consumer's job instead of
+      // paying a separate eager materialization pass, and under
+      // GRAFT_STAGE_CACHE=off (ScaleBench) it still keeps the full
+      // similarity join from re-running per round.
       val edges = pairs.select(explode(array(
           struct(col("d1").as("src"), col("d2").as("dst")),
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .localCheckpoint(true)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+        .persist()
       // N = |degree table| — the distinct-src set IS the degree table's
       // key set, so derive it from the deg agg instead of paying a
       // second full exchange+distinct over the edge list (guide §2.4:
@@ -240,9 +246,14 @@ object GraphSearchOps {
           "150000000L div n as base", "1000000000L div n as p0")
         .persist()
       // deg-weighted edges cached once: every round joins ranks to this
-      // relation and re-aggregates — deg never recomputes
+      // relation and re-aggregates — deg never recomputes. shuffle_hash
+      // (guide §3.1): the node/rank side is the per-partition SMALL side
+      // — a hash build skips the per-round sort of the full edge list
+      // that sort-merge would pay (the adjacency stays a SHUFFLED join,
+      // never broadcast: at 100 TB the node set is corpus-sized).
       val weighted = edges
-        .join(node.selectExpr("doc as src", "deg"), "src")
+        .join(node.selectExpr("doc as src", "deg").hint("shuffle_hash"),
+          "src")
         .persist()
       val r0 = node.selectExpr("doc", "p0 as pr")
       // base = 0.15e9 div N is one global constant, not per-node state:
@@ -251,14 +262,15 @@ object GraphSearchOps {
       // matrix-vector rank step can have
       val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
         weighted
-          .join(r.selectExpr("doc as src", "pr"), "src")
+          .join(r.selectExpr("doc as src", "pr").hint("shuffle_hash"),
+            "src")
           .selectExpr("dst", "pr div deg as contrib")
           .groupBy("dst").agg(sum(col("contrib")).as("s"))
           .crossJoin(broadcast(nn))
           .selectExpr("dst as doc",
             "(150000000L div n) + (85L * s) div 100 as pr")
       }
-      node.join(r3, "doc")
+      node.join(r3.hint("shuffle_hash"), "doc")
         .selectExpr("doc as doc_id", "deg", "pr as pr_u")
         .orderBy("doc_id")
     }),
@@ -449,8 +461,13 @@ object GraphSearchOps {
     // graph, unlike a broadcast) so its two build-side uses don't
     // recompute the agg.
     "q_graph_triangles" -> ((s, d) => {
+      // persist (not eager localCheckpoint, r18): the edge list has two
+      // consumers (the probe side and the adjacency build) and the
+      // adjacency two build-side uses — a lazy cache serves all of them
+      // while materializing inside the first consumer's job instead of
+      // paying two separate eager materialization passes up front.
       val e = TextOps.pairGraph(s, d).select(col("d1"), col("d2"))
-        .localCheckpoint(true)
+        .persist()
       // symmetrize in one map-only pass, then sorted adjacency per node
       val sym = e.select(explode(array(
           struct(col("d1").as("v"), col("d2").as("w")),
@@ -458,7 +475,7 @@ object GraphSearchOps {
         .select(col("p.v").as("v"), col("p.w").as("w"))
       val adj = sym.groupBy("v")
         .agg(array_sort(collect_list(col("w"))).as("nbrs"))
-        .localCheckpoint(true)
+        .persist()
       val common = graft.functions.SortedIntersectSize
         .sortedIntersectSize(s, col("n1"), col("n2"))
       // n_tri(v) = ½ Σ_{edges {v,u}} |N(v)∩N(u)| — each triangle at v
