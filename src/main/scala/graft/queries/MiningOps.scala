@@ -91,16 +91,20 @@ object MiningOps {
     // rank map comes from a quantile sketch instead), then joins back
     // on the value key and one 3-row moment agg.
     "q_agg_spearman" -> ((s, d) => {
-      // repartition after the single-row-group scan (guide §2.5): the
-      // rank2 distinct-value partial aggs and the 5-moment scoring pass
-      // otherwise all run map-side in a one-task scan stage. Keyed on
-      // (flag, x) so rank2("x")'s groupBy and the rx join reuse the
-      // exchange (§2.4); results are exact DECIMAL sums — partitioning
-      // cannot move them.
+      // repartition after the single-row-group scan (guide §2.5), keyed
+      // on (flag, y) — the NEAR-UNIQUE price side (r18): y's distinct
+      // agg AND its rank join-back are the two heavy legs, and both
+      // reuse this one exchange (§2.4). The quantity rank map is ~50
+      // values per flag — a bounded domain at any corpus size — so it
+      // rides a BROADCAST instead of shuffling the fact relation a
+      // second time (§3.1); the price rank join stays a shuffled join
+      // (hash build of the rank map, no sort-merge sort of the fact
+      // side). Results are exact DECIMAL sums — partitioning cannot
+      // move them.
       val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
         .repartition(s.sessionState.conf.numShufflePartitions,
-          col("flag"), col("x"))
+          col("flag"), col("y"))
       def rank2(vc: String, out: String): org.apache.spark.sql.DataFrame = {
         val w = Window.partitionBy("flag").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -116,8 +120,9 @@ object MiningOps {
       val ry = rank2("y", "ry2").toDF("yf", "yv", "ry2")
       def dec(c: Column) = c.cast("decimal(38,0)")
       val m = li
-        .join(rx, col("flag") === col("xf") && col("x") === col("xv"))
-        .join(ry, col("flag") === col("yf") && col("y") === col("yv"))
+        .join(broadcast(rx), col("flag") === col("xf") && col("x") === col("xv"))
+        .join(ry.hint("shuffle_hash"),
+          col("flag") === col("yf") && col("y") === col("yv"))
         .groupBy("flag")
         .agg(count(lit(1)).as("n"),
           sum(dec(col("rx2"))).as("sx"), sum(dec(col("ry2"))).as("sy"),
@@ -184,8 +189,12 @@ object MiningOps {
       // formulations lose by ~8x here). The joint histogram is ≤ 3·B²
       // rows and feeds THREE consumers (two marginal rank maps + the
       // moment agg) — eagerly materialize it once so the fact-table
-      // sketch+bucket pass isn't re-evaluated per consumer (same idiom
-      // as the committed pair-graph stages).
+      // sketch+bucket pass isn't re-evaluated per consumer. EAGER is
+      // load-bearing here (r18 A/B: lazy persist regressed 1.1→1.8 s):
+      // the two rank maps are BROADCAST builds whose jobs launch
+      // concurrently, and a lazy cache lets both race through the
+      // un-materialized histogram, each paying the full fact-table
+      // pass.
       import graft.functions.BucketIndex.bucketIndex
       val bk = li.join(broadcast(cuts), "flag")
         .select(col("flag"),
@@ -272,15 +281,15 @@ object MiningOps {
     // all-pairs. The Hamming test (codegen'd bit_count of xor) runs as
     // a cheap integer filter inside the join before any pair row is
     // materialized; distinct collapses pairs found in several bands.
-    // Sig computed once and eagerly materialized (localCheckpoint) so
-    // both probes of the self-join share it, and lineage truncation
-    // frees the token-explode stage immediately. At 100 TB: 16-bit
+    // Sig computed once and persisted (lazy, r18) so both probes of the
+    // self-join share one evaluation of the token-explode+hash kernel
+    // without a separate eager materialization pass. At 100 TB: 16-bit
     // bands over a 64-bit sig shrink buckets 256×, plus the same
     // mega-bucket cap MinHash banding uses (TextOps.scala:33-36) —
     // a boilerplate sig shared by millions of docs is dropped, not
     // joined.
     "q_llm_simhash_dup" -> ((s, d) => {
-      val sig = TextOps.simhashSig(s, d).localCheckpoint(true)
+      val sig = TextOps.simhashSig(s, d).persist()
       def bands(side: String) = sig.select(
           col("doc_id").as(s"${side}_id"), col("simhash").as(s"${side}_sig"),
           explode(array((0 until 4).map(b =>
