@@ -1,6 +1,7 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Throwaway stage-isolation probe for the optimization round (not part of
   * the driver contract; removed or inert in CI). */
@@ -14,6 +15,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val s = spark
     def time(name: String)(f: => Long): Unit = {
       (1 to 4).foreach { i =>
         Bench.sweep(spark)
@@ -23,53 +25,55 @@ object Scratch {
       }
       Bench.sweep(spark)
     }
-    def fp = Tables(spark, d, "documents")
-      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
-      .head().mkString(",")
-    def pairs = graft.operators.StageCache.relation(spark, "jaccpairs", d)(fp) {
-      sys.error("stage should already be committed")
-    }.select(col("d1"), col("d2"))
-
-    // parameterized pagerank variant
-    def pr(repart: Boolean, hints: Boolean, eagerCkpt: Boolean): Long = {
-      val s = spark
-      var edges0 = pairs.select(explode(array(
-          struct(col("d1").as("src"), col("d2").as("dst")),
-          struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      if (repart) edges0 = edges0.repartition(
-        s.sessionState.conf.numShufflePartitions, col("src"))
-      val edges = if (eagerCkpt) edges0.localCheckpoint(true) else edges0.persist()
-      def hh(df: DataFrame) = if (hints) df.hint("shuffle_hash") else df
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "doc")
-      val nn = deg.agg(count(lit(1)).as("n"))
-      val node = deg.crossJoin(broadcast(nn))
-        .selectExpr("doc", "deg",
-          "150000000L div n as base", "1000000000L div n as p0")
-        .persist()
-      val weighted = edges
-        .join(hh(node.selectExpr("doc as src", "deg")), "src")
-        .persist()
-      val r0 = node.selectExpr("doc", "p0 as pr")
-      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
-        weighted
-          .join(hh(r.selectExpr("doc as src", "pr")), "src")
-          .selectExpr("dst", "pr div deg as contrib")
-          .groupBy("dst").agg(sum(col("contrib")).as("s"))
-          .crossJoin(broadcast(nn))
-          .selectExpr("dst as doc",
-            "(150000000L div n) + (85L * s) div 100 as pr")
-      }
-      node.join(hh(r3), "doc")
-        .selectExpr("doc as doc_id", "deg", "pr as pr_u")
-        .orderBy("doc_id").count()
+    // jaccard_pairs cumulative prefixes
+    def docs0 = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).as("sz"),
+        array_sort(transform(col("toks"), tk => xxhash64(tk))).as("hs"))
+    time("j1_docs_kernel") { docs0.count() }
+    time("j2_docs_persist_count") {
+      val dk = docs0.persist(); val c = dk.count(); c
     }
-    time("pr_old_ckpt_nohint") { pr(repart = false, hints = false, eagerCkpt = true) }
-    time("pr_persist_nohint") { pr(repart = false, hints = false, eagerCkpt = false) }
-    time("pr_persist_hint") { pr(repart = false, hints = true, eagerCkpt = false) }
-    time("pr_repart_persist_hint") { pr(repart = true, hints = true, eagerCkpt = false) }
-    time("pr_repart_persist_nohint") { pr(repart = true, hints = false, eagerCkpt = false) }
+    def mk(dk: org.apache.spark.sql.DataFrame) = {
+      val tok = dk.select(col("doc_id"), col("source"), col("sz"),
+        explode(col("toks")).as("token"))
+      val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+      tok.join(dfreq, Seq("token"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= floor(col("sz") / 2) + 1)
+        .select(col("token"), col("source"), col("doc_id"), col("sz"),
+          col("rk"))
+    }
+    time("j3_prefix_build") {
+      val dk = docs0.persist(); dk.count()
+      mk(dk).count()
+    }
+    time("j4_cand_join") {
+      val dk = docs0.persist(); dk.count()
+      val prefix = mk(dk)
+      prefix.alias("x").join(prefix.alias("y"),
+          col("x.token") === col("y.token")
+            && col("x.source") === col("y.source")
+            && (col("x.sz") < col("y.sz")
+              || (col("x.sz") === col("y.sz")
+                && col("x.doc_id") < col("y.doc_id")))
+            && col("y.sz") <= col("x.sz") * 2
+            && col("x.rk") <= col("x.sz")
+              - floor((col("x.sz") * 2 + 2) / 3) + 1
+            && (least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))
+              + 1) * 3 >= col("x.sz") + col("y.sz"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+        .distinct().count()
+    }
+    time("j5_full") {
+      SparkEntry.queries("q_llm_jaccard_pairs")(spark, d).count()
+    }
     spark.stop()
   }
 }

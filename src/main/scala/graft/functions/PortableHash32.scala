@@ -29,6 +29,23 @@ object PortableHash32Kernel {
     ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
       ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
   }
+
+  /** hash("<prefix bytes><slice bytes>") without materializing the
+    * concatenated string: feeds the digest incrementally from a shared
+    * byte array. Value-identical to [[hash]] over the concatenation —
+    * md5 is defined over the byte stream, not over how it is chunked.
+    * The winnow kernel's per-gram hot path uses this to cut three
+    * allocations per gram (substring slice, concat, getBytes copy). */
+  def hashPrefixedSlice(prefix: Array[Byte], bytes: Array[Byte],
+      off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(prefix)
+    d.update(bytes, off, len)
+    val digest = d.digest()
+    ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+      ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
+  }
 }
 
 case class PortableHash32(child: Expression) extends UnaryExpression {

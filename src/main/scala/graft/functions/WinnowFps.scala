@@ -25,36 +25,61 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan-side parallelism fix landed with it.
   */
 object WinnowKernel {
-  private val WN = UTF8String.fromString("wn:")
+  private val WN = Array[Byte]('w', 'n', ':')
 
   /** text → sorted distinct winnow fingerprints (empty if the text is
-    * shorter than k + w - 1 chars). */
+    * shorter than k + w - 1 chars). r18 hot-path rewrite, value-
+    * identical: one code-point→byte-offset walk over the text's UTF-8
+    * bytes replaces the per-gram substring/concat/getBytes allocations
+    * (the digest is fed the identical "wn:"+gram byte stream
+    * incrementally), and the distinct-minima set is a primitive
+    * sort+dedupe instead of a boxing HashSet<Long>. */
   def fps(text: UTF8String, k: Int, w: Int): ArrayData = {
     val n = text.numChars()
     val m = n - k + 1 // gram count
     if (m < w) return new GenericArrayData(Array.empty[Long])
+    val bytes = text.getBytes
+    // byte offset of each code point (UTF-8 lead-byte walk); off(n) =
+    // total length, so gram i covers bytes [off(i), off(i+k))
+    val off = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < n) {
+      off(ci) = bi
+      val b = bytes(bi) & 0xFF
+      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      ci += 1
+    }
+    off(n) = bytes.length
     val grams = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val gram = text.substringSQL(i + 1, k)
-      grams(i) = PortableHash32Kernel.hash(UTF8String.concat(WN, gram))
+      grams(i) = PortableHash32Kernel.hashPrefixedSlice(
+        WN, bytes, off(i), off(i + k) - off(i))
       i += 1
     }
     val nw = m - w + 1
-    val set = new java.util.HashSet[Long]()
+    val mins = new Array[Long](nw)
     var j = 0
     while (j < nw) {
       var mn = Long.MaxValue
       var q = j
       while (q < j + w) { if (grams(q) < mn) mn = grams(q); q += 1 }
-      set.add(mn)
+      mins(j) = mn
       j += 1
     }
-    val out = new Array[Long](set.size())
-    val it = set.iterator()
-    var idx = 0
-    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
-    java.util.Arrays.sort(out)
+    java.util.Arrays.sort(mins)
+    // in-place dedupe of the sorted window minima
+    var outN = 0
+    var p = 0
+    while (p < nw) {
+      if (outN == 0 || mins(p) != mins(outN - 1)) {
+        mins(outN) = mins(p); outN += 1
+      }
+      p += 1
+    }
+    val out = new Array[Long](outN)
+    System.arraycopy(mins, 0, out, 0, outN)
     new GenericArrayData(out)
   }
 }
