@@ -48,6 +48,24 @@ object PipelineOps {
           .as("nll_u"))
   }
 
+  /** The memoized per-doc NLL scoring stage: [[pplDocNll]] built once
+    * per (JVM, fixture) and served from StageCache's parquet relation —
+    * the decode/serve split (TextOps.pairGraph, kmeansStage). The
+    * approx bucket readout consumes it; before r18 it paid the full
+    * corpus scoring pass TWICE per run (the sketch-threshold broadcast
+    * build and the bucket-assignment pass each evaluated the
+    * un-materialized relation). q_llm_ppl_bucket itself still declares
+    * the full scoring join (it IS the scoring stage — the
+    * q_llm_kmeans split, and PlanSpec pins its broadcast-vocab shape).
+    * GRAFT_STAGE_CACHE=off (the scaling canary) still pays the full
+    * declared computation per consumer. */
+  private def docNllStage(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.StageCache.relation(s, "docnll", d)(
+      t(s, d, "documents")
+        .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+        .head().mkString(","))(pplDocNll(s, d))
+
   /** The quartile-bucket readout both perplexity-bucket variants emit. */
   private def pplBucketReadout(b: org.apache.spark.sql.DataFrame) =
     b.groupBy("bucket")
@@ -194,7 +212,7 @@ object PipelineOps {
     // Shape: the same doc-NLL relation, then ONE 1-row sketch agg
     // broadcast back — map-side bucket assignment, no window at all.
     "q_llm_ppl_bucket_approx" -> ((s, d) => {
-      val doc = pplDocNll(s, d)
+      val doc = docNllStage(s, d)
       val th = doc.agg(percentile_approx(col("nll_u"),
         array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("t"))
       pplBucketReadout(doc.crossJoin(broadcast(th))
