@@ -297,6 +297,12 @@ object Bench {
     // One-time cached-stage builds paid inside this process (warm-up or
     // serial_first): the write-amplification ledger, as data.
     val cachedBuilds = graft.operators.StageCache.buildSeconds.toSeq.sortBy(_._1)
+    // fresh_cache (VERDICT r18 #6): true iff every committed stage/table
+    // this run consumed was BUILT inside this process (all one-time
+    // builds priced in serial_first/cached_builds); false = at least one
+    // pre-existing on-disk copy from an earlier JVM was served, so the
+    // run measured the warm-start regime.
+    val freshCache = graft.operators.StageCache.diskServes.get() == 0L
     // the full arrays ride ONLY the persisted full line: a sustained load
     // window can flag 100+ queries, and unbounded arrays on the compact
     // stdout line would blow the driver's 2000-char tail window exactly
@@ -317,6 +323,7 @@ object Bench {
         s""""calib_mt_after":${f3(calibMtAfter)},"calib_mt_threads":$mtThreads,""" +
         s""""calib_mt_nominal":${f3(CalibMtNominalSec)},""" +
         s""""probe_nominal":${f3(ProbeNominalSec)},""" +
+        s""""fresh_cache":$freshCache,""" +
         s""""requeried_n":${requeried.size},""" +
         s""""contaminated_n":${contaminatedQueries.size},""" +
         s""""runs":$runs,"sf":"$sfDir"$extra,"queries":$qs}"""

@@ -47,7 +47,12 @@ object WinnowKernel {
     while (ci < n) {
       off(ci) = bi
       val b = bytes(bi) & 0xFF
-      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      // mirror UTF8String.numBytesForFirstByte: a continuation byte in
+      // lead position (0x80-0xBF, malformed input) steps 1, matching how
+      // numChars counted it — stepping 2 would let bi overrun the buffer
+      // (ADVICE r18). Valid UTF-8 is unaffected.
+      bi += (if (b < 0xC0) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      if (bi > bytes.length) bi = bytes.length // truncated multi-byte tail
       ci += 1
     }
     off(n) = bytes.length

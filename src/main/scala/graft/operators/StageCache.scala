@@ -50,6 +50,15 @@ object StageCache {
     b.result()
   }
 
+  /** Stage/table relations SERVED from a pre-existing on-disk copy
+    * without an in-process build (a cross-JVM warm start). Bench emits
+    * `fresh_cache` = (this == 0) so the driver can tell whether its run
+    * paid every one-time build itself or inherited another process's
+    * committed stages (VERDICT r18 #6). SinkOps' cached committed
+    * tables report here too. */
+  private[graft] val diskServes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Bypass for measurement harnesses (GRAFT_STAGE_CACHE=off): return the
     * freshly-built relation instead of the committed parquet copy, so each
     * consumer pays its stage's FULL declared computation. graft.ScaleBench
@@ -90,6 +99,7 @@ object StageCache {
       try {
         val fresh = Files.exists(marker) &&
           new String(Files.readAllBytes(marker)) == want
+        if (fresh) diskServes.incrementAndGet()
         if (!fresh) {
           // parquet overwrite replaces the dir atomically enough under
           // the flock (no concurrent reader can hold the lock); the

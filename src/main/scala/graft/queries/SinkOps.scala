@@ -87,6 +87,7 @@ object SinkOps {
       try {
         val fresh = Files.exists(marker) &&
           new String(Files.readAllBytes(marker)) == want
+        if (fresh) graft.operators.StageCache.diskServes.incrementAndGet()
         if (!fresh) {
           import scala.jdk.CollectionConverters._
           (dir +: alsoWipe(dir)).filter(Files.exists(_)).foreach { pth =>

@@ -153,7 +153,7 @@ object TextOps {
     * total text length in one cheap agg pass) — pins every StageCache
     * stage derived from `documents`, so a driver-side fixture refresh
     * forces a rebuild of all of them. */
-  private def docsFingerprint(s: SparkSession, d: String): String =
+  private[queries] def docsFingerprint(s: SparkSession, d: String): String =
     t(s, d, "documents")
       .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
       .head().mkString(",")
@@ -215,9 +215,12 @@ object TextOps {
     docs
       // §2.5: spread the shingle+md5+signature kernel across cores — a
       // one-row-group batch input (the sf fixtures) otherwise runs the
-      // whole MinHash build in a single scan task. Shuffles only
-      // (doc_id, text); on an already-split input this is a cheap
-      // narrow-row exchange.
+      // whole MinHash build in a single scan task. NOTE this exchange
+      // moves the full text column (repartition always shuffles every
+      // row — it is NOT free on an already-split table); it stays
+      // unconditional because the doc_id clustering of the persisted
+      // signature relation is reused by both verification joins (§2.4),
+      // replacing the build-side exchanges they would otherwise pay.
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), when(size(tks) >= 3,
@@ -316,9 +319,11 @@ object TextOps {
     * merged, cnt) rows from [[bpeLearn]], built once per (JVM, fixture)
     * and served from StageCache's parquet relation. In a real pipeline
     * the tokenizer trains ONCE per corpus version and is committed;
-    * every consumer — vocab readout, corpus encoding — reads the
-    * committed artifact (the same decode/serve split as the IVF
-    * quantizer and kmeans stages). */
+    * the ENCODE consumers ([[bpeSeg]] → q_llm_bpe_encode) read the
+    * committed artifact. The declarer q_llm_bpe_vocab does NOT read
+    * this stage — it runs the trainer itself (VERDICT r18 #6: a
+    * declarer's bench number must be its declared computation, never a
+    * parquet read of its own output; StageCacheSpec pins this). */
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     graft.operators.StageCache.relation(s, "bpemerges", d)(
       docsFingerprint(s, d)) {
@@ -399,12 +404,15 @@ object TextOps {
     // BPE vocabulary learning (Sennrich et al. '16): the tokenizer-train
     // half that q_llm_token_count's fixed regex families don't cover —
     // the five learned merges from the shared bpeLearn trainer (see its
-    // scaladoc for the merge-semantics and 100 TB design), served from
-    // the committed bpeMerges stage (train once, read many — the
-    // IVF-quantizer pattern). Oracle: DuckDB recursive CTE over the same
-    // representation (verified equal to an independent imperative BPE
-    // implementation).
-    "q_llm_bpe_vocab" -> ((s, d) => bpeMerges(s, d).orderBy("rnd")),
+    // scaladoc for the merge-semantics and 100 TB design). The DECLARER
+    // TRAINS (VERDICT r18 #6): this query's bench number is the honest
+    // cost of the 5-round trainer, exactly as q_llm_ppl_bucket declares
+    // the full scoring join; only the CONSUMERS (bpeSeg → bpe_encode)
+    // read the committed bpeMerges stage. Oracle: DuckDB recursive CTE
+    // over the same representation (verified equal to an independent
+    // imperative BPE implementation).
+    "q_llm_bpe_vocab" -> ((s, d) =>
+      bpeLearn(s, d)._1.reduce((a, b) => a.unionByName(b)).orderBy("rnd")),
 
     // BPE ENCODE — the apply half of the tokenizer: segment the corpus
     // with the learned merge table and report per-document BPE token
@@ -816,10 +824,14 @@ object TextOps {
         transform(sequence(lit(1), size(col("t")) - 1),
           i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
         .otherwise(array().cast("array<string>"))
-      // §2.5 repartition before the bigram explode (one-task scan front).
-      t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      // §2.5 fan-out before the bigram explode, GATED on scan parallelism
+      // (ScanFront): the downstream shuffle keys on the bigram, not
+      // doc_id, so on a split table this exchange would be a pure
+      // corpus-sized text shuffle — it exists only for the one-task
+      // fixture scan.
+      ScanFront.fanOut(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(split(col("text"), " ").as("t"))
         .select(explode(bigrams).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("n"))

@@ -1980,7 +1980,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       // (replaces everything earlier). A base further back means the
       // transaction REBASED past rival pure appends under
       // WriteSerializable isolation — those appends stay visible.
-      base: Option[Long] = None) {
+      base: Option[Long] = None,
+      // the table schema RECORDED at this commit (metaData.schemaString,
+      // compact JSON) — the as-of schema authority for time-travel
+      // reads (r19: lets versionAsOf reads skip footer inference on
+      // mapping-free tables)
+      schemaStr: Option[String] = None) {
     /** Data dirs this commit makes visible: its own for ordinary
       * commits, the re-pointed source dirs for a RESTORE. */
     def dataDirs: Seq[String] =
@@ -2204,6 +2209,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
       case JInt(w) => Some(w.toLong)
       case _ => None
     }
+    val schStr = (j \ "metaData" \ "schemaString") match {
+      case o: JObject =>
+        Some(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(o)))
+      case _ => None
+    }
     val doms = (j \ "domainMetadata") match {
       case JObject(fields) => Some(fields.map {
         case (d, JObject(cfg)) =>
@@ -2240,7 +2251,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     Commit(v, dir, snap, adds, op, changeDir, changeAdds, cons, stx,
       restoreDirs,
       removes, dvs, gen, cmap, dcols, ict, txnApp, rowWm, domains = doms,
-      base = snapBase0)
+      base = snapBase0, schemaStr = schStr)
   }
 
   /** Committed commits visible at `versionAsOf`, snapshot-compaction
@@ -2297,7 +2308,14 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * snapshot claims record the evolved union, TypeWideningSpec pins
     * this), so the column and its widened type reappear intact with the
     * next write that carries it; nothing is lost, only not shown while
-    * no file holds it. */
+    * no file holds it.
+    *
+    * r19: LIVE reads of flat commits present columns in the RECORDED
+    * schema order (batch last) — the Delta presentation — because the
+    * scan takes the recorded physical schema instead of per-commit
+    * footer inference; time-travel reads keep the legacy
+    * union-accretion order (StreamingSpec pins live ≡ as-of-latest
+    * value-wise). */
   def read(spark: SparkSession,
       versionAsOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
@@ -2307,25 +2325,66 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val commits = all.filter(_.adds.nonEmpty)
     if (commits.isEmpty) return spark.emptyDataFrame
     val ts = tombstones(all)
+    // Flat commits read through an EXPLICIT recorded schema — the
+    // log-is-the-schema-authority path readSkipping/readLookup already
+    // take via readAddFiles: no per-call footer-inference job, and the
+    // add-listed exact file paths replace the directory listing (§6).
+    // Live reads take the latest recorded physical schema (flatReader);
+    // time-travel reads take the schema RECORDED AT the last visible
+    // commit (the as-of authority), but only on mapping-free tables —
+    // under column mapping the files carry frozen physical names that
+    // the as-of logical schema cannot address, so those keep the
+    // inference read. Hive-partitioned commits always keep the dir read
+    // (partition columns live in dir names, which an explicit schema
+    // would null out).
+    val explicit = explicitReader(spark, versionAsOf, all)
     if (ts.isEmpty)
       // fast path — a table never touched by merge-on-read keeps its
       // plain per-dir scans (no metadata columns, no anti-joins)
       dropMat(toLogical(commits.map { c =>
-        // a RESTORE commit re-points at its source commits' dirs (one
-        // read per source dir keeps hive partition-column discovery
-        // working exactly as it did for the original commit)
-        c.dataDirs.map(d => spark.read
-            .option("mergeSchema", mergeSchema.toString)
-            .parquet(dataDir.resolve(d).toString))
-          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-          .withColumn("batch", lit(c.version).cast("int"))
+        val flat = c.restoreDirs.isEmpty &&
+          c.adds.forall(a => !a.path.contains("/"))
+        val scan = explicit match {
+          case Some(r) if flat =>
+            r.parquet(
+              c.adds.map(a => dataDir.resolve(addKey(c, a)).toString): _*)
+          case _ =>
+            // a RESTORE commit re-points at its source commits' dirs (one
+            // read per source dir keeps hive partition-column discovery
+            // working exactly as it did for the original commit)
+            c.dataDirs.map(d => spark.read
+                .option("mergeSchema", mergeSchema.toString)
+                .parquet(dataDir.resolve(d).toString))
+              .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        }
+        scan.withColumn("batch", lit(c.version).cast("int"))
       }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))))
     else {
-      val scanned = scanWithPos(spark, commits, ts, mergeSchema)
+      val scanned = scanWithPos(spark, commits, ts, mergeSchema,
+        explicit = explicit)
       if (scanned.columns.isEmpty) scanned // every file removed
       else dropMat(applyTombstones(scanned, ts).drop(FileCol, RidxCol))
     }
   }
+
+  /** The explicit-schema reader for flat committed files of this read,
+    * when one is safe (see [[read]]): latest recorded physical schema
+    * for live reads (mat columns included — [[flatReader]]), the
+    * schema recorded at the last visible commit for time-travel reads
+    * of mapping-free tables, None (→ per-dir inference) otherwise. */
+  private def explicitReader(spark: SparkSession, versionAsOf: Option[Long],
+      all: Seq[Commit]): Option[org.apache.spark.sql.DataFrameReader] =
+    if (versionAsOf.isEmpty)
+      physicalReadSchema().map(_ => flatReader(spark))
+    else {
+      val (m, dropped) = colMap()
+      if (m.nonEmpty || dropped.nonEmpty) None
+      else all.lastOption.flatMap(_.schemaStr).flatMap { s =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (st.fields.isEmpty) None else Some(spark.read.schema(st))
+      }
+    }
 
   // ---------------------------------------------------------------------
   // merge-on-read (deletion vectors)
@@ -2381,13 +2440,20 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     * remove anti-join then only covers dir-granular (hive/restore)
     * commits. Returns an empty frame when every file is retired. */
   private def scanWithPos(spark: SparkSession, commits: Seq[Commit],
-      ts: Tombstones, mergeSchema: Boolean = false): DataFrame = {
+      ts: Tombstones, mergeSchema: Boolean = false,
+      explicit: Option[org.apache.spark.sql.DataFrameReader] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     def withPos(df: DataFrame): DataFrame = df
       .withColumn(FileCol, relKeyCol)
       .withColumn(RidxCol, col("_metadata.row_index"))
     def rd(paths: Seq[String]): DataFrame = spark.read
       .option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    // flat scans read through the caller's explicit recorded-schema
+    // reader when one is safe (no per-call footer-inference job; see
+    // read()); hive commits keep the inference read
+    def rdFlat(paths: Seq[String]): DataFrame =
+      explicit.fold(rd(paths))(_.parquet(paths: _*))
     val frames = commits.flatMap { c =>
       val flat = c.adds.forall(a => !a.path.contains("/"))
       // _metadata is only resolvable directly on a scan relation, so
@@ -2397,7 +2463,7 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
           val live = c.adds.map(a => addKey(c, a))
             .filterNot(ts.removed.contains)
           if (live.isEmpty) None
-          else Some(withPos(rd(live.map(k => dataDir.resolve(k).toString))))
+          else Some(withPos(rdFlat(live.map(k => dataDir.resolve(k).toString))))
         } else Some(c.dataDirs
           .map(d => withPos(rd(Seq(dataDir.resolve(d).toString))))
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
@@ -2611,7 +2677,12 @@ class ExactlyOnceSink(tableDir: String, appId: String = "graft-sink",
     val commits = all.filter(_.adds.nonEmpty)
     if (commits.isEmpty) return spark.emptyDataFrame
     val ts = tombstones(all)
-    val scanned = scanWithPos(spark, commits, ts)
+    // mat columns are REQUIRED here, so only the live flatReader (which
+    // appends them to the explicit schema) qualifies; as-of stays on
+    // the inference read
+    val scanned = scanWithPos(spark, commits, ts,
+      explicit = if (versionAsOf.isEmpty) physicalReadSchema()
+        .map(_ => flatReader(spark)) else None)
     if (scanned.columns.isEmpty) return scanned
     withResolvedMat(applyTombstones(scanned, ts), commits)
       .drop(FileCol, RidxCol)

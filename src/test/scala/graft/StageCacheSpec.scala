@@ -50,6 +50,74 @@ class StageCacheSpec extends SparkSpecBase {
     assert(builds.get == 2, "changed fingerprint served the stale commit")
   }
 
+  /** VERDICT r18 #6 — the StageCache line, pinned so it cannot drift:
+    * the COMPLETE stage inventory, each stage's posture (declarer
+    * computes vs r12-blessed committed-stage serve), and the rule that
+    * a declarer's plan never scans its own stage's parquet. A new
+    * stage, or a declarer quietly switching to reading its own output
+    * (the r18 bpe_vocab regression), fails here. */
+  private val DeclaredStages = Map(
+    // declarer COMPUTES (its bench number is the declared computation);
+    // consumers read the committed stage
+    "jaccpairs" -> "q_llm_jaccard_pairs",
+    "bpemerges" -> "q_llm_bpe_vocab",
+    "docnll" -> "q_llm_ppl_bucket",
+    "kmeans" -> "q_llm_kmeans",
+    "kmcentroids" -> "q_llm_kmeans")
+  private val ServedStages = Set(
+    // r12-blessed decode/serve stages: the committed relation IS the
+    // pipeline artifact (CC closures, IVF quantizer, BPE segmentation);
+    // GRAFT_STAGE_CACHE=off (ScaleBench) still pays the full build
+    "dupdocs", "semdedup", "semdedupapx", "ivfquant", "bpeseg")
+
+  test("stage inventory is pinned: no new StageCache stage lands unreviewed") {
+    import scala.jdk.CollectionConverters._
+    val rx = """StageCache\.relation\([^,]+,\s*"(\w+)"""".r
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val stages = withDirStream(Files.walk(srcRoot)) { it =>
+      it.filter(_.toString.endsWith(".scala"))
+        .flatMap(p => rx.findAllMatchIn(Files.readString(p)).map(_.group(1)))
+        .toSet
+    }
+    val pinned = DeclaredStages.keySet ++ ServedStages
+    assert(stages == pinned,
+      s"stage registry drifted: +${stages -- pinned} -${pinned -- stages} — " +
+        "update DeclaredStages/ServedStages deliberately (declarer must " +
+        "compute; only r12-blessed artifacts may serve)")
+  }
+
+  /** File-backed leaves of the ANALYZED plan — unlike Dataset.inputFiles
+    * (optimized plan), persisted subtrees don't hide their scans behind
+    * InMemoryRelation here. */
+  private def leafFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  test("every stage's declarer computes its stage (never reads its own output)") {
+    DeclaredStages.foreach { case (stage, declarer) =>
+      val files = leafFiles(q(declarer))
+      val stageScan = files.filter(_.contains(s"graft-stage-$stage-"))
+      assert(stageScan.isEmpty,
+        s"$declarer reads its own committed stage '$stage' " +
+          s"(${stageScan.take(2).mkString(", ")}) — the declarer's bench " +
+          "number must be its declared computation (VERDICT r18 #6)")
+    }
+    // and the trainer queries still read the raw fixtures (not some
+    // other committed intermediate standing in for the computation)
+    assert(leafFiles(q("q_llm_ppl_bucket"))
+      .exists(_.contains("documents.parquet")))
+    assert(leafFiles(q("q_llm_kmeans"))
+      .exists(_.contains("embeddings.parquet")))
+    assert(leafFiles(q("q_llm_jaccard_pairs"))
+      .exists(_.contains("documents.parquet")))
+  }
+
   test("racing first consumers collapse into exactly one build") {
     val dir = fixtureKey("race")
     val builds = new AtomicInteger(0)

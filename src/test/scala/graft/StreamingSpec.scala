@@ -238,6 +238,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(v1 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("live read (recorded-schema scan) equals the as-of-latest read (inference scan)") {
+    // r19 read-path optimization: LIVE flat reads take the recorded
+    // physical schema (no footer-inference job per commit); versionAsOf
+    // keeps the legacy inference read. Reading live vs as-of the latest
+    // version must be value-identical across evolution (null-padded old
+    // rows), a widening append (int→long coercion now happens in the
+    // parquet reader instead of unionByName) and a deletion vector.
+    val tableDir = tmp("graft-schemaread")
+    val sink = new ExactlyOnceSink(tableDir)
+    sink.commitAppend(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "c"))
+    // widening append: c becomes long, values beyond int range
+    sink.commitAppend(Seq((4L, 3000000000L), (5L, 3000000001L)).toDF("id", "c"),
+      mergeSchema = true)
+    // evolution append: new column x, old rows null-padded
+    sink.commitAppend(Seq((6L, 60L, "x6")).toDF("id", "c", "x"),
+      mergeSchema = true)
+    // merge-on-read delete: live read goes through scanWithPos
+    sink.deleteDV(spark, col("id") === 2L)
+    val last = sink.committedVersions().last
+    val live = sink.read(spark)
+    val asOf = sink.read(spark, versionAsOf = Some(last))
+    // same column SET; the live read presents the RECORDED table-schema
+    // order (Delta semantics — evolution-added columns where the schema
+    // declares them, batch last), the inference path its legacy
+    // union-accretion order
+    assert(live.columns.sorted.toSeq == asOf.columns.sorted.toSeq,
+      s"live ${live.columns.toSeq} != asOf ${asOf.columns.toSeq}")
+    assert(live.columns.toSeq == Seq("id", "c", "x", "batch"),
+      s"live read order != recorded schema order: ${live.columns.toSeq}")
+    val cols = live.columns.sorted.map(col).toIndexedSeq
+    val l = live.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    val a = asOf.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    assert(l == a, s"live read diverged from as-of-latest read:\n$l\n$a")
+    assert(live.filter(col("id") === 4L).select("c").as[Long].head()
+      == 3000000000L)
+    assert(live.filter(col("id") === 2L).count() == 0)
+  }
+
   test("two concurrent optimistic writers produce a linear, gap-free history") {
     val tableDir = tmp("graft-occ")
     val perWriter = 6
