@@ -229,19 +229,23 @@ object GraphSearchOps {
       // symmetrize in ONE pass — map-only explode of each pair into both
       // directions — and establish the src hash partitioning ONCE: the
       // deg agg, the weighted join and every rank round key on src, so
-      // one explicit exchange in front of a lazy persist serves them all
-      // (guide §2.4: two operations keyed the same way share one
-      // exchange). persist (not eager localCheckpoint, r18): the lazy
-      // cache materializes inside the first consumer's job instead of
-      // paying a separate eager materialization pass, and under
-      // GRAFT_STAGE_CACHE=off (ScaleBench) it still keeps the full
-      // similarity join from re-running per round.
+      // one explicit exchange serves them all (guide §2.4: two
+      // operations keyed the same way share one exchange). EAGER
+      // localCheckpoint (r19, reverses the r18 lazy-persist call): a
+      // checkpointed LogicalRDD both TRUNCATES the plan tree and carries
+      // its hash(src) partitioning into every round's planning, where
+      // the lazy InMemoryRelation re-rendered the full cached subtree
+      // under each of the ~10 consumers (final plan: 222 in-tree
+      // Exchange nodes vs 20, 20 SHJ vs 8) — measured interleaved
+      // in-JVM A/B: ckpt 1.0-1.26 s steady vs persist 1.2-1.77 s.
+      // GRAFT_STAGE_CACHE=off protection unchanged: the similarity join
+      // still cannot re-run per round.
       val edges = pairs.select(explode(array(
           struct(col("d1").as("src"), col("d2").as("dst")),
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
-        .persist()
+        .localCheckpoint(true)
       // N = |degree table| — the distinct-src set IS the degree table's
       // key set, so derive it from the deg agg instead of paying a
       // second full exchange+distinct over the edge list (guide §2.4:
@@ -253,7 +257,7 @@ object GraphSearchOps {
         .crossJoin(broadcast(nn))
         .selectExpr("doc", "deg",
           "150000000L div n as base", "1000000000L div n as p0")
-        .persist()
+        .localCheckpoint(true)
       // deg-weighted edges cached once: every round joins ranks to this
       // relation and re-aggregates — deg never recomputes. shuffle_hash
       // (guide §3.1): the node/rank side is the per-partition SMALL side
@@ -263,7 +267,7 @@ object GraphSearchOps {
       val weighted = edges
         .join(node.selectExpr("doc as src", "deg").hint("shuffle_hash"),
           "src")
-        .persist()
+        .localCheckpoint(true)
       val r0 = node.selectExpr("doc", "p0 as pr")
       // base = 0.15e9 div N is one global constant, not per-node state:
       // each round is exactly one join + one bounded agg (+ the 1-row
